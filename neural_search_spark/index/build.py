@@ -1,0 +1,340 @@
+"""Distributed inverted-index build (the engine's replacement for the Lucene
+segment writes the reference plugin delegates to OpenSearch core — SURVEY.md
+§2.1 "Index write (sink)").
+
+Pipeline (one pass over the corpus + one light stats pass):
+
+  transcripts ──► doc_id = xxhash64(conv_id, turn_idx)          (stable docID)
+              ──► tokenize (Arrow pandas UDF, no per-row Python)
+              ──► explode → groupBy(doc_id, term) → tf          (map-side combine)
+              ──► salted repartition-by-term: hot terms (df above threshold)
+                  are split into doc_id-RANGE salts so every build task is
+                  bounded, while blocks stay globally doc-ordered per term
+              ──► applyInPandas per (shard, term-group, salt): sort by doc_id,
+                  chunk into 4096-doc blocks, delta+varint encode, attach
+                  per-block max tf-norm (the block-max metadata the query-side
+                  pruning uses — the Spark analog of Lucene advanceShallow
+                  consumed by reference query/HybridScoreBlockBoundaryPropagator.java:53-86)
+              ──► parquet partitioned by term_bucket (partition pruning for
+                  query terms) + terms / stats / lineage / metrics tables.
+
+Scale notes (100 TB / 10^12 turns): the only wide shuffles are the
+(doc_id, term) partial-aggregated tf count and the salted repartition into
+build groups — both keyed to bound task size; n_shards and n_salts grow with
+the corpus, never a single-task hot spot. Resume skips term_buckets already
+recorded complete in the lineage table.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import BLOCK_SIZE, BM25_B, BM25_K1
+from ..tokenizer import tokenize_udf
+from .codec import encode_doc_ids, encode_varint
+
+N_TERM_BUCKETS = 64  # on-disk partitions; query prunes to its terms' buckets
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("shard_id", T.IntegerType()),
+        T.StructField("block_seq", T.IntegerType()),
+        T.StructField("n_docs", T.IntegerType()),
+        T.StructField("min_doc_id", T.LongType()),
+        T.StructField("max_doc_id", T.LongType()),
+        T.StructField("docs", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("dls", T.BinaryType()),
+        T.StructField("max_tfnorm", T.FloatType()),
+        T.StructField("sum_tf", T.LongType()),
+    ]
+)
+
+
+def doc_id_col(conv_id="conv_id", turn_idx="turn_idx"):
+    """docID = hash(conv_id, turn_idx) per the north rule — stable under the
+    (conv_id, turn_idx) turn ordering because it depends only on those keys."""
+    return F.xxhash64(F.col(conv_id), F.col(turn_idx))
+
+
+def _range_salt(doc_col, n_salts_col):
+    """Map int64 doc_id uniformly to [0, n_salts) by RANGE (high bits), so
+    salted sub-groups of a hot term cover disjoint, ordered doc_id ranges and
+    the term's blocks stay globally doc-ordered."""
+    u = (doc_col.cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
+    return F.least(
+        F.floor(u * n_salts_col).cast("int"), n_salts_col.cast("int") - F.lit(1)
+    )
+
+
+def _make_block_builder(avgdl: float, k1: float, b: float, block_size: int):
+    def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [] for c in BLOCK_SCHEMA.fieldNames()}
+        shard = int(pdf["shard_id"].iloc[0])
+        # group by term inside the (shard, term-group, salt) task: numpy
+        # slicing per term, vectorized encode per block
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        salts = pdf["salt"].to_numpy(dtype=np.int64)
+        bounds = np.flatnonzero(
+            np.concatenate(([True], terms[1:] != terms[:-1]))
+        )
+        bounds = np.append(bounds, len(terms))
+        tfn_all = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        for gi in range(len(bounds) - 1):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            term = terms[lo]
+            # block_seq offset: salt * 2^20 keeps blocks of different salts
+            # disjoint and doc-ordered (ranges are disjoint by construction)
+            base = int(salts[lo]) << 20
+            n = hi - lo
+            for bi, s in enumerate(range(lo, hi, block_size)):
+                e = min(s + block_size, hi)
+                d = doc_ids[s:e]
+                out["term"].append(term)
+                out["shard_id"].append(shard)
+                out["block_seq"].append(base + bi)
+                out["n_docs"].append(int(e - s))
+                out["min_doc_id"].append(int(d[0]))
+                out["max_doc_id"].append(int(d[-1]))
+                out["docs"].append(encode_doc_ids(d))
+                out["tfs"].append(encode_varint(tfs[s:e].astype(np.uint64)))
+                out["dls"].append(encode_varint(dls[s:e].astype(np.uint64)))
+                out["max_tfnorm"].append(float(tfn_all[s:e].max()))
+                out["sum_tf"].append(int(tfs[s:e].sum()))
+        return pd.DataFrame(out)
+
+    return build_blocks
+
+
+def tokenize_corpus(transcripts: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) — vectorized tokenize + map-side-combined tf."""
+    toks = transcripts.select(
+        doc_id_col().alias("doc_id"), tokenize_udf("text").alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    return (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def compute_doc_stats(transcripts: DataFrame) -> tuple[int, float]:
+    row = (
+        transcripts.select(tokenize_udf("text").alias("toks"))
+        .select(F.size("toks").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def compute_term_stats(postings: DataFrame, n_stat_salts: int = 16) -> DataFrame:
+    """(term, df, cf) via explicit two-stage salted aggregation so the hot
+    terms never concentrate in one reducer even at 10^12 postings."""
+    partial = postings.groupBy(
+        "term", F.pmod(F.xxhash64("doc_id"), F.lit(n_stat_salts)).alias("_salt")
+    ).agg(F.count(F.lit(1)).alias("df_p"), F.sum("tf").alias("cf_p"))
+    return partial.groupBy("term").agg(
+        F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf")
+    )
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_shards: int = 32,
+        block_size: int = BLOCK_SIZE,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        target_postings_per_task: int = 2_000_000,
+        n_term_groups: int = 32,
+    ):
+        self.spark = spark
+        self.out = out_dir
+        self.n_shards = n_shards
+        self.block_size = block_size
+        self.k1 = k1
+        self.b = b
+        self.target = target_postings_per_task
+        self.n_term_groups = n_term_groups
+
+    # ---- paths -------------------------------------------------------
+    def _p(self, name: str) -> str:
+        return os.path.join(self.out, name)
+
+    # ---- lineage / resume --------------------------------------------
+    def _done_buckets(self) -> set[int]:
+        path = self._p("lineage")
+        if not os.path.exists(path):
+            return set()
+        lin = self.spark.read.parquet(path)
+        return {
+            r["term_bucket"]
+            for r in lin.filter(F.col("status") == "complete")
+            .select("term_bucket")
+            .distinct()
+            .collect()
+        }
+
+    def _clean_incomplete(self, done: set[int]) -> None:
+        """Remove postings partitions not covered by complete lineage (a
+        killed run may have written files without recording lineage)."""
+        pdir = self._p("postings")
+        if not os.path.exists(pdir):
+            return
+        for d in os.listdir(pdir):
+            if d.startswith("term_bucket="):
+                b = int(d.split("=")[1])
+                if b not in done:
+                    shutil.rmtree(os.path.join(pdir, d))
+
+    # ---- main build ---------------------------------------------------
+    def build(self, transcripts: DataFrame, resume: bool = False) -> dict:
+        run_id = uuid.uuid4().hex[:12]
+        t0 = time.time()
+        metrics: list[tuple] = []
+
+        done = self._done_buckets() if resume else set()
+        if resume:
+            self._clean_incomplete(done)
+        elif os.path.exists(self.out):
+            shutil.rmtree(self.out)
+        os.makedirs(self.out, exist_ok=True)
+
+        # --- stage 1: corpus stats (reused verbatim on resume so avgdl/N
+        # stay consistent across restarts — the resumability contract)
+        stats_path = self._p("stats")
+        if resume and os.path.exists(stats_path):
+            srow = self.spark.read.parquet(stats_path).collect()[0]
+            n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+        else:
+            n_docs, avgdl = compute_doc_stats(transcripts)
+        metrics.append((run_id, "build", "doc_count", n_docs))
+
+        postings = tokenize_corpus(transcripts)
+        if done:
+            postings = postings.withColumn(
+                "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS))
+            ).filter(~F.col("term_bucket").isin(list(done)))
+        postings = postings.withColumn(
+            "shard_id", F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(self.n_shards)).cast("int")
+        )
+
+        # --- stage 2: term stats + hot-term salt plan
+        terms_path = self._p("terms")
+        if resume and os.path.exists(terms_path):
+            term_stats = self.spark.read.parquet(terms_path)
+        else:
+            term_stats = compute_term_stats(postings)
+            term_stats.write.mode("overwrite").parquet(terms_path)
+            term_stats = self.spark.read.parquet(terms_path)
+
+        # postings per (shard, term) ≈ df / n_shards; split further when a
+        # term's per-shard slice would exceed the per-task target
+        hot = term_stats.filter(
+            F.col("df") > F.lit(self.target * self.n_shards)
+        ).select(
+            "term",
+            F.ceil(F.col("df") / F.lit(self.target * self.n_shards))
+            .cast("int")
+            .alias("n_salts"),
+        )
+        n_hot = hot.count()
+        metrics.append((run_id, "build", "hot_terms_split", n_hot))
+
+        salted = (
+            postings.join(F.broadcast(hot), "term", "left")
+            .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+            .withColumn("salt", _range_salt(F.col("doc_id"), F.col("n_salts")))
+            .withColumn(
+                "tg", F.pmod(F.xxhash64("term", F.lit(3)), F.lit(self.n_term_groups))
+            )
+        )
+
+        # --- stage 3: salted repartition-by-term(-group) → block build
+        builder = _make_block_builder(avgdl, self.k1, self.b, self.block_size)
+        blocks = salted.groupBy("shard_id", "tg", "salt").applyInPandas(
+            builder, schema=BLOCK_SCHEMA
+        )
+        blocks = blocks.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS))
+        )
+        (
+            blocks.repartition("term_bucket")
+            .sortWithinPartitions("term", "shard_id", "block_seq")
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(self._p("postings"))
+        )
+
+        # --- stage 4: lineage per term_bucket (shard ids, term range,
+        # doc count, bytes — the north rule's per-partition lineage)
+        written = self.spark.read.parquet(self._p("postings"))
+        if done:
+            written = written.filter(~F.col("term_bucket").isin(list(done)))
+        lineage = written.groupBy("term_bucket").agg(
+            F.lit(run_id).alias("run_id"),
+            F.countDistinct("shard_id").alias("n_shards"),
+            F.min("term").alias("term_lo"),
+            F.max("term").alias("term_hi"),
+            F.sum("n_docs").alias("doc_count"),
+            F.sum(
+                F.length("docs") + F.length("tfs") + F.length("dls")
+            ).alias("bytes"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.lit("complete").alias("status"),
+            F.current_timestamp().alias("completed_ts"),
+        )
+        lineage.write.mode("append").parquet(self._p("lineage"))
+
+        # --- stage 5: global stats + metrics tables
+        self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "run_id": [run_id],
+                    "n_docs": [n_docs],
+                    "avgdl": [avgdl],
+                    "n_shards": [self.n_shards],
+                    "block_size": [self.block_size],
+                    "k1": [self.k1],
+                    "b": [self.b],
+                }
+            )
+        ).write.mode("overwrite").parquet(stats_path)
+
+        elapsed = time.time() - t0
+        metrics.append((run_id, "build", "elapsed_ms", int(elapsed * 1000)))
+        metrics.append(
+            (run_id, "build", "turns_per_sec", int(n_docs / max(elapsed, 1e-9)))
+        )
+        mdf = pd.DataFrame(
+            metrics, columns=["run_id", "stage", "name", "value"]
+        )
+        mdf["ts"] = pd.Timestamp.utcnow().tz_localize(None)
+        self.spark.createDataFrame(mdf).write.mode("append").parquet(
+            self._p("stats_events")
+        )
+        return {
+            "run_id": run_id,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "elapsed_sec": elapsed,
+            "hot_terms_split": n_hot,
+        }

@@ -1,0 +1,291 @@
+"""BM25 top-k query engine over the block index.
+
+Two execution strategies, both rank-identical to the numpy oracle:
+
+1. ``bm25_topk`` — block-max pruned scorer: per shard, an ``applyInPandas``
+   task runs the MaxScore algorithm over that shard's posting blocks of the
+   query's terms, maintaining a top-k threshold and skipping whole blocks of
+   low-impact (hot) terms that cannot affect the top-k. This is the Spark
+   analog of the reference's block-max machinery
+   (query/HybridScoreBlockBoundaryPropagator.java:53-98 advanceShallow +
+   setMinCompetitiveScore, search/collector/HybridTopScoreDocCollector.java:160-168
+   heap-eviction threshold raising), except exact: MaxScore only prunes
+   documents provably below the final threshold. Shard top-k's are merged
+   globally either by Catalyst TakeOrderedAndProject (``orderBy.limit``) or by
+   an RDD ``treeAggregate`` heap merge (north-rule form).
+
+2. ``bm25_topk_join`` — pure-Catalyst scorer straight off the corpus
+   (tokenize → explode → broadcast-join query terms → groupBy(doc).sum →
+   top-k). Used for oracle parity and as the no-index fallback.
+
+Scoring is float32 (Lucene-style) in both paths so ranks match the oracle.
+Tie-break: score desc, doc_id asc (reference ScoreCombiner.java:43-56).
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import BM25_B, BM25_K1
+from ..index.build import N_TERM_BUCKETS, doc_id_col, tokenize_corpus
+from ..index.codec import decode_doc_ids, decode_varint
+from ..tokenizer import tokenize_py
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.FloatType()),
+    ]
+)
+
+
+def lucene_idf(N: int, df: int) -> float:
+    return float(np.log(1.0 + (N - df + 0.5) / (df + 0.5)))
+
+
+class BM25Index:
+    """Handle on an on-disk index directory produced by IndexBuilder."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        srow = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        self.n_docs = int(srow["n_docs"])
+        self.avgdl = float(srow["avgdl"])
+        self.k1 = float(srow["k1"])
+        self.b = float(srow["b"])
+        self.n_shards = int(srow["n_shards"])
+        self._terms_path = os.path.join(path, "terms")
+        self._postings_path = os.path.join(path, "postings")
+
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        rows = (
+            self.spark.read.parquet(self._terms_path)
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def postings_for(self, terms: list[str]) -> DataFrame:
+        """Scan only the term_buckets of the query terms (partition pruning)
+        + a term IN (...) predicate pushed into parquet row groups."""
+        buckets = sorted(
+            {  # same hash as the writer: xxhash64(term) % N_TERM_BUCKETS
+                int(r["b"])
+                for r in self.spark.createDataFrame(
+                    pd.DataFrame({"term": terms})
+                )
+                .select(
+                    F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+        )
+        df = self.spark.read.parquet(self._postings_path)
+        return df.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+
+def _maxscore_shard_scorer(idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float):
+    """Build the per-shard MaxScore kernel (vectorized numpy inside)."""
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float32}
+            )
+        terms = pdf["term"].to_numpy()
+        # per-term global upper bound in this shard: idf * max block tfnorm
+        term_ub: dict[str, float] = {}
+        for t, g in pdf.groupby("term", sort=False):
+            term_ub[t] = idfs[t] * float(g["max_tfnorm"].max())
+        # order terms by upper bound DESC: high-impact (usually rare) terms
+        # first become "essential"; low-impact hot terms are intersected only
+        order = sorted(term_ub, key=lambda t: (-term_ub[t], t))
+        ub = np.array([term_ub[t] for t in order])
+        tail_ub = np.concatenate([np.cumsum(ub[::-1])[::-1][1:], [0.0]])
+
+        cand_ids = np.empty(0, dtype=np.int64)
+        cand_scores = np.empty(0, dtype=np.float64)  # float64 accumulation,
+        # float32 cast at emit — same dtype contract as the oracle, so scores
+        # are independent of term processing order
+        theta = -np.inf  # k-th best accumulated score so far
+
+        def decode_contrib(rows: pd.DataFrame, idf: float):
+            ids = np.concatenate([decode_doc_ids(x) for x in rows["docs"]])
+            tfs = np.concatenate(
+                [decode_varint(x) for x in rows["tfs"]]
+            ).astype(np.float64)
+            dls = np.concatenate(
+                [decode_varint(x) for x in rows["dls"]]
+            ).astype(np.float64)
+            tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            return ids, idf * tfn
+
+        for ti, t in enumerate(order):
+            rows = pdf[terms == t]
+            idf = idfs[t]
+            new_docs_can_enter = tail_ub[ti] + ub[ti] >= theta or len(
+                cand_ids
+            ) < k
+            if new_docs_can_enter:
+                ids, contrib = decode_contrib(rows, idf)
+                # merge into candidate accumulator (sorted by doc_id)
+                all_ids = np.concatenate([cand_ids, ids])
+                all_sc = np.concatenate([cand_scores, contrib])
+                cand_ids, inv = np.unique(all_ids, return_inverse=True)
+                merged = np.zeros(len(cand_ids), dtype=np.float64)
+                np.add.at(merged, inv, all_sc)
+                cand_scores = merged
+            else:
+                # non-essential term: only existing candidates can still win.
+                # Block-level skip: decode only blocks whose doc_id range
+                # intersects a candidate (per-block max-score metadata plus
+                # range check) — the hot-term fast path.
+                lo = np.searchsorted(cand_ids, rows["min_doc_id"].to_numpy())
+                hi = np.searchsorted(
+                    cand_ids, rows["max_doc_id"].to_numpy(), side="right"
+                )
+                keep = hi > lo
+                if not keep.any():
+                    continue
+                ids, contrib = decode_contrib(rows[keep], idf)
+                pos = np.searchsorted(cand_ids, ids)
+                pos_ok = (pos < len(cand_ids)) & (
+                    cand_ids[np.minimum(pos, len(cand_ids) - 1)] == ids
+                )
+                np.add.at(cand_scores, pos[pos_ok], contrib[pos_ok])
+            if len(cand_ids) >= k:
+                theta = float(
+                    np.partition(cand_scores, len(cand_scores) - k)[
+                        len(cand_scores) - k
+                    ]
+                )
+
+        if len(cand_ids) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float32}
+            )
+        # per-shard top-k (min-heap equivalent, vectorized): score desc,
+        # doc_id asc — computed on the float32 cast so ties match the oracle
+        final32 = cand_scores.astype(np.float32)
+        sel = np.lexsort((cand_ids, -final32.astype(np.float64)))[:k]
+        return pd.DataFrame({"doc_id": cand_ids[sel], "score": final32[sel]})
+
+    return score_shard
+
+
+def bm25_topk(
+    index: BM25Index,
+    query_text: str,
+    k: int = 10,
+    merge: str = "takeOrdered",
+) -> DataFrame:
+    """Block-max top-k over the index. Returns (doc_id, score, rank)."""
+    terms = sorted(set(tokenize_py(query_text)))
+    stats = index.term_stats(terms)
+    terms = [t for t in terms if t in stats]
+    spark = index.spark
+    if not terms:
+        return spark.createDataFrame([], schema="doc_id long, score float, rank int")
+    idfs = {t: lucene_idf(index.n_docs, stats[t]) for t in terms}
+    blocks = index.postings_for(terms)
+    scorer = _maxscore_shard_scorer(idfs, k, index.k1, index.b, index.avgdl)
+    shard_topk = blocks.groupBy("shard_id").applyInPandas(scorer, TOPK_SCHEMA)
+
+    if merge == "treeAggregate":
+        # north-rule form: per-partition k-heaps merged via treeAggregate
+        def seq(heap, row):
+            item = (float(row["score"]), -int(row["doc_id"]))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            return heap
+
+        def comb(h1, h2):
+            for item in h2:
+                if len(h1) < k:
+                    heapq.heappush(h1, item)
+                elif item > h1[0]:
+                    heapq.heapreplace(h1, item)
+            return h1
+
+        heap = shard_topk.rdd.treeAggregate([], seq, comb, depth=2)
+        rows = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [-d for _, d in rows],
+                "score": np.array([s for s, _ in rows], dtype=np.float32),
+                "rank": np.arange(1, len(rows) + 1, dtype=np.int32),
+            }
+        )
+        return spark.createDataFrame(
+            pdf, schema="doc_id long, score float, rank int"
+        )
+
+    # TakeOrderedAndProject: per-partition top-k then a single merge on the
+    # driver — the Catalyst-native equivalent of the treeAggregate heap merge
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        shard_topk.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+def bm25_score_all_join(
+    spark: SparkSession, transcripts: DataFrame, query_text: str
+) -> DataFrame:
+    """Pure-Catalyst BM25 of all matching docs straight off the corpus:
+    no custom code in the plan at all (scan → UDF tokenize → explode →
+    broadcast join → partial-agg sum → project)."""
+    terms = sorted(set(tokenize_py(query_text)))
+    if not terms:
+        return spark.createDataFrame([], schema="doc_id long, score float")
+    postings = tokenize_corpus(transcripts)
+    # N / avgdl over ALL docs, including zero-token ones (matches the oracle)
+    from ..index.build import compute_doc_stats
+
+    n_docs, avgdl = compute_doc_stats(transcripts)
+    qdf = spark.createDataFrame(pd.DataFrame({"term": terms}))
+    dfs = (
+        postings.join(F.broadcast(qdf), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        postings.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfs), "term")
+        .withColumn(
+            "idf",
+            F.log1p(
+                (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("float").alias("score"))
+    )
+    return scored

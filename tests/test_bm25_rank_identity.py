@@ -1,0 +1,86 @@
+"""End-to-end rank-identity: block-max engine vs numpy oracle vs Catalyst
+join scorer, on deterministic synthetic transcripts (FIXTURES.md §2)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.build import IndexBuilder, doc_id_col
+from neural_search_spark.oracle import BM25Oracle
+from neural_search_spark.query.bm25 import BM25Index, bm25_score_all_join, bm25_topk
+from neural_search_spark.transcripts import generate_queries
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, transcripts_df):
+    docs = (
+        transcripts_df.select(doc_id_col().alias("doc_id"), "text")
+        .toPandas()
+    )
+    return BM25Oracle(docs)
+
+
+@pytest.fixture(scope="module")
+def index(spark, transcripts_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "bm25_index")
+    builder = IndexBuilder(spark, out, n_shards=8, block_size=64)
+    res = builder.build(transcripts_df)
+    assert res["n_docs"] == transcripts_df.count()
+    return BM25Index(spark, out)
+
+
+QUERIES = generate_queries(20)
+
+
+@pytest.mark.parametrize("qid", QUERIES["query_id"].tolist())
+def test_rank_identity_blockmax(spark, index, oracle, qid):
+    row = QUERIES[QUERIES["query_id"] == qid].iloc[0]
+    expected = oracle.topk(row["query_text"], k=int(row["k"]))
+    got = bm25_topk(index, row["query_text"], k=int(row["k"])).toPandas()
+    assert got["doc_id"].tolist() == expected["doc_id"].tolist(), (
+        f"docID mismatch for {qid} ({row['query_text']!r})"
+    )
+    np.testing.assert_allclose(
+        got["score"].to_numpy(),
+        expected["score"].to_numpy(),
+        rtol=1e-6,
+        err_msg=f"score mismatch for {qid}",
+    )
+
+
+def test_rank_identity_treeaggregate(spark, index, oracle):
+    row = QUERIES.iloc[2]
+    expected = oracle.topk(row["query_text"], k=10)
+    got = bm25_topk(index, row["query_text"], k=10, merge="treeAggregate").toPandas()
+    assert got["doc_id"].tolist() == expected["doc_id"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), expected["score"].to_numpy(), rtol=1e-6
+    )
+
+
+def test_join_scorer_matches_oracle(spark, transcripts_df, oracle):
+    q = QUERIES.iloc[4]["query_text"]
+    ids, scores = oracle.score_all(q)
+    exp = pd.DataFrame({"doc_id": ids, "score": scores}).sort_values("doc_id")
+    got = (
+        bm25_score_all_join(spark, transcripts_df, q)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), rtol=1e-5
+    )
+
+
+def test_empty_query_and_absent_term(spark, index):
+    assert bm25_topk(index, "", k=10).count() == 0
+    assert bm25_topk(index, "zzabsent9999", k=10).count() == 0
+
+
+def test_hot_term_query_hits_many_docs(spark, index, oracle):
+    # 'the' is a deliberate hot term (>30% of turns)
+    expected = oracle.topk("the", k=10)
+    got = bm25_topk(index, "the", k=10).toPandas()
+    assert got["doc_id"].tolist() == expected["doc_id"].tolist()
