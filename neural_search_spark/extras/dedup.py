@@ -1,0 +1,309 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, all expressed as declarative DataFrame plans (Catalyst
+optimizes; no per-row Python anywhere):
+
+* exact          — content-hash groupBy (md5 of normalized text)
+* minhash + LSH  — word-shingle MinHash signatures, banded LSH bucket
+                   join producing candidate pairs, exact-Jaccard verify
+* simhash        — 64-bit sign-aggregated fingerprint, near-dup by
+                   Hamming distance on bucket join
+* n-gram Jaccard — exact shingle-set Jaccard via self-join (small scale /
+                   verification path; LSH is the 100 TB path)
+* embedding cosine — near-dup pairs over an embedding column (see
+                   similarity.py for the ANN scale path)
+
+Scale notes: every pair-producing operator joins on a *bucket* key first
+(band hash, simhash prefix, LSH bucket) so the shuffle is keyed and the
+quadratic blowup is confined to within-bucket candidates. Hash functions
+are the cross-engine ``h60`` family so the DuckDB oracle can reproduce
+every intermediate value exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import tokenize_expr
+from .hashing import h60
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+DEFAULT_SHINGLE = 3
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def content_key(col: Column | str) -> Column:
+    """Normalized content hash: md5 over the token stream (case/punct
+    insensitive). Exact-dup docs get identical keys."""
+    return F.md5(F.array_join(tokenize_expr(col), " ").cast("binary"))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, rep_id, group_size): every doc mapped to its group's
+    representative (min id) — keep rows where doc_id == rep_id to dedup.
+    One hash-partitioned groupBy; no skew risk (md5 keys are uniform)."""
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"), content_key(text_col).alias("ckey")
+    )
+    groups = keyed.groupBy("ckey").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("group_size")
+    )
+    return keyed.join(groups, "ckey").select("doc_id", "rep_id", "group_size")
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle). Built with
+    pure Catalyst array ops (sequence + transform + slice)."""
+    toks = tokenize_expr(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(
+        # short doc: the whole token stream is its one shingle
+        F.array(F.array_join(toks, " "))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """(doc_id, mh0..mh{H-1}) — one aggregation pass: per doc, the min of
+    each seeded h60 over its shingle set. Single shuffle keyed by doc_id."""
+    aggs = [
+        F.min(h60(F.col("shingle"), seed=i)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` rows-per-band chunks,
+    hash each band, self-join on (band_idx, band_key). Returns distinct
+    candidate (doc_a < doc_b) pairs. The join key includes the band hash →
+    co-located shuffle join, quadratic only within identical-band groups."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        key = h60(F.concat_ws("_", *[c.cast("string") for c in cols]))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
+        )
+    tall = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a = tall.alias("a")
+    b = tall.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard per pair: (doc_a, doc_b, jaccard).
+
+    With ``pairs`` given (LSH candidates) the shingle join is semi-joined
+    down to candidates first — the 100 TB path. Without, it's the exact
+    all-pairs form (shuffle keyed by shingle; hot shingles are the skew
+    risk, which LSH avoids)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band-join →
+    exact-Jaccard verify ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    sh = shingles(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands)
+    return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(doc_id, simhash): 64-bit sign-aggregated fingerprint. Per doc-term:
+    tf-weighted ±1 vote per bit of h60(term); bit set where the vote sum is
+    positive. One groupBy(doc) aggregation with ``bits`` agg expressions —
+    stays entirely in codegen (the tall form would 64× the shuffle)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = h60(F.col("term"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = tf.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        # bit 63 is the sign bit of int64: its two's-complement weight is
+        # -2^63 (a plain 1<<63 literal would overflow signed long)
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(F.col(f"v{i}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    sigs: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Candidate generation joins on 4 rotated ``prefix_bits`` prefixes
+    (pigeonhole: ≤3 differing bits must leave at least one of 4 disjoint
+    16-bit regions untouched) so the self-join is bucket-keyed, then the
+    exact Hamming check filters. At 100 TB each bucket is tiny."""
+    assert prefix_bits * 4 == 64, "4 disjoint regions must cover 64 bits"
+    regions = [
+        F.struct(
+            F.lit(r).alias("region"),
+            F.shiftright(F.col("simhash"), r * prefix_bits)
+            .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+            .alias("rkey"),
+        )
+        for r in range(4)
+    ]
+    tall = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*regions)).alias("reg")
+    ).select("doc_id", "simhash", "reg.region", "reg.rkey")
+    a, b = tall.alias("a"), tall.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.region") == F.col("b.region"))
+            & (F.col("a.rkey") == F.col("b.rkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dups
+# ---------------------------------------------------------------------------
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold over an embedding column. Exact form
+    (cross join) — correct at verification scale; the 100 TB path buckets
+    by LSH sign first (similarity.lsh_bucket) and joins within buckets."""
+    from .similarity import cosine_expr
+
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).alias("a")
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).alias("b")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

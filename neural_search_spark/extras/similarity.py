@@ -1,0 +1,211 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three tiers, mirroring how the reference delegates dense retrieval to the
+k-NN plugin (reference query/NeuralKNNQueryBuilder.java:52-120 wraps it;
+the vectors come from processor/TextEmbeddingProcessor.java):
+
+* brute_force_topk — exact cosine top-k, pure Catalyst (zip_with dot +
+  TakeOrderedAndProject). The correctness baseline.
+* lsh_topk        — random-hyperplane LSH buckets: scan only vectors whose
+  sign-bucket is within ``probe_hamming`` of the query's bucket. The
+  100 TB path: the bucket filter prunes the scan before any scoring.
+* ivf_topk        — IVF-flat: deterministic centroid sample, vectors
+  partitioned by nearest centroid, query probes ``nprobe`` nearest lists.
+
+Hyperplanes are generated from the cross-engine h60 hash (deterministic,
+no RNG state to ship), so tests and the DuckDB oracle can reproduce them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import H60_MAX, h60
+
+
+# ---------------------------------------------------------------------------
+# exact scoring (pure Catalyst)
+# ---------------------------------------------------------------------------
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double — same accumulation order as
+    the DuckDB oracle's list_dot_product, so values agree to the last bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _qvec_col(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cosine, rank). The query vector is a
+    literal array → broadcast in the plan; scan + score + TakeOrdered."""
+    q = _qvec_col(query_vec)
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        cosine_expr(F.col(vec_col), q).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+def hyperplanes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from the h60 family:
+    component (p, j) = 2*u - 1 where u = h60('hp-p-j')/2^60."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for j in range(dim):
+            hx = hashlib.md5(f"hp-{p}-{j}".encode()).hexdigest()[:15]
+            out[p, j] = 2.0 * (int(hx, 16) / H60_MAX) - 1.0
+    return out
+
+
+def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bucket id: bit p set iff dot(vec, plane_p) > 0. Pure Catalyst —
+    the planes are literal arrays folded into the plan (broadcast)."""
+    sig = None
+    for p in range(planes.shape[0]):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bit = F.when(dot_expr(vec_col, plane) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only vectors in buckets within ``probe_hamming``
+    of the query bucket. With a bucket-partitioned table this is partition
+    pruning; here it's a pushed-down filter before any arithmetic."""
+    dim = len(query_vec)
+    planes = hyperplanes(n_planes, dim)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << p) for p in range(n_planes) if planes[p] @ qv > 0))
+    bucket = lsh_bucket(F.col(vec_col), planes)
+    probe = F.bit_count(
+        bucket.bitwiseXOR(F.lit(qbucket).cast("long"))
+    ) <= probe_hamming
+    q = _qvec_col(query_vec)
+    scored = emb.filter(probe).select(
+        F.col(id_col).alias("vec_id"),
+        cosine_expr(F.col(vec_col), q).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat
+# ---------------------------------------------------------------------------
+def ivf_assign(
+    emb: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, pd.DataFrame]:
+    """Deterministic IVF: centroids = the vectors whose h60(id) is smallest
+    (a fixed pseudo-random sample), every vector assigned to its nearest
+    centroid by cosine. Returns (assigned_df with 'list_id', centroids_pdf).
+
+    At 100 TB: centroids are tiny (broadcast literal); assignment is one
+    map-side pass; the assigned table is written partitioned by list_id so
+    queries prune to nprobe partitions."""
+    cent_rows = (
+        emb.select(id_col, vec_col)
+        .withColumn("_h", h60(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_lists)
+        .toPandas()
+    )
+    cents = np.array([np.asarray(v, dtype=np.float64) for v in cent_rows[vec_col]])
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    # nearest-centroid via greatest() over literal dot products
+    sims = [
+        dot_expr(
+            F.col(vec_col), F.array(*[F.lit(float(x)) for x in cents[i]])
+        ) / norm_expr(F.col(vec_col))
+        for i in range(len(cents))
+    ]
+    best = F.greatest(*[
+        F.struct(sims[i].alias("s"), F.lit(-i).alias("negi")) for i in range(len(cents))
+    ])
+    assigned = emb.withColumn("list_id", (-best["negi"]).cast("int"))
+    return assigned, cent_rows
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: pd.DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest centroid lists, exact-score within them."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    cents = np.array(
+        [np.asarray(v, dtype=np.float64) for v in centroids[vec_col]]
+    )
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    order = np.argsort(-(cents @ qv), kind="stable")[:nprobe]
+    probe_lists = [int(i) for i in order]
+    q = _qvec_col(list(query_vec))
+    scored = assigned.filter(F.col("list_id").isin(probe_lists)).select(
+        F.col(id_col).alias("vec_id"),
+        cosine_expr(F.col(vec_col), q).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst (whole-stage-codegen, zero Python in the hot path):
+token counting, language-ID heuristic, quality scoring, document
+fingerprinting. Each has an exact ANSI-SQL twin used by the DuckDB
+correctness oracle (see ``__spark_entry__.py``).
+
+At 100 TB these are embarrassingly parallel map-side transforms: no
+shuffle at all unless the caller aggregates afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import tokenize_expr
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + frozen so the SQL oracle can inline them.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans"],
+}
+LANG_MIN_RATIO = 0.05  # below this stopword hit-rate → 'unknown'
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace/punct token count (the engine's frozen tokenizer)."""
+    return F.size(tokenize_expr(col))
+
+
+def _ratio_in(tokens: Column, words: list[str]) -> Column:
+    hits = F.size(F.filter(tokens, lambda t: t.isin(words)))
+    return F.when(F.size(tokens) > 0, hits / F.size(tokens)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-ratio language ID: argmax over per-language stopword
+    hit-rates, 'unknown' when the best rate is under LANG_MIN_RATIO.
+    Ties broken by language code ascending (deterministic)."""
+    toks = tokenize_expr(col)
+    pairs = F.array(
+        *[
+            F.struct(
+                _ratio_in(toks, ws).alias("r"), F.lit(lang).alias("lang")
+            )
+            for lang, ws in sorted(STOPWORDS.items())
+        ]
+    )
+    # max ratio wins; equal ratios → lexicographically smallest lang code
+    mx = F.array_max(F.transform(pairs, lambda p: p["r"]))
+    winner = F.array_min(
+        F.filter(pairs, lambda p: p["r"] == mx)
+    )["lang"]
+    return F.when(mx >= LANG_MIN_RATIO, winner).otherwise(F.lit("unknown"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add quality-scoring feature columns:
+
+    n_chars, n_tokens, mean_token_len, stopword_ratio (en),
+    non_alnum_ratio, and a composite quality_ok flag (the usual
+    Gopher/C4-style gates, frozen thresholds).
+    """
+    c = F.col(text_col)
+    toks = tokenize_expr(text_col)
+    n_tok = F.size(toks)
+    alnum = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
+    out = (
+        df.withColumn("n_chars_q", F.length(c))
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_token_len",
+            F.when(n_tok > 0, alnum / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn("stopword_ratio", _ratio_in(toks, STOPWORDS["en"]))
+        .withColumn(
+            "non_alnum_ratio",
+            F.when(
+                F.length(c) > 0, (F.length(c) - alnum) / F.length(c)
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 5)
+        & (F.col("mean_token_len") >= 2.0)
+        & (F.col("mean_token_len") <= 12.0)
+        & (F.col("non_alnum_ratio") <= 0.6),
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over the normalized token stream —
+    whitespace/case/punctuation-insensitive content hash (the rolling-hash
+    fingerprint of the brief, realized as a content-defined digest)."""
+    joined = F.array_join(tokenize_expr(col), " ")
+    return F.md5(joined.cast("binary"))
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle twins (DuckDB fragments)
+# ---------------------------------------------------------------------------
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def token_count_sql(expr: str) -> str:
+    from ..tokenizer import tokenize_sql
+
+    return f"len({tokenize_sql(expr)})"
+
+
+def ratio_in_sql(toks_expr: str, words: list[str]) -> str:
+    return (
+        f"(CASE WHEN len({toks_expr}) > 0 THEN "
+        f"len(list_filter({toks_expr}, t -> list_contains({_sql_list(words)}, t)))"
+        f" / CAST(len({toks_expr}) AS DOUBLE) ELSE 0.0 END)"
+    )

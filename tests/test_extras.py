@@ -1,0 +1,234 @@
+"""Tests for the training-data-pipeline extras: dedup, similarity, text
+analysis, multimodal plumbing. Oracles are plain numpy/python re-derivations
+of each operator's contract."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.extras import dedup, multimodal, similarity, textstats
+from neural_search_spark.extras.hashing import h60
+from neural_search_spark.tokenizer import tokenize_py
+
+
+def _h60_py(s: str, seed=None) -> int:
+    if seed is not None:
+        s = f"{s}#{seed}"
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "The quick brown fox JUMPS over the lazy dog!!"),  # norm dup of 0
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "der hund und die katze sind nicht da und das ist gut"),
+        (6, "le chat est dans la maison et il est content"),
+        (7, "xyzzy qwerty plugh"),  # unknown language
+        (8, "spark engines process completely different content about"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_h60_matches_python(spark):
+    df = spark.createDataFrame([("hello",), ("a b c",)], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", h60("s", seed=3).alias("h")).collect()}
+    for s in ["hello", "a b c"]:
+        assert got[s] == _h60_py(s, 3)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+def test_exact_dedup(docs_df):
+    out = dedup.exact_dedup(docs_df).toPandas().set_index("doc_id")
+    # 0,1,2 normalize to identical content → rep 0, group size 3
+    assert out.loc[0, "rep_id"] == 0 and out.loc[0, "group_size"] == 3
+    assert out.loc[1, "rep_id"] == 0
+    assert out.loc[2, "rep_id"] == 0
+    assert out.loc[4, "rep_id"] == 4 and out.loc[4, "group_size"] == 1
+
+
+def test_shingles_and_jaccard(docs_df):
+    sh = dedup.shingles(docs_df, n=3)
+    pdf = sh.toPandas()
+    # doc 0: 9 tokens → 7 trigrams, all distinct
+    assert len(pdf[pdf.doc_id == 0]) == 7
+    jac = dedup.jaccard_pairs(sh).toPandas()
+    pair = jac[(jac.doc_a == 0) & (jac.doc_b == 1)]
+    assert len(pair) == 1 and pair.iloc[0]["jaccard"] == 1.0
+    # numpy oracle for (0, 3)
+    s0 = set(" ".join(t) for t in zip(*[tokenize_py(
+        "the quick brown fox jumps over the lazy dog")[i:] for i in range(3)]))
+    s3 = set(" ".join(t) for t in zip(*[tokenize_py(
+        "the quick brown fox leaps over the lazy dog")[i:] for i in range(3)]))
+    expect = len(s0 & s3) / len(s0 | s3)
+    got = jac[(jac.doc_a == 0) & (jac.doc_b == 3)].iloc[0]["jaccard"]
+    assert got == pytest.approx(expect)
+
+
+def test_minhash_signature_matches_oracle(docs_df):
+    sigs = dedup.minhash_signatures(dedup.shingles(docs_df, n=3), num_hashes=8)
+    row = sigs.filter(F.col("doc_id") == 0).collect()[0]
+    toks = tokenize_py("the quick brown fox jumps over the lazy dog")
+    shset = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    for i in range(8):
+        assert row[f"mh{i}"] == min(_h60_py(s, i) for s in shset)
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    out = dedup.minhash_near_dups(docs_df, threshold=0.5).toPandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (0, 1) in pairs and (0, 2) in pairs
+    # near-dup 0-3 shares 4/10 trigrams = 0.4 < 0.5 → excluded by verify
+    assert (0, 3) not in pairs
+    assert (0, 4) not in pairs
+
+
+def test_simhash_dup_and_distance(docs_df):
+    sigs = dedup.simhash(docs_df)
+    pdf = sigs.toPandas().set_index("doc_id")
+    assert pdf.loc[0, "simhash"] == pdf.loc[1, "simhash"] == pdf.loc[2, "simhash"]
+    near = dedup.simhash_near_dups(sigs, max_hamming=16).toPandas()
+    pairs = set(zip(near.doc_a, near.doc_b))
+    assert (0, 1) in pairs
+    d03 = bin(int(pdf.loc[0, "simhash"]) ^ int(pdf.loc[3, "simhash"])).count("1")
+    assert ((0, 3) in pairs) == (d03 <= 16)
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_near_dups(emb, threshold=0.95).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": list(map(list, vecs))})
+    return spark.createDataFrame(pdf), vecs
+
+
+def _np_topk(vecs, q, k):
+    q = np.asarray(q, dtype=np.float64)
+    v = vecs.astype(np.float64)
+    cos = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(v)), -cos))[:k]
+    return list(order), cos
+
+
+def test_brute_force_topk_matches_numpy(emb_df):
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[0]]
+    got = similarity.brute_force_topk(df, q, k=10).toPandas()
+    ids, cos = _np_topk(vecs, q, 10)
+    assert list(got.vec_id) == ids
+    np.testing.assert_allclose(got.cosine, cos[ids], rtol=1e-6)
+
+
+def test_lsh_topk_recall(emb_df):
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[3]]
+    exact, _ = _np_topk(vecs, q, 10)
+    got = similarity.lsh_topk(df, q, k=10, n_planes=8, probe_hamming=2).toPandas()
+    # self vector always lands in the query's own bucket
+    assert got.vec_id.iloc[0] == 3
+    recall = len(set(got.vec_id) & set(exact)) / 10
+    assert recall >= 0.3  # approximate by design; multi-probe recovers more
+
+
+def test_ivf_topk_probes(emb_df):
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[5]]
+    assigned, cents = similarity.ivf_assign(df, n_lists=8)
+    got = similarity.ivf_topk(assigned, cents, q, k=5, nprobe=8).toPandas()
+    # nprobe = n_lists → exhaustive → exact
+    exact, _ = _np_topk(vecs, q, 5)
+    assert list(got.vec_id) == exact
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+def test_lang_id(docs_df):
+    out = (
+        docs_df.select("doc_id", textstats.lang_id("text").alias("lang"))
+        .toPandas()
+        .set_index("doc_id")["lang"]
+    )
+    assert out[0] == "en"
+    assert out[5] == "de"
+    assert out[6] == "fr"
+    assert out[7] == "unknown"
+
+
+def test_quality_features(docs_df, spark):
+    out = textstats.quality_features(docs_df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 9
+    assert bool(out.loc[0, "quality_ok"])
+    assert out.loc[0, "stopword_ratio"] == pytest.approx(2 / 9)  # 'the' ×2
+    short = spark.createDataFrame([(99, "hi")], "doc_id long, text string")
+    s = textstats.quality_features(short).toPandas()
+    assert not bool(s.loc[0, "quality_ok"])  # < 5 tokens
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,  World!"), (1, "hello world"), (2, "hello worlds")],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", textstats.fingerprint("text").alias("fp")).toPandas()
+    assert out.fp[0] == out.fp[1]
+    assert out.fp[0] != out.fp[2]
+
+
+def test_token_count(docs_df):
+    out = docs_df.select(
+        "doc_id", textstats.token_count("text").alias("n")
+    ).toPandas().set_index("doc_id")["n"]
+    assert out[0] == 9 and out[7] == 3
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+def test_multimodal_features(spark):
+    media = multimodal.make_media_df(spark, n=30)
+    feats = multimodal.extract_features(media, dim=8).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 8 for f in feats.feature)
+    # deterministic: same payload → same feature
+    p = hashlib.sha256(b"media-0").digest() * 1
+    expect = multimodal._fake_decode(p, 8)
+    got = feats[feats.media_id == 0].iloc[0]["feature"]
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", fake=False)
+
+
+def test_frame_sample(spark):
+    media = multimodal.make_media_df(spark, n=30)
+    frames = multimodal.frame_sample(media, every_ms=500).toPandas()
+    assert (frames.ts_ms % 500 == 0).all()
+    vids = media.filter("kind = 'video'").select("media_id", "meta.duration_ms").toPandas()
+    for _, r in vids.iterrows():
+        n = len(frames[frames.media_id == r.media_id])
+        assert n == max(r.duration_ms - 1, 0) // 500 + 1
