@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship hybrid query (BM25 × 2 sub-queries → min_max
+              normalize → arithmetic combine → top-k) at sf0.001.
+``queries`` — one entry per implemented operator from SURVEY.md §2 plus
+              the training-data-pipeline extras (dedup / ANN / text
+              analysis / multimodal). Implementations live in
+              ``neural_search_spark.gate``.
+``oracle_sql`` — value-identical DuckDB SQL for every SQL-expressible
+              entry (hashes via the cross-engine md5-prefix h60 family;
+              float outputs rounded identically in both engines).
+              Entries without SQL (IVF ANN with driver-side centroids,
+              index lineage, multimodal stubs) get rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from neural_search_spark import gate
+
+_ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return gate.q_hybrid_minmax_arith(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = gate.build_registry()
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _, oracles = gate.build_registry()
+    try:
+        # the LSH-ANN oracle embeds the query vector's bucket (computed with
+        # the same python as the engine) — derived from the oracle-sf data
+        import duckdb
+
+        qv = duckdb.sql(
+            f"SELECT embedding FROM '{_ORACLE_SF}/embeddings.parquet' WHERE vec_id = 0"
+        ).fetchone()[0]
+        oracles["lsh_ann_topk"] = gate.sql_lsh_ann_from_vec(
+            [float(x) for x in qv]
+        )
+    except Exception:
+        pass  # rows-only check for lsh_ann_topk if the probe fails
+    return oracles

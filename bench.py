@@ -1,0 +1,162 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline workload (mirrors BASELINE.md's operative metrics):
+  * index_build      — inverted-index build over a deterministic synthetic
+                       transcripts corpus (~60k turns, BASELINE.json
+                       input_hint schema) → turns/sec
+  * bm25_queries     — the reference query set (40 queries, k=10) through
+                       the block-max MaxScore engine → qps + p50/p99 ms
+  * hybrid / dedup / ann / text queries over the sf tables
+
+Scaling mode (the north rule's N→4N-executor criterion, evidenced at two
+parallelism levels in this single-node sandbox):
+  python bench.py --scaling   → runs the same workload at local[8] and
+  local[32] in separate JVMs and reports throughput + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_BENCH_QUERIES = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "40"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "12000"))
+
+
+def _transcripts_path() -> str:
+    """Deterministic synthetic transcripts corpus (seed=42), cached."""
+    path = f"/tmp/nss_bench_transcripts_{BENCH_CONVS}.parquet"
+    if not os.path.exists(path):
+        from neural_search_spark.transcripts import write_transcripts_parquet
+
+        write_transcripts_parquet(path, n_convs=BENCH_CONVS, seed=42)
+    return path
+
+
+def run_workload(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from neural_search_spark import gate
+    from neural_search_spark.index.build import IndexBuilder
+    from neural_search_spark.query.bm25 import BM25Index, bm25_topk
+    from neural_search_spark.session import get_spark
+    from neural_search_spark.transcripts import generate_queries
+
+    spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8), app_name="nss-bench")
+    tpath = _transcripts_path()
+    tr = spark.read.parquet(tpath)
+    n_turns = tr.count()
+
+    out: dict = {"queries": {}}
+    q = out["queries"]
+
+    # --- index build -------------------------------------------------------
+    idx_dir = f"/tmp/nss_bench_index_{cpus}"
+    t0 = time.time()
+    info = IndexBuilder(spark, idx_dir, n_shards=cpus, block_size=4096).build(tr)
+    build_s = time.time() - t0
+    q["index_build"] = round(build_s, 3)
+    out["n_turns"] = n_turns
+    out["build_turns_per_sec"] = round(n_turns / build_s, 1)
+    out["hot_terms_split"] = info["hot_terms_split"]
+
+    # --- BM25 query batch (reference query set) ----------------------------
+    idx = BM25Index(spark, idx_dir)
+    queries = generate_queries(N_BENCH_QUERIES).to_dict("records")
+    for rec in queries[:2]:  # JVM/codegen warmup, untimed
+        bm25_topk(idx, rec["query_text"], k=rec["k"]).collect()
+    lat = []
+    t0 = time.time()
+    for rec in queries:
+        t1 = time.time()
+        bm25_topk(idx, rec["query_text"], k=rec["k"]).collect()
+        lat.append(time.time() - t1)
+    total_q = time.time() - t0
+    lat.sort()
+    q["bm25_query_batch"] = round(total_q, 3)
+    out["bm25_qps"] = round(len(lat) / total_q, 2)
+    out["bm25_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
+    out["bm25_p99_ms"] = round(1000 * lat[min(len(lat) - 1, int(len(lat) * 0.99))], 1)
+
+    # batched form: all queries in ONE job (the cluster-throughput shape)
+    from neural_search_spark.query.bm25 import bm25_topk_batch
+
+    pairs = [(r["query_id"], r["query_text"]) for r in queries]
+    t0 = time.time()
+    bm25_topk_batch(idx, pairs, k=10).collect()
+    batch_s = time.time() - t0
+    q["bm25_batched_all"] = round(batch_s, 3)
+    out["bm25_batched_qps"] = round(len(pairs) / batch_s, 2)
+
+    # --- sf-table operator queries ----------------------------------------
+    for name, fn in [
+        ("hybrid_minmax_arith", gate.q_hybrid_minmax_arith),
+        ("minhash_lsh_pairs", gate.q_minhash_lsh_pairs),
+        ("simhash", gate.q_simhash),
+        ("cosine_topk", gate.q_cosine_topk),
+        ("lsh_ann_topk", gate.q_lsh_ann_topk),
+        ("quality", gate.q_quality),
+        ("events_rollup", gate.q_events_rollup),
+    ]:
+        t1 = time.time()
+        fn(spark, SF_DIR).collect()
+        q[name] = round(time.time() - t1, 3)
+
+    out["total_sec"] = round(sum(q.values()), 3)
+    spark.stop()
+    return out
+
+
+def main():
+    if "--scaling" in sys.argv:
+        # run the identical workload at two parallelism levels, fresh JVMs
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            r = subprocess.run(
+                [sys.executable, __file__, "--single"],
+                env=env, capture_output=True, text=True,
+            )
+            line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        t8, t32 = results[8]["total_sec"], results[32]["total_sec"]
+        b8, b32 = results[8]["build_turns_per_sec"], results[32]["build_turns_per_sec"]
+        q8, q32 = results[8]["bm25_qps"], results[32]["bm25_qps"]
+        eff = {
+            # throughput scaling efficiency from N to 4N cores:
+            # (rate_4N / rate_N) / 4
+            "build": round(b32 / b8 / 4, 3),
+            "query": round(q32 / q8 / 4, 3),
+            "total": round(t8 / t32 / 4, 3),
+        }
+        print(json.dumps({"local8": results[8], "local32": results[32], "efficiency": eff}))
+        return
+
+    out = run_workload(CPUS)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline workload wall-clock (index build + 40-query "
+                "BM25 batch + hybrid/dedup/ann/text operators)",
+                "value": out.pop("total_sec"),
+                "unit": "sec",
+                "queries": out.pop("queries"),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--single" in sys.argv:
+        sys.argv.remove("--single")
+    main()

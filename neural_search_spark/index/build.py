@@ -35,6 +35,7 @@ import uuid
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -44,6 +45,21 @@ from ..tokenizer import tokenize_udf
 from .codec import encode_doc_ids, encode_varint
 
 N_TERM_BUCKETS = 64  # on-disk partitions; query prunes to its terms' buckets
+
+
+def term_bucket_expr(col="term"):
+    """On-disk term bucket (h60 % N): the h60 md5-prefix hash is computable
+    driver-side in pure Python (``term_bucket_py``), so the query engine
+    prunes partitions without launching a Spark job."""
+    from ..extras.hashing import h60
+
+    return F.pmod(h60(col), F.lit(N_TERM_BUCKETS))
+
+
+def term_bucket_py(term: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % N_TERM_BUCKETS
 
 BLOCK_SCHEMA = T.StructType(
     [
@@ -218,20 +234,36 @@ class IndexBuilder:
             shutil.rmtree(self.out)
         os.makedirs(self.out, exist_ok=True)
 
-        # --- stage 1: corpus stats (reused verbatim on resume so avgdl/N
-        # stay consistent across restarts — the resumability contract)
+        # --- stage 1: tokenize ONCE → persist the tf table (disk-backed);
+        # doc stats, term stats and the block build all read the persisted
+        # form instead of re-tokenizing the corpus (3× scan → 1× at 100 TB)
+        postings_all = tokenize_corpus(transcripts).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+        # corpus stats (reused verbatim on resume so avgdl/N stay
+        # consistent across restarts — the resumability contract)
         stats_path = self._p("stats")
         if resume and os.path.exists(stats_path):
             srow = self.spark.read.parquet(stats_path).collect()[0]
             n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
         else:
-            n_docs, avgdl = compute_doc_stats(transcripts)
+            # N counts ALL turns (including zero-token ones, which produce
+            # no postings), matching the numpy oracle's corpus definition
+            n_docs = transcripts.count()
+            dl_row = (
+                postings_all.groupBy("doc_id")
+                .agg(F.first("dl").alias("dl"))
+                .agg(F.sum("dl").alias("s"))
+                .collect()[0]
+            )
+            avgdl = float(dl_row["s"] or 0) / max(n_docs, 1)
         metrics.append((run_id, "build", "doc_count", n_docs))
 
-        postings = tokenize_corpus(transcripts)
+        postings = postings_all
         if done:
             postings = postings.withColumn(
-                "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS))
+                "term_bucket", term_bucket_expr("term")
             ).filter(~F.col("term_bucket").isin(list(done)))
         postings = postings.withColumn(
             "shard_id", F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(self.n_shards)).cast("int")
@@ -273,9 +305,7 @@ class IndexBuilder:
         blocks = salted.groupBy("shard_id", "tg", "salt").applyInPandas(
             builder, schema=BLOCK_SCHEMA
         )
-        blocks = blocks.withColumn(
-            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS))
-        )
+        blocks = blocks.withColumn("term_bucket", term_bucket_expr("term"))
         (
             blocks.repartition("term_bucket")
             .sortWithinPartitions("term", "shard_id", "block_seq")
@@ -331,6 +361,7 @@ class IndexBuilder:
         self.spark.createDataFrame(mdf).write.mode("append").parquet(
             self._p("stats_events")
         )
+        postings_all.unpersist()
         return {
             "run_id": run_id,
             "n_docs": n_docs,

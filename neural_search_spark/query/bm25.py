@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import BM25_B, BM25_K1
-from ..index.build import N_TERM_BUCKETS, doc_id_col, tokenize_corpus
+from ..index.build import doc_id_col, term_bucket_py, tokenize_corpus
 from ..index.codec import decode_doc_ids, decode_varint
 from ..tokenizer import tokenize_py
 
@@ -64,36 +64,33 @@ class BM25Index:
         self.n_shards = int(srow["n_shards"])
         self._terms_path = os.path.join(path, "terms")
         self._postings_path = os.path.join(path, "postings")
+        self._postings_df: DataFrame | None = None
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Driver-side term-dictionary lookup: a pyarrow predicate-pushdown
+        read of the (small) terms table — no Spark job per query. At
+        10^12-turn scale the terms table is still ~vocabulary-sized
+        (≪ corpus) and parquet row-group stats keep this a point read."""
         if not terms:
             return {}
-        rows = (
-            self.spark.read.parquet(self._terms_path)
-            .filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(self._terms_path, format="parquet")
+        tbl = dataset.to_table(
+            columns=["term", "df"], filter=ds.field("term").isin(terms)
         )
-        return {r["term"]: int(r["df"]) for r in rows}
+        return dict(
+            zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist()))
+        )
 
     def postings_for(self, terms: list[str]) -> DataFrame:
-        """Scan only the term_buckets of the query terms (partition pruning)
-        + a term IN (...) predicate pushed into parquet row groups."""
-        buckets = sorted(
-            {  # same hash as the writer: xxhash64(term) % N_TERM_BUCKETS
-                int(r["b"])
-                for r in self.spark.createDataFrame(
-                    pd.DataFrame({"term": terms})
-                )
-                .select(
-                    F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("b")
-                )
-                .distinct()
-                .collect()
-            }
-        )
-        df = self.spark.read.parquet(self._postings_path)
-        return df.filter(
+        """Scan only the term_buckets of the query terms (partition pruning,
+        buckets computed driver-side in Python — same h60 hash as the
+        writer) + a term IN (...) predicate pushed into parquet row groups."""
+        buckets = sorted({term_bucket_py(t) for t in terms})
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(self._postings_path)
+        return self._postings_df.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
@@ -243,6 +240,122 @@ def bm25_topk(
         shard_topk.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+BATCH_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.FloatType()),
+    ]
+)
+
+
+def bm25_topk_batch(
+    index: BM25Index, queries: list[tuple[str, str]], k: int = 10
+) -> DataFrame:
+    """Top-k BM25 for a BATCH of queries in ONE Spark job.
+
+    queries: [(query_id, query_text)]. Returns (query_id, doc_id, score,
+    rank). The per-shard task runs the MaxScore kernel once per query over
+    the shard's posting blocks, with decoded term contributions CACHED
+    across queries (hot terms decode once per shard, not once per query).
+    This is the throughput shape for a real cluster: one scan of the
+    union-of-terms' posting partitions amortizes scheduling, scan and
+    Python-worker startup over the whole query set; the final merge is a
+    tiny per-query window top-k."""
+    spark = index.spark
+    q_terms: dict[str, list[str]] = {
+        qid: sorted(set(tokenize_py(text))) for qid, text in queries
+    }
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    stats = index.term_stats(all_terms)
+    idfs = {t: lucene_idf(index.n_docs, stats[t]) for t in stats}
+    q_terms = {
+        qid: [t for t in ts if t in stats] for qid, ts in q_terms.items()
+    }
+    live = {qid: ts for qid, ts in q_terms.items() if ts}
+    if not live:
+        return spark.createDataFrame(
+            [], schema="query_id string, doc_id long, score float, rank int"
+        )
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_qid: list[str] = []
+        out_ids: list[np.ndarray] = []
+        out_sc: list[np.ndarray] = []
+        if pdf.empty:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": str, "doc_id": np.int64, "score": np.float32}
+            )
+        terms_arr = pdf["term"].to_numpy()
+        cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def contrib(term: str) -> tuple[np.ndarray, np.ndarray]:
+            got = cache.get(term)
+            if got is None:
+                rows = pdf[terms_arr == term]
+                ids = np.concatenate([decode_doc_ids(x) for x in rows["docs"]])
+                tfs = np.concatenate(
+                    [decode_varint(x) for x in rows["tfs"]]
+                ).astype(np.float64)
+                dls = np.concatenate(
+                    [decode_varint(x) for x in rows["dls"]]
+                ).astype(np.float64)
+                tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                got = (ids, tfn)
+                cache[term] = got
+            return got
+
+        present = set(np.unique(terms_arr))
+        for qid, terms in live.items():
+            terms = [t for t in terms if t in present]
+            if not terms:
+                continue
+            acc_ids: np.ndarray | None = None
+            acc_sc: np.ndarray | None = None
+            for t in terms:
+                ids, tfn = contrib(t)
+                sc = idfs[t] * tfn
+                if acc_ids is None:
+                    acc_ids, acc_sc = ids, sc.copy()
+                else:
+                    merged_ids = np.concatenate([acc_ids, ids])
+                    merged_sc = np.concatenate([acc_sc, sc])
+                    acc_ids, inv = np.unique(merged_ids, return_inverse=True)
+                    summed = np.zeros(len(acc_ids), dtype=np.float64)
+                    np.add.at(summed, inv, merged_sc)
+                    acc_sc = summed
+            f32 = acc_sc.astype(np.float32)
+            if len(f32) > k:
+                sel = np.lexsort((acc_ids, -f32.astype(np.float64)))[:k]
+            else:
+                sel = np.lexsort((acc_ids, -f32.astype(np.float64)))
+            out_qid.extend([qid] * len(sel))
+            out_ids.append(acc_ids[sel])
+            out_sc.append(f32[sel])
+        if not out_qid:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": str, "doc_id": np.int64, "score": np.float32}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": out_qid,
+                "doc_id": np.concatenate(out_ids),
+                "score": np.concatenate(out_sc),
+            }
+        )
+
+    blocks = index.postings_for(all_terms)
+    shard_topk = blocks.groupBy("shard_id").applyInPandas(
+        score_shard, BATCH_TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        shard_topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
     )
 
 

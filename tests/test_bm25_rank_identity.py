@@ -84,3 +84,22 @@ def test_hot_term_query_hits_many_docs(spark, index, oracle):
     expected = oracle.topk("the", k=10)
     got = bm25_topk(index, "the", k=10).toPandas()
     assert got["doc_id"].tolist() == expected["doc_id"].tolist()
+
+
+def test_batch_matches_single(spark, index):
+    """bm25_topk_batch is rank-identical to per-query bm25_topk."""
+    from neural_search_spark.query.bm25 import bm25_topk_batch
+
+    idx = index
+    qs = generate_queries(10).to_dict("records")
+    pairs = [(r["query_id"], r["query_text"]) for r in qs]
+    batch = bm25_topk_batch(idx, pairs, k=10).toPandas()
+    for rec in qs:
+        single = bm25_topk(idx, rec["query_text"], k=10).toPandas()
+        got = (
+            batch[batch.query_id == rec["query_id"]]
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        assert list(got.doc_id) == list(single.doc_id), rec["query_text"]
+        assert list(got.score) == list(single.score)
