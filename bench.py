@@ -28,19 +28,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_BENCH_QUERIES = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "40"))
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "12000"))
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "64000"))
+SCALING_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "200"))
 
 
-def _transcripts_path() -> str:
-    """Deterministic synthetic transcripts corpus (seed=42), cached."""
-    path = f"/tmp/nss_bench_transcripts_{BENCH_CONVS}.parquet"
+def _transcripts_path(n_convs: int) -> str:
+    """Deterministic synthetic transcripts corpus (seed=42), cached; written
+    as 64 part files so the scan parallelizes like a real table."""
+    path = f"/tmp/nss_bench_transcripts_{n_convs}"
     if not os.path.exists(path):
         from neural_search_spark.transcripts import write_transcripts_parquet
 
-        write_transcripts_parquet(path, n_convs=BENCH_CONVS, seed=42)
+        write_transcripts_parquet(path, n_convs=n_convs, seed=42, n_files=64)
     return path
 
 
-def run_workload(cpus: int) -> dict:
+def run_workload(cpus: int, mode: str = "full") -> dict:
     from pyspark.sql import functions as F
 
     from neural_search_spark import gate
@@ -50,7 +53,8 @@ def run_workload(cpus: int) -> dict:
     from neural_search_spark.transcripts import generate_queries
 
     spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8), app_name="nss-bench")
-    tpath = _transcripts_path()
+    n_convs = SCALING_CONVS if mode == "scaling" else BENCH_CONVS
+    tpath = _transcripts_path(n_convs)
     tr = spark.read.parquet(tpath)
     n_turns = tr.count()
 
@@ -60,7 +64,9 @@ def run_workload(cpus: int) -> dict:
     # --- index build -------------------------------------------------------
     idx_dir = f"/tmp/nss_bench_index_{cpus}"
     t0 = time.time()
-    info = IndexBuilder(spark, idx_dir, n_shards=cpus, block_size=4096).build(tr)
+    # n_shards is a property of the DATA layout, not the cluster size — keep
+    # it fixed so N- and 4N-core runs build the identical index
+    info = IndexBuilder(spark, idx_dir, n_shards=32, block_size=4096).build(tr)
     build_s = time.time() - t0
     q["index_build"] = round(build_s, 3)
     out["n_turns"] = n_turns
@@ -69,21 +75,23 @@ def run_workload(cpus: int) -> dict:
 
     # --- BM25 query batch (reference query set) ----------------------------
     idx = BM25Index(spark, idx_dir)
-    queries = generate_queries(N_BENCH_QUERIES).to_dict("records")
+    n_q = SCALING_QUERIES if mode == "scaling" else N_BENCH_QUERIES
+    queries = generate_queries(n_q).to_dict("records")
     for rec in queries[:2]:  # JVM/codegen warmup, untimed
         bm25_topk(idx, rec["query_text"], k=rec["k"]).collect()
-    lat = []
-    t0 = time.time()
-    for rec in queries:
-        t1 = time.time()
-        bm25_topk(idx, rec["query_text"], k=rec["k"]).collect()
-        lat.append(time.time() - t1)
-    total_q = time.time() - t0
-    lat.sort()
-    q["bm25_query_batch"] = round(total_q, 3)
-    out["bm25_qps"] = round(len(lat) / total_q, 2)
-    out["bm25_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
-    out["bm25_p99_ms"] = round(1000 * lat[min(len(lat) - 1, int(len(lat) * 0.99))], 1)
+    if mode == "full":
+        lat = []
+        t0 = time.time()
+        for rec in queries:
+            t1 = time.time()
+            bm25_topk(idx, rec["query_text"], k=rec["k"]).collect()
+            lat.append(time.time() - t1)
+        total_q = time.time() - t0
+        lat.sort()
+        q["bm25_query_batch"] = round(total_q, 3)
+        out["bm25_qps"] = round(len(lat) / total_q, 2)
+        out["bm25_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
+        out["bm25_p99_ms"] = round(1000 * lat[min(len(lat) - 1, int(len(lat) * 0.99))], 1)
 
     # batched form: all queries in ONE job (the cluster-throughput shape)
     from neural_search_spark.query.bm25 import bm25_topk_batch
@@ -96,7 +104,7 @@ def run_workload(cpus: int) -> dict:
     out["bm25_batched_qps"] = round(len(pairs) / batch_s, 2)
 
     # --- sf-table operator queries ----------------------------------------
-    for name, fn in [
+    extra_ops = [] if mode == "scaling" else [
         ("hybrid_minmax_arith", gate.q_hybrid_minmax_arith),
         ("minhash_lsh_pairs", gate.q_minhash_lsh_pairs),
         ("simhash", gate.q_simhash),
@@ -104,7 +112,8 @@ def run_workload(cpus: int) -> dict:
         ("lsh_ann_topk", gate.q_lsh_ann_topk),
         ("quality", gate.q_quality),
         ("events_rollup", gate.q_events_rollup),
-    ]:
+    ]
+    for name, fn in extra_ops:
         t1 = time.time()
         fn(spark, SF_DIR).collect()
         q[name] = round(time.time() - t1, 3)
@@ -120,15 +129,16 @@ def main():
         results = {}
         for cpus in (8, 32):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            env["SPARK_GRAFT_BENCH_MODE"] = "scaling"
             r = subprocess.run(
                 [sys.executable, __file__, "--single"],
                 env=env, capture_output=True, text=True,
             )
             line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
             results[cpus] = json.loads(line)
-        t8, t32 = results[8]["total_sec"], results[32]["total_sec"]
+        t8, t32 = results[8]["value"], results[32]["value"]
         b8, b32 = results[8]["build_turns_per_sec"], results[32]["build_turns_per_sec"]
-        q8, q32 = results[8]["bm25_qps"], results[32]["bm25_qps"]
+        q8, q32 = results[8]["bm25_batched_qps"], results[32]["bm25_batched_qps"]
         eff = {
             # throughput scaling efficiency from N to 4N cores:
             # (rate_4N / rate_N) / 4
@@ -139,7 +149,7 @@ def main():
         print(json.dumps({"local8": results[8], "local32": results[32], "efficiency": eff}))
         return
 
-    out = run_workload(CPUS)
+    out = run_workload(CPUS, os.environ.get("SPARK_GRAFT_BENCH_MODE", "full"))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(

@@ -1,0 +1,122 @@
+"""spark-submit entrypoints (the north rule's cluster launch surface).
+
+Package the library and submit:
+
+    cd /root/repo && zip -r /tmp/nss.zip neural_search_spark
+    spark-submit --py-files /tmp/nss.zip -m neural_search_spark.cli ...
+
+or equivalently with this file as the main script:
+
+    spark-submit --py-files /tmp/nss.zip neural_search_spark/cli.py \
+        build --input /data/transcripts --output /data/index \
+        --n-shards 512 [--resume]
+
+    spark-submit --py-files /tmp/nss.zip neural_search_spark/cli.py \
+        query --index /data/index --query "spark join window" --k 10
+
+    spark-submit --py-files /tmp/nss.zip neural_search_spark/cli.py \
+        query-batch --index /data/index --queries /data/queries.parquet \
+        --output /data/results
+
+On a real cluster, drop the ``local[N]`` master (the SparkSession builder
+honors the cluster's ``--master``); locally the SPARK_GRAFT_CPUS default
+applies. All jobs are idempotent: ``build --resume`` restarts from the
+lineage checkpoint, skipping complete term_buckets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_session(args):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    builder = SparkSession.builder.appName("neural_search_spark")
+    if args.local_cpus:
+        builder = builder.master(f"local[{args.local_cpus}]")
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def cmd_build(args) -> None:
+    from .index.build import IndexBuilder
+
+    spark = _get_session(args)
+    tr = spark.read.parquet(args.input)
+    info = IndexBuilder(
+        spark,
+        args.output,
+        n_shards=args.n_shards,
+        block_size=args.block_size,
+    ).build(tr, resume=args.resume)
+    print(json.dumps(info))
+
+
+def cmd_query(args) -> None:
+    from .query.bm25 import BM25Index, bm25_topk
+
+    spark = _get_session(args)
+    idx = BM25Index(spark, args.index)
+    out = bm25_topk(idx, args.query, k=args.k, merge=args.merge)
+    for row in out.collect():
+        print(json.dumps(row.asDict()))
+
+
+def cmd_query_batch(args) -> None:
+    from .query.bm25 import BM25Index, bm25_topk_batch
+
+    spark = _get_session(args)
+    idx = BM25Index(spark, args.index)
+    qdf = spark.read.parquet(args.queries).select("query_id", "query_text")
+    pairs = [(r["query_id"], r["query_text"]) for r in qdf.collect()]
+    out = bm25_topk_batch(idx, pairs, k=args.k)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"queries": len(pairs), "output": args.output}))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="neural_search_spark")
+    p.add_argument("--local-cpus", type=int, default=None,
+                   help="run on local[N] (omit on a cluster)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--n-shards", type=int, default=32)
+    b.add_argument("--block-size", type=int, default=4096)
+    b.add_argument("--resume", action="store_true",
+                   help="resume from lineage checkpoint")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="top-k BM25 query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--merge", default="takeOrdered",
+                   choices=["takeOrdered", "treeAggregate"])
+    q.set_defaults(fn=cmd_query)
+
+    qb = sub.add_parser("query-batch", help="batched top-k BM25")
+    qb.add_argument("--index", required=True)
+    qb.add_argument("--queries", required=True,
+                    help="parquet with (query_id, query_text)")
+    qb.add_argument("--output", required=True)
+    qb.add_argument("--k", type=int, default=10)
+    qb.set_defaults(fn=cmd_query_batch)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

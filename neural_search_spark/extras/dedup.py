@@ -145,20 +145,31 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     all-pairs form (shuffle keyed by shingle; hot shingles are the skew
     risk, which LSH avoids)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
-        .select(
-            F.col("sa.doc_id").alias("doc_a"),
-            F.col("sb.doc_id").alias("doc_b"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        # candidates-first: expand each candidate pair to doc_a's shingles,
+        # then equi-join on (doc_b, shingle). Work is O(candidates ×
+        # shingles-per-doc) — never touches the quadratic shingle join.
+        sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            pairs.join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = sh.alias("sa")
+        b = sh.alias("sb")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
+            .select(
+                F.col("sa.doc_id").alias("doc_a"),
+                F.col("sb.doc_id").alias("doc_b"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sz", "sz_a")

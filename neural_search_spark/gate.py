@@ -90,14 +90,31 @@ def _ranked(df: DataFrame, keys: list[str], k: int, score_col: str = "score") ->
     )
 
 
-def bm25_scored(df: DataFrame, keys: list[str], query_text: str, ndp: int | None = 4) -> DataFrame:
-    """All matching docs scored (score rounded to ndp; None = raw)."""
+_CORPUS_STATS: dict[tuple, tuple[int, float]] = {}
+
+
+def bm25_scored(
+    df: DataFrame,
+    keys: list[str],
+    query_text: str,
+    ndp: int | None = 4,
+    stats_key: tuple | None = None,
+) -> DataFrame:
+    """All matching docs scored (score rounded to ndp; None = raw).
+    stats_key caches (n_docs, avgdl) across calls on the same corpus."""
     spark = df.sparkSession
     toks = df.select(*keys, tokenize_expr("text").alias("toks")).withColumn(
         "dl", F.size("toks")
     )
-    srow = toks.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
+    if stats_key is not None and stats_key in _CORPUS_STATS:
+        n_docs, avgdl = _CORPUS_STATS[stats_key]
+    else:
+        srow = toks.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
+        if stats_key is not None:
+            _CORPUS_STATS[stats_key] = (n_docs, avgdl)
     terms = sorted(set(tokenize_py(query_text)))
     qdf = spark.createDataFrame(pd.DataFrame({"term": terms}))
     tf = (
@@ -159,7 +176,10 @@ FROM ({inner}) ORDER BY {score_col} DESC, {keylist} LIMIT {k}"""
 
 
 def q_bm25_topk_docs(spark: SparkSession, sf: str) -> DataFrame:
-    return _ranked(bm25_scored(_docs(spark, sf), ["doc_id"], QUERY_A), ["doc_id"], 10)
+    return _ranked(
+        bm25_scored(_docs(spark, sf), ["doc_id"], QUERY_A, stats_key=(sf, "docs")),
+        ["doc_id"], 10,
+    )
 
 
 def sql_bm25_topk_docs() -> str:
@@ -169,7 +189,7 @@ def sql_bm25_topk_docs() -> str:
 def q_bm25_topk_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     t = derived_transcripts(spark, sf)
     return _ranked(
-        bm25_scored(t, ["conv_id", "turn_idx"], QUERY_B),
+        bm25_scored(t, ["conv_id", "turn_idx"], QUERY_B, stats_key=(sf, "tr")),
         ["conv_id", "turn_idx"],
         10,
     )
@@ -797,8 +817,8 @@ SELECT doc_id, token, weight FROM r WHERE run <= 0.5 * tot"""
 def _branches(spark: SparkSession, sf: str) -> list[DataFrame]:
     d = _docs(spark, sf)
     return [
-        bm25_scored(d, ["doc_id"], QUERY_A, ndp=6),
-        bm25_scored(d, ["doc_id"], QUERY_B, ndp=6),
+        bm25_scored(d, ["doc_id"], QUERY_A, ndp=6, stats_key=(sf, "docs")),
+        bm25_scored(d, ["doc_id"], QUERY_B, ndp=6, stats_key=(sf, "docs")),
     ]
 
 
@@ -913,7 +933,7 @@ def q_collapse_by_source(spark: SparkSession, sf: str) -> DataFrame:
     from .query.hybrid import collapse_top1
 
     d = _docs(spark, sf)
-    scored = bm25_scored(d, ["doc_id"], QUERY_A).join(
+    scored = bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(sf, "docs")).join(
         d.select("doc_id", "source"), "doc_id"
     )
     out = collapse_top1(scored, "source", k=5)
@@ -935,7 +955,7 @@ def q_rerank_by_field(spark: SparkSession, sf: str) -> DataFrame:
     from .query.hybrid import rerank_by_field
 
     d = _docs(spark, sf)
-    top = _ranked(bm25_scored(d, ["doc_id"], QUERY_A), ["doc_id"], 20)
+    top = _ranked(bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(sf, "docs")), ["doc_id"], 20)
     out = rerank_by_field(top, d.select("doc_id", "n_chars"), "n_chars")
     return out.select("doc_id", "score", "rank")
 

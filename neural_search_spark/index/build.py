@@ -226,6 +226,13 @@ class IndexBuilder:
         run_id = uuid.uuid4().hex[:12]
         t0 = time.time()
         metrics: list[tuple] = []
+        stage_sec: dict[str, float] = {}
+        _t = [time.time()]
+
+        def _mark(name: str) -> None:
+            now = time.time()
+            stage_sec[name] = round(now - _t[0], 3)
+            _t[0] = now
 
         done = self._done_buckets() if resume else set()
         if resume:
@@ -258,6 +265,7 @@ class IndexBuilder:
                 .collect()[0]
             )
             avgdl = float(dl_row["s"] or 0) / max(n_docs, 1)
+        _mark("tokenize_and_doc_stats")
         metrics.append((run_id, "build", "doc_count", n_docs))
 
         postings = postings_all
@@ -289,6 +297,7 @@ class IndexBuilder:
             .alias("n_salts"),
         )
         n_hot = hot.count()
+        _mark("term_stats")
         metrics.append((run_id, "build", "hot_terms_split", n_hot))
 
         salted = (
@@ -313,6 +322,7 @@ class IndexBuilder:
             .partitionBy("term_bucket")
             .parquet(self._p("postings"))
         )
+        _mark("block_build_write")
 
         # --- stage 4: lineage per term_bucket (shard ids, term range,
         # doc count, bytes — the north rule's per-partition lineage)
@@ -333,6 +343,7 @@ class IndexBuilder:
             F.current_timestamp().alias("completed_ts"),
         )
         lineage.write.mode("append").parquet(self._p("lineage"))
+        _mark("lineage")
 
         # --- stage 5: global stats + metrics tables
         self.spark.createDataFrame(
@@ -362,7 +373,9 @@ class IndexBuilder:
             self._p("stats_events")
         )
         postings_all.unpersist()
+        _mark("stats_metrics")
         return {
+            "stage_sec": stage_sec,
             "run_id": run_id,
             "n_docs": n_docs,
             "avgdl": avgdl,

@@ -123,7 +123,24 @@ def generate_queries(n_queries: int = 40, seed: int = 43) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def write_transcripts_parquet(path: str, n_convs: int, seed: int = 42) -> str:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    generate_transcripts(n_convs, seed).to_parquet(path, index=False)
+def write_transcripts_parquet(
+    path: str, n_convs: int, seed: int = 42, n_files: int = 1
+) -> str:
+    """Write the synthetic corpus. n_files > 1 writes a DIRECTORY of part
+    files (split on conversation boundaries) so Spark parallelizes the scan
+    like any properly-partitioned table — a single pandas parquet file would
+    serialize stage 1 of the index build onto one task."""
+    pdf = generate_transcripts(n_convs, seed)
+    if n_files <= 1:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pdf.to_parquet(path, index=False)
+        return path
+    os.makedirs(path, exist_ok=True)
+    convs = pdf["conv_id"].to_numpy()
+    # conversation-aligned splits (stable turn ordering preserved per file)
+    codes = pd.factorize(convs)[0] % n_files
+    for i in range(n_files):
+        pdf[codes == i].to_parquet(
+            os.path.join(path, f"part-{i:05d}.parquet"), index=False
+        )
     return path
