@@ -1005,6 +1005,209 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# ingest processors (stub models — cross-engine deterministic)
+# ---------------------------------------------------------------------------
+def q_text_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    from . import processors
+
+    out = processors.text_embedding(_docs(spark, sf), out_col="emb")
+    cols = [F.element_at("emb", j + 1).alias(f"e{j}") for j in range(4)]
+    return out.select("doc_id", *cols)
+
+
+def sql_text_embedding() -> str:
+    from .processors import embed_sql
+
+    emb = embed_sql("text")
+    cols = ", ".join(f"({emb})[{j + 1}] AS e{j}" for j in range(4))
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_sparse_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    from . import processors
+
+    return processors.sparse_encode(_docs(spark, sf))
+
+
+def sql_sparse_encoding() -> str:
+    from .extras.hashing import H60_MAX, h60_sql
+
+    return f"""
+WITH {_TF_SQL}
+SELECT doc_id, term AS token,
+       (tf * (1.0 + {h60_sql("term")} / {H60_MAX!r}))::REAL AS weight
+FROM tf"""
+
+
+def q_semantic_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from . import processors
+
+    out = processors.semantic_field(
+        _docs(spark, sf),
+        chunk_algorithm="fixed_char_length",
+        char_limit=_CHAR_LIMIT,
+        overlap_rate=0.0,
+        max_chunk_limit=-1,
+    )
+    return out.select(
+        "doc_id", "chunk_idx", "chunk",
+        F.element_at("chunk_embedding", 1).alias("e0"),
+    )
+
+
+def sql_semantic_chunks() -> str:
+    from .processors import embed_sql
+
+    emb = embed_sql("chunk")
+    return f"""
+WITH spans AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0,
+      greatest(CAST(ceil((length(text) - {_CHAR_LIMIT}) / {_CHAR_LIMIT}.0) AS BIGINT), 0))) AS i
+  FROM documents WHERE length(text) > 0),
+chunks AS (
+  SELECT doc_id, i::INTEGER AS chunk_idx,
+    CASE WHEN i * {_CHAR_LIMIT} + {_CHAR_LIMIT} >= length(text)
+         THEN substr(text, i * {_CHAR_LIMIT} + 1)
+         ELSE substr(text, i * {_CHAR_LIMIT} + 1, {_CHAR_LIMIT}) END AS chunk
+  FROM spans)
+SELECT doc_id, chunk_idx, chunk, ({emb})[1] AS e0 FROM chunks"""
+
+
+def q_skip_existing(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingest split vs a deterministic 'existing snapshot':
+    even doc_ids exist; among those, doc_id % 5 == 0 kept identical text,
+    the rest changed → must re-infer."""
+    from . import processors
+
+    d = _docs(spark, sf)
+    existing = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" changed")))
+        .alias("text"),
+    )
+    needs, reuse = processors.skip_existing_filter(d, existing)
+    return (
+        needs.select("doc_id", F.lit("infer").alias("action"))
+        .unionAll(reuse.select("doc_id", F.lit("reuse").alias("action")))
+    )
+
+
+def sql_skip_existing() -> str:
+    fp = f"md5(array_to_string({TOK}, ' '))"
+    return f"""
+WITH existing AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text ELSE text || ' changed' END AS text
+  FROM documents WHERE doc_id % 2 = 0),
+efp AS (SELECT doc_id, {fp} AS h FROM existing),
+ifp AS (SELECT doc_id, {fp} AS h FROM documents)
+SELECT i.doc_id,
+  CASE WHEN e.doc_id IS NULL THEN 'infer' ELSE 'reuse' END AS action
+FROM ifp i LEFT JOIN efp e ON i.doc_id = e.doc_id AND i.h = e.h"""
+
+
+def q_neural_dense_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """`neural` query end-to-end: stub-embed the corpus, rewrite the query
+    text through the same stub model, cosine top-10."""
+    from . import processors
+    from .query import neural as nq
+
+    embedded = processors.text_embedding(_docs(spark, sf), out_col="vec")
+    spec = nq.rewrite(
+        nq.QuerySpec(query_type="neural", field="vec", query_text=QUERY_A)
+    )
+    scored = nq.execute(spec, embedded).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    return _ranked(scored, ["doc_id"], 10)
+
+
+def sql_neural_dense_topk() -> str:
+    from .processors import embed_sql
+    from .query import neural as nq
+
+    spec = nq.rewrite(
+        nq.QuerySpec(query_type="neural", field="vec", query_text=QUERY_A)
+    )
+    qlit = "[" + ", ".join(repr(float(x)) for x in spec.vector) + "]"
+    emb = embed_sql("text")
+    inner = f"""
+WITH e AS (SELECT doc_id, ({emb})::DOUBLE[] AS v FROM documents),
+q AS (SELECT {qlit}::DOUBLE[] AS qv)
+SELECT doc_id,
+  round(list_dot_product(v, q.qv) /
+        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM e CROSS JOIN q"""
+    return _topk_sql(inner, ["doc_id"], 10)
+
+
+def q_sort_search_after(spark: SparkSession, sf: str) -> DataFrame:
+    from .query import neural as nq
+
+    ev = _events(spark, sf).select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    return nq.sort_topk(
+        ev, [("event_type", "asc"), ("value", "desc")], k=20,
+        search_after=["click", 50.0, 0], tiebreak="event_id",
+    )
+
+
+def sql_sort_search_after() -> str:
+    return """
+WITH ev AS (SELECT event_id, event_type, round(value, 6) AS value FROM events),
+f AS (
+  SELECT * FROM ev
+  WHERE event_type > 'click'
+     OR (event_type = 'click' AND value < 50.0)
+     OR (event_type = 'click' AND value = 50.0 AND event_id > 0))
+SELECT event_id, event_type, value,
+       row_number() OVER (ORDER BY event_type, value DESC, event_id)::INTEGER AS rank
+FROM f ORDER BY event_type, value DESC, event_id LIMIT 20"""
+
+
+def q_hybrid_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid with a shared filter pushed into EVERY sub-query before
+    scoring (reference query/HybridQueryBuilder.java:111-122)."""
+    from .query.hybrid import combine_scores, normalize_scores
+
+    d = _docs(spark, sf).filter(F.col("source").isin("src1", "src2", "src3"))
+    branches = [
+        bm25_scored(d, ["doc_id"], QUERY_A, ndp=6),
+        bm25_scored(d, ["doc_id"], QUERY_B, ndp=6),
+    ]
+    tall = None
+    for j, b in enumerate(branches):
+        t = b.select(F.lit(j).alias("subq"), F.col("doc_id").cast("long"),
+                     F.col("score").cast("double"))
+        tall = t if tall is None else tall.unionAll(t)
+    combined = combine_scores(normalize_scores(tall, "min_max"), 2, "arithmetic_mean")
+    return _ranked(combined.withColumn("score", F.round("score", 4)), ["doc_id"], 10)
+
+
+def sql_hybrid_filtered() -> str:
+    rel = "(SELECT * FROM documents WHERE source IN ('src1','src2','src3'))"
+    b0 = bm25_scored_sql(rel, ["doc_id"], QUERY_A, ndp=6)
+    b1 = bm25_scored_sql(rel, ["doc_id"], QUERY_B, ndp=6)
+    inner = f"""
+WITH tall AS (
+  SELECT 0 AS subq, doc_id, score FROM ({b0})
+  UNION ALL
+  SELECT 1 AS subq, doc_id, score FROM ({b1})),
+n AS (SELECT subq, doc_id, score,
+        min(score) OVER (PARTITION BY subq) AS mn,
+        max(score) OVER (PARTITION BY subq) AS mx FROM tall),
+nn AS (SELECT subq, doc_id,
+        (CASE WHEN mx = mn AND mx = score THEN 1.0
+              WHEN (score - mn)/(mx - mn) = 0.0 THEN 0.001
+              ELSE (score - mn)/(mx - mn) END)::REAL::DOUBLE AS ns FROM n)
+SELECT doc_id, round((sum(ns) / 2.0)::REAL::DOUBLE, 4) AS score FROM nn GROUP BY doc_id"""
+    return _topk_sql(inner, ["doc_id"], 10)
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1047,6 +1250,13 @@ def build_registry():
         "rerank_by_field": q_rerank_by_field,
         "events_rollup": q_events_rollup,
         "multimodal_features": q_multimodal_features,
+        "text_embedding": q_text_embedding,
+        "sparse_encoding": q_sparse_encoding,
+        "semantic_chunks": q_semantic_chunks,
+        "skip_existing": q_skip_existing,
+        "neural_dense_topk": q_neural_dense_topk,
+        "sort_search_after": q_sort_search_after,
+        "hybrid_filtered": q_hybrid_filtered,
     }
     oracles = {
         "bm25_topk_docs": sql_bm25_topk_docs(),
@@ -1079,6 +1289,13 @@ def build_registry():
         "collapse_by_source": sql_collapse_by_source(),
         "rerank_by_field": sql_rerank_by_field(),
         "events_rollup": sql_events_rollup(),
+        "text_embedding": sql_text_embedding(),
+        "sparse_encoding": sql_sparse_encoding(),
+        "semantic_chunks": sql_semantic_chunks(),
+        "skip_existing": sql_skip_existing(),
+        "neural_dense_topk": sql_neural_dense_topk(),
+        "sort_search_after": sql_sort_search_after(),
+        "hybrid_filtered": sql_hybrid_filtered(),
         # lsh_ann_topk needs driver-side constants → resolved lazily by the
         # parity harness; the driver gets a plain SQL at default sf via
         # __spark_entry__.oracle_sql().

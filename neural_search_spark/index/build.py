@@ -5,7 +5,7 @@ segment writes the reference plugin delegates to OpenSearch core — SURVEY.md
 Pipeline (one pass over the corpus + one light stats pass):
 
   transcripts ──► doc_id = xxhash64(conv_id, turn_idx)          (stable docID)
-              ──► tokenize (Arrow pandas UDF, no per-row Python)
+              ──► tokenize (pure-Catalyst split+filter, whole-stage codegen)
               ──► explode → groupBy(doc_id, term) → tf          (map-side combine)
               ──► salted repartition-by-term: hot terms (df above threshold)
                   are split into doc_id-RANGE salts so every build task is
@@ -41,29 +41,35 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import BLOCK_SIZE, BM25_B, BM25_K1
-from ..tokenizer import tokenize_udf
+from ..tokenizer import tokenize_expr
 from .codec import encode_doc_ids, encode_varint
 
 N_TERM_BUCKETS = 64  # on-disk partitions; query prunes to its terms' buckets
 
 
-def term_bucket_expr(col="term"):
-    """On-disk term bucket (h60 % N): the h60 md5-prefix hash is computable
-    driver-side in pure Python (``term_bucket_py``), so the query engine
-    prunes partitions without launching a Spark job."""
+def tid_expr(col="term"):
+    """Term id: the cross-engine 60-bit h60 hash of the term string. Every
+    shuffle/kernel downstream of tokenization carries this int64 instead of
+    the term string (half the shuffle bytes, zero-copy Arrow→numpy in the
+    block kernel); the terms table maps term → tid for query planning.
+    Collisions (~vocab²/2^61) are counted at build time into metrics."""
     from ..extras.hashing import h60
 
-    return F.pmod(h60(col), F.lit(N_TERM_BUCKETS))
+    return h60(col)
+
+
+def tid_py(term: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
 
 
 def term_bucket_py(term: str) -> int:
-    import hashlib
-
-    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % N_TERM_BUCKETS
+    return tid_py(term) % N_TERM_BUCKETS
 
 BLOCK_SCHEMA = T.StructType(
     [
-        T.StructField("term", T.StringType()),
+        T.StructField("tid", T.LongType()),
         T.StructField("shard_id", T.IntegerType()),
         T.StructField("block_seq", T.IntegerType()),
         T.StructField("n_docs", T.IntegerType()),
@@ -94,64 +100,121 @@ def _range_salt(doc_col, n_salts_col):
     )
 
 
-def _make_block_builder(avgdl: float, k1: float, b: float, block_size: int):
-    def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = {c: [] for c in BLOCK_SCHEMA.fieldNames()}
-        shard = int(pdf["shard_id"].iloc[0])
-        # group by term inside the (shard, term-group, salt) task: numpy
-        # slicing per term, vectorized encode per block
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        salts = pdf["salt"].to_numpy(dtype=np.int64)
-        bounds = np.flatnonzero(
-            np.concatenate(([True], terms[1:] != terms[:-1]))
-        )
-        bounds = np.append(bounds, len(terms))
-        tfn_all = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        for gi in range(len(bounds) - 1):
-            lo, hi = bounds[gi], bounds[gi + 1]
-            term = terms[lo]
-            # block_seq offset: salt * 2^20 keeps blocks of different salts
-            # disjoint and doc-ordered (ranges are disjoint by construction)
-            base = int(salts[lo]) << 20
-            n = hi - lo
-            for bi, s in enumerate(range(lo, hi, block_size)):
-                e = min(s + block_size, hi)
-                d = doc_ids[s:e]
-                out["term"].append(term)
-                out["shard_id"].append(shard)
-                out["block_seq"].append(base + bi)
-                out["n_docs"].append(int(e - s))
-                out["min_doc_id"].append(int(d[0]))
-                out["max_doc_id"].append(int(d[-1]))
-                out["docs"].append(encode_doc_ids(d))
-                out["tfs"].append(encode_varint(tfs[s:e].astype(np.uint64)))
-                out["dls"].append(encode_varint(dls[s:e].astype(np.uint64)))
-                out["max_tfnorm"].append(float(tfn_all[s:e].max()))
-                out["sum_tf"].append(int(tfs[s:e].sum()))
-        return pd.DataFrame(out)
+def _encode_udfs():
+    """Scalar Arrow pandas UDFs wrapping the numpy varint codec — the ONLY
+    python in the build, applied to one already-grouped array per block row
+    (~blocks rows, not postings rows)."""
 
-    return build_blocks
+    @F.pandas_udf(T.BinaryType())
+    def enc_docs(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda a: encode_doc_ids(np.asarray(a, dtype=np.int64))
+        )
+
+    @F.pandas_udf(T.BinaryType())
+    def enc_u64(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda a: encode_varint(np.asarray(a, dtype=np.uint64))
+        )
+
+    return enc_docs, enc_u64
+
+
+def build_blocks_jvm(
+    salted: DataFrame, avgdl: float, k1: float, b: float, block_size: int
+) -> DataFrame:
+    """Posting-block construction with Catalyst owning the heavy lifting:
+
+      groupBy(tid, shard, salt) → sort_array(collect_list(struct)) (JVM sort)
+      → slice into block_size windows (JVM transform+slice) → posexplode
+      → per-block stats incl. max tf-norm (JVM zip_with/array_max)
+      → varint encode (scalar pandas UDF over ~1 row per block)
+
+    vs the previous applyInPandas kernel this moves the 63M-row shuffle-to-
+    python transfer, the sort and the per-term loop into whole-stage
+    codegen; python sees only block-grained array cells. Group size is
+    bounded by the hot-term salt plan (≤ target postings per group).
+    """
+    enc_docs, enc_u64 = _encode_udfs()
+    grouped = salted.groupBy("tid", "shard_id", "salt").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "tf", "dl"))
+        ).alias("ps")
+    )
+    nblocks = F.ceil(F.size("ps") / F.lit(block_size)).cast("int")
+    exploded = grouped.select(
+        "tid",
+        "shard_id",
+        "salt",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblocks - 1),
+                lambda i: F.slice("ps", i * block_size + 1, block_size),
+            )
+        ).alias("blk", "p"),
+    )
+    doc_ids = F.transform("p", lambda x: x["doc_id"])
+    tfs = F.transform("p", lambda x: x["tf"].cast("long"))
+    dls = F.transform("p", lambda x: x["dl"].cast("long"))
+    tfn = F.zip_with(
+        tfs,
+        dls,
+        lambda t, d: t.cast("double")
+        / (
+            t.cast("double")
+            + F.lit(k1) * (1.0 - b + b * d.cast("double") / F.lit(avgdl))
+        ),
+    )
+    return exploded.select(
+        "tid",
+        F.col("shard_id").cast("int").alias("shard_id"),
+        (F.shiftleft(F.col("salt").cast("long"), 20) + F.col("blk"))
+        .cast("int")
+        .alias("block_seq"),
+        F.size("p").alias("n_docs"),
+        F.element_at(doc_ids, 1).alias("min_doc_id"),
+        F.element_at(doc_ids, -1).alias("max_doc_id"),
+        enc_docs(doc_ids).alias("docs"),
+        enc_u64(tfs).alias("tfs"),
+        enc_u64(dls).alias("dls"),
+        F.array_max(tfn).cast("float").alias("max_tfnorm"),
+        F.aggregate(
+            tfs, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_tf"),
+    )
 
 
 def tokenize_corpus(transcripts: DataFrame) -> DataFrame:
-    """(doc_id, dl, term, tf) — vectorized tokenize + map-side-combined tf."""
+    """(doc_id, dl, term, tf) — vectorized tokenize + map-side-combined tf.
+
+    Uses the pure-Catalyst tokenizer (split+filter, output-identical to the
+    Arrow pandas UDF — parity-tested): it stays inside whole-stage codegen
+    and scales ~0.8 efficiency 8→32 cores, where the Python-worker path
+    bottlenecks on Arrow transfer + interpreter contention."""
     toks = transcripts.select(
-        doc_id_col().alias("doc_id"), tokenize_udf("text").alias("toks")
+        doc_id_col().alias("doc_id"), tokenize_expr("text").alias("toks")
     ).withColumn("dl", F.size("toks"))
     return (
         toks.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
+        .select("doc_id", "dl", tid_expr("term").alias("tid"))
+        .groupBy("doc_id", "dl", "tid")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_dictionary(transcripts: DataFrame) -> DataFrame:
+    """(term, tid) — distinct vocabulary. Map-side partial distinct means
+    the shuffle carries ~vocab rows per partition, not corpus rows."""
+    return (
+        transcripts.select(F.explode(tokenize_expr("text")).alias("term"))
+        .distinct()
+        .withColumn("tid", tid_expr("term"))
     )
 
 
 def compute_doc_stats(transcripts: DataFrame) -> tuple[int, float]:
     row = (
-        transcripts.select(tokenize_udf("text").alias("toks"))
+        transcripts.select(tokenize_expr("text").alias("toks"))
         .select(F.size("toks").alias("dl"))
         .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
         .collect()[0]
@@ -160,12 +223,12 @@ def compute_doc_stats(transcripts: DataFrame) -> tuple[int, float]:
 
 
 def compute_term_stats(postings: DataFrame, n_stat_salts: int = 16) -> DataFrame:
-    """(term, df, cf) via explicit two-stage salted aggregation so the hot
+    """(tid, df, cf) via explicit two-stage salted aggregation so the hot
     terms never concentrate in one reducer even at 10^12 postings."""
     partial = postings.groupBy(
-        "term", F.pmod(F.xxhash64("doc_id"), F.lit(n_stat_salts)).alias("_salt")
+        "tid", F.pmod(F.xxhash64("doc_id"), F.lit(n_stat_salts)).alias("_salt")
     ).agg(F.count(F.lit(1)).alias("df_p"), F.sum("tf").alias("cf_p"))
-    return partial.groupBy("term").agg(
+    return partial.groupBy("tid").agg(
         F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf")
     )
 
@@ -271,53 +334,65 @@ class IndexBuilder:
         postings = postings_all
         if done:
             postings = postings.withColumn(
-                "term_bucket", term_bucket_expr("term")
+                "term_bucket", F.pmod("tid", F.lit(N_TERM_BUCKETS))
             ).filter(~F.col("term_bucket").isin(list(done)))
         postings = postings.withColumn(
             "shard_id", F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(self.n_shards)).cast("int")
         )
 
-        # --- stage 2: term stats + hot-term salt plan
+        # --- stage 2: term dictionary + tid stats + hot-term salt plan.
+        # The terms table (term, tid, df, cf) is the query planner's
+        # dictionary; tid collisions (two terms, one hash) are counted.
         terms_path = self._p("terms")
         if resume and os.path.exists(terms_path):
             term_stats = self.spark.read.parquet(terms_path)
         else:
-            term_stats = compute_term_stats(postings)
-            term_stats.write.mode("overwrite").parquet(terms_path)
+            tdict = term_dictionary(transcripts)
+            tid_stats = compute_term_stats(postings)
+            tdict.join(tid_stats, "tid").select(
+                "term", "tid", "df", "cf"
+            ).write.mode("overwrite").parquet(terms_path)
             term_stats = self.spark.read.parquet(terms_path)
-
         # postings per (shard, term) ≈ df / n_shards; split further when a
         # term's per-shard slice would exceed the per-task target
         hot = term_stats.filter(
             F.col("df") > F.lit(self.target * self.n_shards)
         ).select(
-            "term",
+            "tid",
             F.ceil(F.col("df") / F.lit(self.target * self.n_shards))
             .cast("int")
             .alias("n_salts"),
         )
-        n_hot = hot.count()
+        # one driver action for hot-term count + tid-collision count
+        agg_row = term_stats.agg(
+            F.sum(
+                (F.col("df") > F.lit(self.target * self.n_shards)).cast("int")
+            ).alias("n_hot"),
+            (F.count(F.lit(1)) - F.countDistinct("tid")).alias("collisions"),
+        ).collect()[0]
+        n_hot = int(agg_row["n_hot"] or 0)
+        metrics.append(
+            (run_id, "build", "tid_collisions", int(agg_row["collisions"]))
+        )
         _mark("term_stats")
         metrics.append((run_id, "build", "hot_terms_split", n_hot))
 
         salted = (
-            postings.join(F.broadcast(hot), "term", "left")
+            postings.join(F.broadcast(hot), "tid", "left")
             .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
             .withColumn("salt", _range_salt(F.col("doc_id"), F.col("n_salts")))
-            .withColumn(
-                "tg", F.pmod(F.xxhash64("term", F.lit(3)), F.lit(self.n_term_groups))
-            )
         )
 
-        # --- stage 3: salted repartition-by-term(-group) → block build
-        builder = _make_block_builder(avgdl, self.k1, self.b, self.block_size)
-        blocks = salted.groupBy("shard_id", "tg", "salt").applyInPandas(
-            builder, schema=BLOCK_SCHEMA
+        # --- stage 3: salted repartition-by-term → JVM block build
+        blocks = build_blocks_jvm(
+            salted, avgdl, self.k1, self.b, self.block_size
         )
-        blocks = blocks.withColumn("term_bucket", term_bucket_expr("term"))
+        blocks = blocks.withColumn(
+            "term_bucket", F.pmod("tid", F.lit(N_TERM_BUCKETS))
+        )
         (
             blocks.repartition("term_bucket")
-            .sortWithinPartitions("term", "shard_id", "block_seq")
+            .sortWithinPartitions("tid", "shard_id", "block_seq")
             .write.mode("append")
             .partitionBy("term_bucket")
             .parquet(self._p("postings"))
@@ -329,11 +404,11 @@ class IndexBuilder:
         written = self.spark.read.parquet(self._p("postings"))
         if done:
             written = written.filter(~F.col("term_bucket").isin(list(done)))
-        lineage = written.groupBy("term_bucket").agg(
+        lin0 = written.groupBy("term_bucket").agg(
             F.lit(run_id).alias("run_id"),
             F.countDistinct("shard_id").alias("n_shards"),
-            F.min("term").alias("term_lo"),
-            F.max("term").alias("term_hi"),
+            F.min("tid").alias("tid_lo"),
+            F.max("tid").alias("tid_hi"),
             F.sum("n_docs").alias("doc_count"),
             F.sum(
                 F.length("docs") + F.length("tfs") + F.length("dls")
@@ -341,6 +416,26 @@ class IndexBuilder:
             F.count(F.lit(1)).alias("n_blocks"),
             F.lit("complete").alias("status"),
             F.current_timestamp().alias("completed_ts"),
+        )
+        # human-readable term range per bucket: two tiny joins against the
+        # dictionary (lin0 is N_TERM_BUCKETS rows — broadcast side)
+        tmap = term_stats.groupBy("tid").agg(F.min("term").alias("term"))
+        lineage = (
+            lin0.join(
+                tmap.withColumnRenamed("tid", "tid_lo").withColumnRenamed(
+                    "term", "term_lo"
+                ),
+                "tid_lo",
+                "left",
+            )
+            .join(
+                tmap.withColumnRenamed("tid", "tid_hi").withColumnRenamed(
+                    "term", "term_hi"
+                ),
+                "tid_hi",
+                "left",
+            )
+            .drop("tid_lo", "tid_hi")
         )
         lineage.write.mode("append").parquet(self._p("lineage"))
         _mark("lineage")

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import BM25_B, BM25_K1
-from ..index.build import doc_id_col, term_bucket_py, tokenize_corpus
+from ..index.build import N_TERM_BUCKETS, doc_id_col, tid_py, tokenize_corpus
 from ..index.codec import decode_doc_ids, decode_varint
 from ..tokenizer import tokenize_py
 
@@ -70,7 +70,8 @@ class BM25Index:
         """Driver-side term-dictionary lookup: a pyarrow predicate-pushdown
         read of the (small) terms table — no Spark job per query. At
         10^12-turn scale the terms table is still ~vocabulary-sized
-        (≪ corpus) and parquet row-group stats keep this a point read."""
+        (≪ corpus) and parquet row-group stats keep this a point read.
+        Returns {term: df} for terms present in the index."""
         if not terms:
             return {}
         import pyarrow.dataset as ds
@@ -85,13 +86,14 @@ class BM25Index:
 
     def postings_for(self, terms: list[str]) -> DataFrame:
         """Scan only the term_buckets of the query terms (partition pruning,
-        buckets computed driver-side in Python — same h60 hash as the
-        writer) + a term IN (...) predicate pushed into parquet row groups."""
-        buckets = sorted({term_bucket_py(t) for t in terms})
+        tids/buckets computed driver-side in Python — same h60 hash as the
+        writer) + a tid IN (...) predicate pushed into parquet row groups."""
+        tids = sorted({tid_py(t) for t in terms})
+        buckets = sorted({t % N_TERM_BUCKETS for t in tids})
         if self._postings_df is None:
             self._postings_df = self.spark.read.parquet(self._postings_path)
         return self._postings_df.filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            F.col("term_bucket").isin(buckets) & F.col("tid").isin(tids)
         )
 
 
@@ -103,10 +105,10 @@ def _maxscore_shard_scorer(idfs: dict[str, float], k: int, k1: float, b: float, 
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": np.int64, "score": np.float32}
             )
-        terms = pdf["term"].to_numpy()
+        terms = pdf["tid"].to_numpy(dtype=np.int64)
         # per-term global upper bound in this shard: idf * max block tfnorm
-        term_ub: dict[str, float] = {}
-        for t, g in pdf.groupby("term", sort=False):
+        term_ub: dict[int, float] = {}
+        for t, g in pdf.groupby("tid", sort=False):
             term_ub[t] = idfs[t] * float(g["max_tfnorm"].max())
         # order terms by upper bound DESC: high-impact (usually rare) terms
         # first become "essential"; low-impact hot terms are intersected only
@@ -130,6 +132,48 @@ def _maxscore_shard_scorer(idfs: dict[str, float], k: int, k1: float, b: float, 
             ).astype(np.float64)
             tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
             return ids, idf * tfn
+
+        if len(order) == 1:
+            # single-term fast path: per-doc scores are independent, so the
+            # per-block max-score bound prunes EXACTLY (the true block-max
+            # shortcut — Lucene's advanceShallow/setMinCompetitiveScore pair,
+            # reference HybridScoreBlockBoundaryPropagator.java:53-98).
+            # Process blocks by descending bound; once k candidates exist,
+            # skip every block whose bound can't beat (or f32-tie) theta.
+            t = order[0]
+            idf = idfs[t]
+            rows = pdf[terms == t].sort_values(
+                "max_tfnorm", ascending=False, kind="mergesort"
+            )
+            bounds_ = idf * rows["max_tfnorm"].to_numpy()
+            ids_parts, sc_parts, n_seen = [], [], 0
+            for bi in range(len(rows)):
+                if n_seen >= k:
+                    # one-f32-ulp slack: never skip a block that could
+                    # produce a doc tying theta after the float32 cast
+                    thr = float(np.nextafter(np.float32(theta), np.float32(-np.inf)))
+                    if bounds_[bi] < thr:
+                        break
+                ids_b, contrib_b = decode_contrib(rows.iloc[bi : bi + 1], idf)
+                ids_parts.append(ids_b)
+                sc_parts.append(contrib_b)
+                n_seen += len(ids_b)
+                if n_seen >= k:
+                    all_sc = np.concatenate(sc_parts)
+                    theta = float(
+                        np.partition(all_sc, len(all_sc) - k)[len(all_sc) - k]
+                    )
+            if not ids_parts:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": np.int64, "score": np.float32}
+                )
+            cand_ids = np.concatenate(ids_parts)
+            cand_scores = np.concatenate(sc_parts)
+            final32 = cand_scores.astype(np.float32)
+            sel = np.lexsort((cand_ids, -final32.astype(np.float64)))[:k]
+            return pd.DataFrame(
+                {"doc_id": cand_ids[sel], "score": final32[sel]}
+            )
 
         for ti, t in enumerate(order):
             rows = pdf[terms == t]
@@ -197,8 +241,14 @@ def bm25_topk(
     spark = index.spark
     if not terms:
         return spark.createDataFrame([], schema="doc_id long, score float, rank int")
-    idfs = {t: lucene_idf(index.n_docs, stats[t]) for t in terms}
-    blocks = index.postings_for(terms)
+    idfs = {tid_py(t): lucene_idf(index.n_docs, stats[t]) for t in terms}
+    # column-prune before the shuffle: the scorer needs 8 of the 12 block
+    # columns (block_seq/n_docs/sum_tf/term_bucket never leave the scan),
+    # and every one of them is fixed-width → zero-copy Arrow→numpy
+    blocks = index.postings_for(terms).select(
+        "shard_id", "tid", "min_doc_id", "max_doc_id",
+        "docs", "tfs", "dls", "max_tfnorm",
+    )
     scorer = _maxscore_shard_scorer(idfs, k, index.k1, index.b, index.avgdl)
     shard_topk = blocks.groupBy("shard_id").applyInPandas(scorer, TOPK_SCHEMA)
 
@@ -271,11 +321,12 @@ def bm25_topk_batch(
     }
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
     stats = index.term_stats(all_terms)
-    idfs = {t: lucene_idf(index.n_docs, stats[t]) for t in stats}
-    q_terms = {
-        qid: [t for t in ts if t in stats] for qid, ts in q_terms.items()
+    idfs = {tid_py(t): lucene_idf(index.n_docs, stats[t]) for t in stats}
+    q_tids = {
+        qid: [tid_py(t) for t in ts if t in stats]
+        for qid, ts in q_terms.items()
     }
-    live = {qid: ts for qid, ts in q_terms.items() if ts}
+    live = {qid: ts for qid, ts in q_tids.items() if ts}
     if not live:
         return spark.createDataFrame(
             [], schema="query_id string, doc_id long, score float, rank int"
@@ -290,10 +341,10 @@ def bm25_topk_batch(
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
                 {"query_id": str, "doc_id": np.int64, "score": np.float32}
             )
-        terms_arr = pdf["term"].to_numpy()
-        cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        terms_arr = pdf["tid"].to_numpy(dtype=np.int64)
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-        def contrib(term: str) -> tuple[np.ndarray, np.ndarray]:
+        def contrib(term: int) -> tuple[np.ndarray, np.ndarray]:
             got = cache.get(term)
             if got is None:
                 rows = pdf[terms_arr == term]
@@ -348,7 +399,9 @@ def bm25_topk_batch(
             }
         )
 
-    blocks = index.postings_for(all_terms)
+    blocks = index.postings_for(all_terms).select(
+        "shard_id", "tid", "docs", "tfs", "dls"
+    )
     shard_topk = blocks.groupBy("shard_id").applyInPandas(
         score_shard, BATCH_TOPK_SCHEMA
     )
@@ -373,15 +426,17 @@ def bm25_score_all_join(
     from ..index.build import compute_doc_stats
 
     n_docs, avgdl = compute_doc_stats(transcripts)
-    qdf = spark.createDataFrame(pd.DataFrame({"term": terms}))
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"tid": [tid_py(t) for t in terms]})
+    )
     dfs = (
-        postings.join(F.broadcast(qdf), "term")
-        .groupBy("term")
+        postings.join(F.broadcast(qdf), "tid")
+        .groupBy("tid")
         .agg(F.count(F.lit(1)).alias("df"))
     )
     scored = (
-        postings.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(dfs), "term")
+        postings.join(F.broadcast(qdf), "tid")
+        .join(F.broadcast(dfs), "tid")
         .withColumn(
             "idf",
             F.log1p(

@@ -1,0 +1,154 @@
+"""Neural query types + request-processor semantics (query preparation).
+
+The reference's `neural` query (query/NeuralQueryBuilder.java:118-1157)
+resolves text(+image) through a model at rewrite time, then DELEGATES to
+k-NN (dense) or FeatureField scoring (sparse). Here the rewrite is a
+driver-side step on a ``QuerySpec`` dataclass; the delegated scoring is the
+engine's dense/sparse DataFrame plans with the same deterministic stub
+models as ingest (processors.py), so query vectors match document vectors.
+
+Also implements:
+* neural_query_enricher (processor/NeuralQueryEnricherProcessor.java:31-108):
+  fill in a default model_id / per-field default when the query lacks one.
+* field-sorted top-k + search_after (search/collector/
+  HybridTopFieldDocSortCollector.java + PagingFieldCollector): plain
+  orderBy().limit() with a lexicographic search_after predicate — Catalyst
+  turns the predicate into a scan filter, no collector machinery needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class QuerySpec:
+    """Parsed neural/neural_sparse/hybrid sub-query, pre-rewrite."""
+
+    query_type: str  # "neural" | "neural_sparse" | "neural_knn" | "match"
+    field: str = "text"
+    query_text: str | None = None
+    query_image: bytes | None = None
+    vector: list[float] | None = None
+    query_tokens: dict[str, float] | None = None
+    model_id: str | None = None
+    k: int = 10  # reference default NeuralQueryBuilder.java:135
+    filter: Column | None = None
+
+
+def enrich(specs: list[QuerySpec], default_model_id: str | None = None,
+           field_defaults: dict[str, str] | None = None) -> list[QuerySpec]:
+    """neural_query_enricher: set default model ids on specs lacking one
+    (per-field default wins over the global default)."""
+    for s in specs:
+        if s.query_type in ("neural", "neural_sparse") and s.model_id is None:
+            s.model_id = (field_defaults or {}).get(s.field) or default_model_id
+    return specs
+
+
+def rewrite(spec: QuerySpec) -> QuerySpec:
+    """The reference's doRewrite: run 'inference' to produce the vector /
+    token map. Uses the deterministic stub models (processors.py) so query
+    and document representations agree."""
+    import hashlib
+
+    from ..extras.hashing import H60_MAX
+    from ..processors import EMBED_DIM
+    from ..tokenizer import tokenize_py
+
+    if spec.query_type == "neural" and spec.vector is None:
+        toks = tokenize_py(spec.query_text or "")
+        fp = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        spec.vector = [
+            2.0 * (int(hashlib.md5(f"{fp}#{j}".encode()).hexdigest()[:15], 16) / H60_MAX)
+            - 1.0
+            for j in range(EMBED_DIM)
+        ]
+    if spec.query_type == "neural_sparse" and spec.query_tokens is None:
+        toks = tokenize_py(spec.query_text or "")
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        spec.query_tokens = {
+            t: float(c) * (1.0 + int(hashlib.md5(t.encode()).hexdigest()[:15], 16) / H60_MAX)
+            for t, c in tf.items()
+        }
+    return spec
+
+
+def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Score one rewritten sub-query → (doc_id, score). The optional filter
+    is applied BEFORE scoring (the reference pushes the hybrid filter into
+    every sub-query, query/HybridQueryBuilder.java:111-122)."""
+    spec = rewrite(spec)
+    scoped = docs.filter(spec.filter) if spec.filter is not None else docs
+    if spec.query_type in ("neural", "neural_knn"):
+        from ..extras.similarity import cosine_expr
+
+        q = F.array(*[F.lit(float(x)).cast("float") for x in (spec.vector or [])])
+        return scoped.select(
+            F.col(id_col).alias("doc_id"),
+            cosine_expr(F.col(spec.field), q).alias("score"),
+        )
+    if spec.query_type == "neural_sparse":
+        from .sparse import sparse_score
+
+        return sparse_score(
+            scoped, spec.query_tokens or {}, features_col=spec.field, id_col=id_col
+        )
+    if spec.query_type == "match":
+        from ..gate import bm25_scored
+
+        return bm25_scored(
+            scoped.withColumnRenamed(id_col, "doc_id"), ["doc_id"],
+            spec.query_text or "", ndp=None,
+        )
+    raise ValueError(f"unknown query type: {spec.query_type}")
+
+
+# ---------------------------------------------------------------------------
+# field sort + search_after
+# ---------------------------------------------------------------------------
+def _lex_after(sort_cols: list[tuple[str, str]], after: list) -> Column:
+    """Lexicographic (sort tuple) > (after tuple) predicate, honoring each
+    column's direction — the PagingFieldCollector contract."""
+    pred = None
+    prefix_eq = None
+    for (c, direction), av in zip(sort_cols, after):
+        col = F.col(c)
+        strict = col < F.lit(av) if direction == "desc" else col > F.lit(av)
+        clause = strict if prefix_eq is None else prefix_eq & strict
+        pred = clause if pred is None else pred | clause
+        eq = col == F.lit(av)
+        prefix_eq = eq if prefix_eq is None else prefix_eq & eq
+    return pred
+
+
+def sort_topk(
+    df: DataFrame,
+    sort_cols: list[tuple[str, str]],
+    k: int,
+    search_after: list | None = None,
+    tiebreak: str = "doc_id",
+) -> DataFrame:
+    """Field-sorted top-k with optional search_after pagination. The
+    search_after predicate is a plain filter — Catalyst pushes it to the
+    scan, so deep pagination never re-collects earlier pages."""
+    cols = sort_cols + [(tiebreak, "asc")]
+    if search_after is not None:
+        if len(search_after) != len(cols):
+            raise ValueError(
+                "search_after must provide one value per sort column "
+                "(including the doc_id tiebreak)"
+            )
+        df = df.filter(_lex_after(cols, search_after))
+    order = [
+        F.desc(c) if d == "desc" else F.asc(c) for c, d in cols
+    ]
+    w = Window.orderBy(*order)
+    return (
+        df.orderBy(*order).limit(k).withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -103,3 +103,24 @@ def test_batch_matches_single(spark, index):
         )
         assert list(got.doc_id) == list(single.doc_id), rec["query_text"]
         assert list(got.score) == list(single.score)
+
+
+def test_salted_hot_term_build_rank_identity(
+    spark, transcripts_df, oracle, tmp_path_factory
+):
+    """Force hot-term salting (tiny per-task target) and verify the salted
+    index is still rank-identical — blocks of a split term stay globally
+    doc-ordered because salts are doc_id-RANGE based."""
+    out = str(tmp_path_factory.mktemp("idx") / "salted")
+    res = IndexBuilder(
+        spark, out, n_shards=4, block_size=64, target_postings_per_task=20
+    ).build(transcripts_df)
+    assert res["hot_terms_split"] > 0
+    idx = BM25Index(spark, out)
+    for qt in ["the", "the tool call", "w0001 the model"]:
+        expected = oracle.topk(qt, k=10)
+        got = bm25_topk(idx, qt, k=10).toPandas()
+        assert got["doc_id"].tolist() == expected["doc_id"].tolist(), qt
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), expected["score"].to_numpy(), rtol=1e-6
+        )

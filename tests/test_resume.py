@@ -1,0 +1,66 @@
+"""Checkpoint/resume: a killed index build restarts from per-partition
+lineage, rebuilding only term_buckets without complete lineage, and the
+resumed index is query-identical to a single-shot build (the north rule's
+resumability contract)."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from neural_search_spark.index.build import IndexBuilder
+from neural_search_spark.query.bm25 import BM25Index, bm25_topk
+
+
+@pytest.fixture(scope="module")
+def crashed_build(spark, transcripts_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "resume")
+    IndexBuilder(spark, out, n_shards=4, block_size=64).build(transcripts_df)
+    full = {
+        q: bm25_topk(BM25Index(spark, out), q, k=10).toPandas()
+        for q in ["the", "w0001 w0250", "rare00001 the"]
+    }
+    # simulate a crash mid-build: half the buckets lose their lineage rows;
+    # some of those also keep orphaned partition files (written but not
+    # recorded — _clean_incomplete must purge them), others lose files too
+    lin_dir = os.path.join(out, "lineage")
+    lin = pd.read_parquet(lin_dir)
+    buckets = sorted(lin["term_bucket"].unique())
+    dropped = buckets[::2]
+    shutil.rmtree(lin_dir)
+    os.makedirs(lin_dir)
+    keep = lin[~lin["term_bucket"].isin(dropped)].copy()
+    # pandas defaults to nanosecond timestamps, which Spark's parquet reader
+    # rejects — write microseconds like Spark does
+    keep["completed_ts"] = keep["completed_ts"].astype("datetime64[us]")
+    keep.to_parquet(os.path.join(lin_dir, "part-0.parquet"), index=False)
+    for i, b in enumerate(dropped):
+        if i % 2 == 0:  # half the dropped buckets also lose their files
+            d = os.path.join(out, "postings", f"term_bucket={b}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+    # crash happened before the final stats write
+    shutil.rmtree(os.path.join(out, "stats"))
+    return out, dropped, buckets, full
+
+
+def test_resume_completes_lineage(spark, transcripts_df, crashed_build):
+    out, dropped, buckets, full = crashed_build
+    res = IndexBuilder(spark, out, n_shards=4, block_size=64).build(
+        transcripts_df, resume=True
+    )
+    assert res["n_docs"] == transcripts_df.count()
+    lin = pd.read_parquet(os.path.join(out, "lineage"))
+    done = lin[lin["status"] == "complete"]["term_bucket"]
+    assert sorted(done.unique()) == buckets
+    assert not done.duplicated().any(), "a bucket was rebuilt twice"
+
+
+def test_resumed_index_query_identical(spark, crashed_build):
+    out, _, _, full = crashed_build
+    idx = BM25Index(spark, out)
+    for q, expected in full.items():
+        got = bm25_topk(idx, q, k=10).toPandas()
+        assert got["doc_id"].tolist() == expected["doc_id"].tolist(), q
+        assert got["score"].tolist() == expected["score"].tolist(), q
