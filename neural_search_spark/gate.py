@@ -1208,6 +1208,36 @@ nn AS (SELECT subq, doc_id,
 SELECT doc_id, round((sum(ns) / 2.0)::REAL::DOUBLE, 4) AS score FROM nn GROUP BY doc_id"""
     return _topk_sql(inner, ["doc_id"], 10)
 
+
+def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregation alongside hybrid (reference HybridAggregationProcessor:
+    aggs see the raw per-sub-query matched set): per-source doc count and
+    max branch score over the union of both branches' matches."""
+    d = _docs(spark, sf)
+    b0 = bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(sf, "docs"))
+    b1 = bm25_scored(d, ["doc_id"], QUERY_B, stats_key=(sf, "docs"))
+    matched = b0.unionAll(b1).groupBy("doc_id").agg(F.max("score").alias("best"))
+    return (
+        matched.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.max("best"), 4).alias("max_score"),
+        )
+    )
+
+
+def sql_hybrid_agg() -> str:
+    b0 = bm25_scored_sql("documents", ["doc_id"], QUERY_A)
+    b1 = bm25_scored_sql("documents", ["doc_id"], QUERY_B)
+    return f"""
+WITH m AS (
+  SELECT doc_id, max(score) AS best FROM (
+    SELECT * FROM ({b0}) UNION ALL SELECT * FROM ({b1}))
+  GROUP BY doc_id)
+SELECT d.source, count(*) AS n_matched, round(max(m.best), 4) AS max_score
+FROM m JOIN documents d USING (doc_id) GROUP BY d.source"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1257,6 +1287,7 @@ def build_registry():
         "neural_dense_topk": q_neural_dense_topk,
         "sort_search_after": q_sort_search_after,
         "hybrid_filtered": q_hybrid_filtered,
+        "hybrid_agg": q_hybrid_agg,
     }
     oracles = {
         "bm25_topk_docs": sql_bm25_topk_docs(),
@@ -1296,6 +1327,7 @@ def build_registry():
         "neural_dense_topk": sql_neural_dense_topk(),
         "sort_search_after": sql_sort_search_after(),
         "hybrid_filtered": sql_hybrid_filtered(),
+        "hybrid_agg": sql_hybrid_agg(),
         # lsh_ann_topk needs driver-side constants → resolved lazily by the
         # parity harness; the driver gets a plain SQL at default sf via
         # __spark_entry__.oracle_sql().

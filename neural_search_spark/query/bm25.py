@@ -344,6 +344,57 @@ def bm25_topk_batch(
         terms_arr = pdf["tid"].to_numpy(dtype=np.int64)
         cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
+        def decode_rows(rows: pd.DataFrame, idf: float):
+            ids = np.concatenate([decode_doc_ids(x) for x in rows["docs"]])
+            tfs = np.concatenate(
+                [decode_varint(x) for x in rows["tfs"]]
+            ).astype(np.float64)
+            dls = np.concatenate(
+                [decode_varint(x) for x in rows["dls"]]
+            ).astype(np.float64)
+            tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            return ids, idf * tfn
+
+        def single_term_topk(tid: int):
+            """Block-max pruned scoring for a one-term query: process
+            blocks by descending bound, stop when no block can reach (or
+            f32-tie) the running k-th score. Skips the bulk of a hot
+            term's blocks without decoding them."""
+            if tid in cache:
+                ids, tfn = cache[tid]
+                f32 = (idfs[tid] * tfn).astype(np.float32)
+                sel = np.lexsort((ids, -f32.astype(np.float64)))[:k]
+                return ids[sel], f32[sel]
+            idf = idfs[tid]
+            rows = pdf[terms_arr == tid].sort_values(
+                "max_tfnorm", ascending=False, kind="mergesort"
+            )
+            bounds_ = idf * rows["max_tfnorm"].to_numpy()
+            ids_parts, sc_parts, n_seen = [], [], 0
+            theta = -np.inf
+            for bi in range(len(rows)):
+                if n_seen >= k:
+                    thr = float(
+                        np.nextafter(np.float32(theta), np.float32(-np.inf))
+                    )
+                    if bounds_[bi] < thr:
+                        break
+                ids_b, sc_b = decode_rows(rows.iloc[bi : bi + 1], idf)
+                ids_parts.append(ids_b)
+                sc_parts.append(sc_b)
+                n_seen += len(ids_b)
+                if n_seen >= k:
+                    all_sc = np.concatenate(sc_parts)
+                    theta = float(
+                        np.partition(all_sc, len(all_sc) - k)[len(all_sc) - k]
+                    )
+            if not ids_parts:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            ids = np.concatenate(ids_parts)
+            f32 = np.concatenate(sc_parts).astype(np.float32)
+            sel = np.lexsort((ids, -f32.astype(np.float64)))[:k]
+            return ids[sel], f32[sel]
+
         def contrib(term: int) -> tuple[np.ndarray, np.ndarray]:
             got = cache.get(term)
             if got is None:
@@ -364,6 +415,12 @@ def bm25_topk_batch(
         for qid, terms in live.items():
             terms = [t for t in terms if t in present]
             if not terms:
+                continue
+            if len(terms) == 1:
+                ids1, sc1 = single_term_topk(terms[0])
+                out_qid.extend([qid] * len(ids1))
+                out_ids.append(ids1)
+                out_sc.append(sc1)
                 continue
             acc_ids: np.ndarray | None = None
             acc_sc: np.ndarray | None = None
@@ -400,7 +457,7 @@ def bm25_topk_batch(
         )
 
     blocks = index.postings_for(all_terms).select(
-        "shard_id", "tid", "docs", "tfs", "dls"
+        "shard_id", "tid", "docs", "tfs", "dls", "max_tfnorm"
     )
     shard_topk = blocks.groupBy("shard_id").applyInPandas(
         score_shard, BATCH_TOPK_SCHEMA

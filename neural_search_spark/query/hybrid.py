@@ -243,6 +243,57 @@ def hybrid_topk(
     )
 
 
+def hybrid_explain(
+    branches: list[DataFrame],
+    k: int = 10,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+    lower_bounds: list[LowerBound | None] | None = None,
+    rank_constant: int = DEFAULT_RANK_CONSTANT,
+) -> DataFrame:
+    """Explain mode (reference hybrid_score_explanation response processor,
+    processor/ExplanationResponseProcessor.java): for the final top-k docs,
+    return one row per (doc, sub-query) with the raw score, normalized
+    score, weight, technique names and the combined score — the
+    intermediate columns the normal pipeline folds away."""
+    wts = [
+        (weights[j] if weights is not None and j < len(weights) else 1.0)
+        for j in range(len(branches))
+    ]
+    tall = None
+    for j, b in enumerate(branches):
+        t = b.select(
+            F.lit(j).alias("subq"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        tall = t if tall is None else tall.unionAll(t)
+    normed = normalize_scores(
+        tall, normalization, lower_bounds=lower_bounds, rank_constant=rank_constant
+    )
+    combined = combine_scores(normed, len(branches), combination, weights=weights)
+    top = combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        normed.join(
+            top.withColumnRenamed("score", "combined_score"), "doc_id", "inner"
+        )
+        .withColumn(
+            "weight",
+            F.element_at(
+                F.array(*[F.lit(float(x)) for x in wts]), F.col("subq") + 1
+            ),
+        )
+        .withColumn("normalization_technique", F.lit(normalization))
+        .withColumn("combination_technique", F.lit(combination))
+        .select(
+            "doc_id", "subq", F.col("score").alias("raw_score"),
+            "norm_score", "weight", "combined_score",
+            "normalization_technique", "combination_technique",
+        )
+    )
+
+
 def rerank_by_field(
     results: DataFrame, source: DataFrame, target_field: str, k: int | None = None
 ) -> DataFrame:

@@ -1,0 +1,77 @@
+"""Rerank processors (reference processor/rerank/*).
+
+* rerank_by_field lives in query/hybrid.py (numeric-field rescore).
+* ml_rerank here is the cross-encoder path
+  (processor/rerank/MLOpenSearchRerankProcessor.java:26-80):
+  inferenceSimilarity(model, query_text, [doc_texts]) → new scores →
+  re-sort. The cross-encoder model is STUBBED deterministically (token
+  overlap ratio — a real monotone relevance-ish signal) while the plumbing
+  is real: it runs as an Arrow pandas UDF over the top-k rows ONLY
+  (k ≤ pagination_depth, reference caps context at 50 fields) — never the
+  corpus, exactly like the reference's fetch-phase rescore.
+
+* track_total_hits (search/HitsThresholdChecker.java): count with an
+  up-to short-circuit — `limit(n+1).count()` instead of a full count.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tokenizer import tokenize_py
+
+
+def stub_cross_encoder(query_text: str, doc_text: str) -> float:
+    """Deterministic stand-in for inferenceSimilarity: fraction of query
+    terms present in the doc, weighted by term frequency saturation."""
+    q = tokenize_py(query_text)
+    if not q:
+        return 0.0
+    d = {}
+    for t in tokenize_py(doc_text):
+        d[t] = d.get(t, 0) + 1
+    s = 0.0
+    for t in set(q):
+        tf = d.get(t, 0)
+        s += tf / (tf + 1.0)
+    return s / len(set(q))
+
+
+def ml_rerank(
+    topk: DataFrame,
+    query_text: str,
+    text_col: str = "text",
+    keep_previous_score: bool = False,
+) -> DataFrame:
+    """Replace _score with the (stub) cross-encoder similarity and re-sort
+    desc with doc_id tiebreak. Expects topk to carry doc_id + text."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: stub_cross_encoder(query_text, t or ""))
+
+    out = topk.withColumn(
+        "previous_score" if keep_previous_score else "_old",
+        F.col("score"),
+    ).withColumn("score", _sim(F.col(text_col)))
+    if not keep_previous_score:
+        out = out.drop("_old")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.drop("rank").orderBy(F.desc("score"), F.asc("doc_id")).withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    )
+
+
+def track_total_hits(matched: DataFrame, up_to: int | None = 10000) -> dict:
+    """(total_hits, relation): exact count when under the threshold, else
+    (up_to, 'gte') without scanning further — the reference's
+    track_total_hits_up_to short-circuit as a limit-pushdown count."""
+    if up_to is None:
+        return {"value": matched.count(), "relation": "eq"}
+    c = matched.limit(up_to + 1).count()
+    if c > up_to:
+        return {"value": up_to, "relation": "gte"}
+    return {"value": c, "relation": "eq"}

@@ -1,0 +1,94 @@
+"""Stats API, highlighter stub, hybrid explain mode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark import stats as stats_api
+from neural_search_spark.extras import highlight
+from neural_search_spark.index.build import IndexBuilder
+from neural_search_spark.query.hybrid import hybrid_explain
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, transcripts_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "stats_idx")
+    IndexBuilder(spark, out, n_shards=4, block_size=64).build(transcripts_df)
+    return out
+
+
+def test_event_stats(spark, small_index):
+    ev = stats_api.event_stats(spark, small_index).toPandas()
+    names = set(ev["name"])
+    assert {"doc_count", "elapsed_ms", "turns_per_sec", "hot_terms_split"} <= names
+    win = stats_api.event_stats_windowed(spark, small_index).toPandas()
+    assert len(win) >= 1 and "total" in win.columns
+
+
+def test_info_stats(spark, small_index, transcripts_df):
+    info = stats_api.info_stats(spark, small_index)
+    assert info["n_docs"] == transcripts_df.count()
+    assert info["vocab_size"] > 0
+    assert info["n_blocks"] > 0 and info["index_bytes"] > 0
+    assert info["complete_buckets"] >= 1
+
+
+def test_highlighter_spans_and_tags(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick fox; a QUICK brown fox.")], "doc_id long, text string"
+    )
+    out = highlight.highlight_topk(df, "quick fox").toPandas().iloc[0]
+    spans = [(s["start"], s["end"]) for s in out["highlights"]]
+    assert spans == [(4, 9), (10, 13), (17, 22), (29, 32)]
+    assert (
+        out["highlighted"]
+        == "The <em>quick</em> <em>fox</em>; a <em>QUICK</em> brown <em>fox</em>."
+    )
+
+
+def test_hybrid_explain(spark):
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b1 = spark.createDataFrame(
+        [(2, 4.0), (3, 8.0)], "doc_id long, score double"
+    )
+    out = hybrid_explain([b0, b1], k=2, weights=[1.0, 3.0]).toPandas()
+    # doc 3: b0 norm=(1-1)/(10-1)→0→0.001, b1 norm=(8-4)/(8-4)... max=8,min=4 →1.0
+    d3 = out[out.doc_id == 3].set_index("subq")
+    assert d3.loc[0, "raw_score"] == 1.0
+    assert d3.loc[0, "norm_score"] == pytest.approx(0.001)
+    assert d3.loc[1, "norm_score"] == pytest.approx(1.0)
+    assert d3.loc[1, "weight"] == 3.0
+    # combined for doc3 = (1*0.001 + 3*1.0)/4
+    assert d3.loc[0, "combined_score"] == pytest.approx((0.001 + 3.0) / 4.0, rel=1e-5)
+    assert set(out.normalization_technique) == {"min_max"}
+
+
+def test_ml_rerank(spark):
+    from neural_search_spark.query.rerank import ml_rerank, stub_cross_encoder
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.9, "alpha beta gamma"),
+            (2, 0.8, "alpha alpha alpha"),
+            (3, 0.7, "unrelated words here"),
+        ],
+        "doc_id long, score double, text string",
+    )
+    out = ml_rerank(df, "alpha beta", keep_previous_score=True).toPandas()
+    assert list(out.doc_id) == [1, 2, 3]
+    assert out.iloc[0]["score"] == pytest.approx(
+        stub_cross_encoder("alpha beta", "alpha beta gamma")
+    )
+    assert "previous_score" in out.columns
+    # doc 3 has zero overlap → score 0
+    assert out.iloc[2]["score"] == 0.0
+
+
+def test_track_total_hits(spark):
+    from neural_search_spark.query.rerank import track_total_hits
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    assert track_total_hits(df, up_to=10) == {"value": 10, "relation": "gte"}
+    assert track_total_hits(df, up_to=1000) == {"value": 100, "relation": "eq"}
+    assert track_total_hits(df, up_to=None) == {"value": 100, "relation": "eq"}
