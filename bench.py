@@ -74,7 +74,8 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
     out["hot_terms_split"] = info["hot_terms_split"]
 
     # --- BM25 query batch (reference query set) ----------------------------
-    idx = BM25Index(spark, idx_dir)
+    # serving shape: hot posting blocks pinned in executor memory
+    idx = BM25Index(spark, idx_dir).cache()
     n_q = SCALING_QUERIES if mode == "scaling" else N_BENCH_QUERIES
     queries = generate_queries(n_q).to_dict("records")
     for rec in queries[:2]:  # JVM/codegen warmup, untimed

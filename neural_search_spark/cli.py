@@ -49,9 +49,10 @@ def _get_session(args):
 
 def cmd_build(args) -> None:
     from .index.build import IndexBuilder
+    from .sources import load_transcripts
 
     spark = _get_session(args)
-    tr = spark.read.parquet(args.input)
+    tr = load_transcripts(spark, args.input, snapshot_id=args.snapshot_id)
     info = IndexBuilder(
         spark,
         args.output,
@@ -96,6 +97,8 @@ def main(argv=None) -> None:
     b.add_argument("--block-size", type=int, default=4096)
     b.add_argument("--resume", action="store_true",
                    help="resume from lineage checkpoint")
+    b.add_argument("--snapshot-id", type=int, default=None,
+                   help="Iceberg snapshot id to pin (iceberg: sources)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="top-k BM25 query")

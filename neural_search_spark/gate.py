@@ -1238,6 +1238,43 @@ WITH m AS (
 SELECT d.source, count(*) AS n_matched, round(max(m.best), 4) AS max_score
 FROM m JOIN documents d USING (doc_id) GROUP BY d.source"""
 
+
+def q_ml_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-encoder rerank of the BM25 top-20 (stub model — rows-only)."""
+    from .query.rerank import ml_rerank
+
+    d = _docs(spark, sf)
+    top = _ranked(
+        bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(sf, "docs")), ["doc_id"], 20
+    ).join(d.select("doc_id", "text"), "doc_id")
+    out = ml_rerank(top, QUERY_A)
+    return out.select("doc_id", F.round("score", 6).alias("score"), "rank")
+
+
+def q_highlight(spark: SparkSession, sf: str) -> DataFrame:
+    """Fetch-phase highlighter over the top-10 (stub span model — rows-only)."""
+    from .extras.highlight import highlight_topk
+
+    d = _docs(spark, sf)
+    top = _ranked(
+        bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(sf, "docs")), ["doc_id"], 10
+    ).join(d.select("doc_id", "text"), "doc_id")
+    out = highlight_topk(top, QUERY_A)
+    return out.select("doc_id", "rank", F.size("highlights").alias("n_spans"))
+
+
+def q_hybrid_explain(spark: SparkSession, sf: str) -> DataFrame:
+    """Explain mode: per-(doc, sub-query) normalization/combination detail
+    for the hybrid top-5 (rows-only; values covered by hybrid_* oracles)."""
+    from .query.hybrid import hybrid_explain
+
+    out = hybrid_explain(_branches(spark, sf), k=5)
+    return out.select(
+        "doc_id", "subq", F.round("raw_score", 4).alias("raw_score"),
+        F.round("norm_score", 4).alias("norm_score"),
+        F.round("combined_score", 4).alias("combined_score"),
+    )
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1288,6 +1325,9 @@ def build_registry():
         "sort_search_after": q_sort_search_after,
         "hybrid_filtered": q_hybrid_filtered,
         "hybrid_agg": q_hybrid_agg,
+        "ml_rerank": q_ml_rerank,
+        "highlight": q_highlight,
+        "hybrid_explain": q_hybrid_explain,
     }
     oracles = {
         "bm25_topk_docs": sql_bm25_topk_docs(),

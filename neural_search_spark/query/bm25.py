@@ -84,6 +84,19 @@ class BM25Index:
             zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist()))
         )
 
+    def cache(self) -> "BM25Index":
+        """Serving mode: pin the posting blocks in executor memory
+        (MEMORY_AND_DISK). Repeated queries then skip the parquet scan —
+        what a deployed search tier does with its hot shards."""
+        from pyspark import StorageLevel
+
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(self._postings_path)
+        self._postings_df = self._postings_df.persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        return self
+
     def postings_for(self, terms: list[str]) -> DataFrame:
         """Scan only the term_buckets of the query terms (partition pruning,
         tids/buckets computed driver-side in Python — same h60 hash as the

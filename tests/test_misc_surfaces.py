@@ -92,3 +92,38 @@ def test_track_total_hits(spark):
     assert track_total_hits(df, up_to=10) == {"value": 10, "relation": "gte"}
     assert track_total_hits(df, up_to=1000) == {"value": 100, "relation": "eq"}
     assert track_total_hits(df, up_to=None) == {"value": 100, "relation": "eq"}
+
+
+def test_sources_parquet_and_schema(spark, transcripts_path):
+    from neural_search_spark import sources
+
+    df = sources.load_transcripts(spark, transcripts_path)
+    assert df.columns == sources.TRANSCRIPT_COLUMNS
+    assert df.count() > 0
+
+
+def test_sources_missing_columns(spark):
+    from neural_search_spark import sources
+
+    bad = spark.createDataFrame([(1,)], "x int")
+    bad.createOrReplaceTempView("bad_table")
+    with pytest.raises(ValueError, match="missing columns"):
+        sources.load_transcripts(spark, "bad_table")
+
+
+def test_sources_iceberg_unavailable(spark):
+    from neural_search_spark import sources
+
+    assert sources.iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        sources.load_table(spark, "iceberg:db.transcripts")
+
+
+def test_index_cache_serving(spark, small_index):
+    from neural_search_spark.query.bm25 import BM25Index, bm25_topk
+
+    idx = BM25Index(spark, small_index).cache()
+    a = bm25_topk(idx, "the tool", k=5).toPandas()
+    b = bm25_topk(idx, "the tool", k=5).toPandas()
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert idx._postings_df.is_cached
