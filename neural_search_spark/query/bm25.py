@@ -65,6 +65,8 @@ class BM25Index:
         self._terms_path = os.path.join(path, "terms")
         self._postings_path = os.path.join(path, "postings")
         self._postings_df: DataFrame | None = None
+        self._terms_ds = None  # cached pyarrow datasets (file listings)
+        self._postings_ds = None
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         """Driver-side term-dictionary lookup: a pyarrow predicate-pushdown
@@ -76,7 +78,9 @@ class BM25Index:
             return {}
         import pyarrow.dataset as ds
 
-        dataset = ds.dataset(self._terms_path, format="parquet")
+        if self._terms_ds is None:
+            self._terms_ds = ds.dataset(self._terms_path, format="parquet")
+        dataset = self._terms_ds
         tbl = dataset.to_table(
             columns=["term", "df"], filter=ds.field("term").isin(terms)
         )
@@ -241,20 +245,102 @@ def _maxscore_shard_scorer(idfs: dict[str, float], k: int, k1: float, b: float, 
     return score_shard
 
 
+DRIVER_MAX_POSTINGS = 2_000_000  # auto mode: Σdf below this → driver path
+
+
+def _bm25_topk_driver(
+    index: BM25Index, idfs: dict[int, float], tids: list[int], k: int
+) -> pd.DataFrame:
+    """Coordinator-side execution for cheap queries: pyarrow reads ONLY the
+    query terms' bucket partitions (hive pruning) with a tid row-group
+    filter, then the same numpy kernel scores in-process — zero Spark jobs,
+    so p50/p99 is filesystem latency, not task scheduling. Rank-identical
+    to the distributed path (same float32 cast, same doc_id tiebreak)."""
+    import pyarrow.dataset as ds
+
+    buckets = sorted({t % N_TERM_BUCKETS for t in tids})
+    if index._postings_ds is None:
+        index._postings_ds = ds.dataset(
+            index._postings_path, format="parquet", partitioning="hive"
+        )
+    dataset = index._postings_ds
+    tbl = dataset.to_table(
+        columns=["tid", "docs", "tfs", "dls"],
+        filter=ds.field("term_bucket").isin(buckets) & ds.field("tid").isin(tids),
+    )
+    tid_arr = tbl["tid"].to_numpy()
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+    acc_ids = np.empty(0, dtype=np.int64)
+    acc_sc = np.empty(0, dtype=np.float64)
+    docs_col = tbl["docs"].to_pylist()
+    tfs_col = tbl["tfs"].to_pylist()
+    dls_col = tbl["dls"].to_pylist()
+    for tid in tids:
+        rows = np.flatnonzero(tid_arr == tid)
+        if len(rows) == 0:
+            continue
+        ids = np.concatenate([decode_doc_ids(docs_col[i]) for i in rows])
+        tfs = np.concatenate([decode_varint(tfs_col[i]) for i in rows]).astype(
+            np.float64
+        )
+        dls = np.concatenate([decode_varint(dls_col[i]) for i in rows]).astype(
+            np.float64
+        )
+        contrib = idfs[tid] * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        merged_ids = np.concatenate([acc_ids, ids])
+        merged_sc = np.concatenate([acc_sc, contrib])
+        acc_ids, inv = np.unique(merged_ids, return_inverse=True)
+        acc_sc = np.zeros(len(acc_ids), dtype=np.float64)
+        np.add.at(acc_sc, inv, merged_sc)
+    f32 = acc_sc.astype(np.float32)
+    sel = np.lexsort((acc_ids, -f32.astype(np.float64)))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": acc_ids[sel],
+            "score": f32[sel],
+            "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+        }
+    )
+
+
 def bm25_topk(
     index: BM25Index,
     query_text: str,
     k: int = 10,
     merge: str = "takeOrdered",
+    mode: str = "auto",
 ) -> DataFrame:
-    """Block-max top-k over the index. Returns (doc_id, score, rank)."""
+    """Block-max top-k over the index. Returns (doc_id, score, rank).
+
+    mode: 'auto' (driver-side execution when the query's Σdf is under
+    DRIVER_MAX_POSTINGS — the coordinator-cheap-query pattern), 'driver',
+    or 'distributed'."""
     terms = sorted(set(tokenize_py(query_text)))
     stats = index.term_stats(terms)
     terms = [t for t in terms if t in stats]
     spark = index.spark
     if not terms:
-        return spark.createDataFrame([], schema="doc_id long, score float, rank int")
+        # empty result via range(0): both the bare-list and the empty-pandas
+        # createDataFrame forms skip the Arrow fast path and cost ~300 ms —
+        # this form collects in ~40 ms (it dominated absent-term p99)
+        return spark.range(0).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).cast("float").alias("score"),
+            F.lit(0).cast("int").alias("rank"),
+        )
     idfs = {tid_py(t): lucene_idf(index.n_docs, stats[t]) for t in terms}
+    if merge == "treeAggregate" and mode == "auto":
+        mode = "distributed"  # the caller asked for the cluster merge path
+    if mode == "driver" or (
+        mode == "auto"
+        and sum(stats[t] for t in terms) <= DRIVER_MAX_POSTINGS
+    ):
+        pdf = _bm25_topk_driver(
+            index, idfs, sorted(tid_py(t) for t in terms), k
+        )
+        return spark.createDataFrame(
+            pdf, schema="doc_id long, score float, rank int"
+        )
     # column-prune before the shuffle: the scorer needs 8 of the 12 block
     # columns (block_seq/n_docs/sum_tf/term_bucket never leave the scan),
     # and every one of them is fixed-width → zero-copy Arrow→numpy
@@ -341,8 +427,11 @@ def bm25_topk_batch(
     }
     live = {qid: ts for qid, ts in q_tids.items() if ts}
     if not live:
-        return spark.createDataFrame(
-            [], schema="query_id string, doc_id long, score float, rank int"
+        return spark.range(0).select(
+            F.lit("").alias("query_id"),
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).cast("float").alias("score"),
+            F.lit(0).cast("int").alias("rank"),
         )
     k1, b, avgdl = index.k1, index.b, index.avgdl
 

@@ -37,7 +37,9 @@ QUERIES = generate_queries(20)
 def test_rank_identity_blockmax(spark, index, oracle, qid):
     row = QUERIES[QUERIES["query_id"] == qid].iloc[0]
     expected = oracle.topk(row["query_text"], k=int(row["k"]))
-    got = bm25_topk(index, row["query_text"], k=int(row["k"])).toPandas()
+    got = bm25_topk(
+        index, row["query_text"], k=int(row["k"]), mode="distributed"
+    ).toPandas()
     assert got["doc_id"].tolist() == expected["doc_id"].tolist(), (
         f"docID mismatch for {qid} ({row['query_text']!r})"
     )
@@ -124,3 +126,18 @@ def test_salted_hot_term_build_rank_identity(
         np.testing.assert_allclose(
             got["score"].to_numpy(), expected["score"].to_numpy(), rtol=1e-6
         )
+
+
+@pytest.mark.parametrize("qid", QUERIES["query_id"].tolist()[:8])
+def test_rank_identity_driver_mode(spark, index, oracle, qid):
+    """Coordinator-side execution path (pyarrow, zero Spark jobs) is
+    rank-identical to the oracle and to the distributed path."""
+    from neural_search_spark.query.bm25 import bm25_topk
+
+    row = QUERIES[QUERIES["query_id"] == qid].iloc[0]
+    expected = oracle.topk(row["query_text"], k=10)
+    got = bm25_topk(index, row["query_text"], k=10, mode="driver").toPandas()
+    assert got["doc_id"].tolist() == expected["doc_id"].tolist(), qid
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), expected["score"].to_numpy(), rtol=1e-6
+    )
