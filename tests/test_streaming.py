@@ -1,0 +1,117 @@
+"""Structured-Streaming ingest: staging with exactly-once checkpoints,
+watermarked rollups, streaming dedup, and the stream→resume-build loop."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from neural_search_spark.streaming import ingest
+from neural_search_spark.transcripts import generate_transcripts
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return {
+        "src": str(src),
+        "staging": str(tmp_path / "staging"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _drop_file(src_dir: str, pdf: pd.DataFrame, name: str):
+    pdf.to_parquet(os.path.join(src_dir, name), index=False)
+
+
+def test_stage_stream_exactly_once(spark, stream_dirs):
+    pdf = generate_transcripts(50, seed=1)
+    _drop_file(stream_dirs["src"], pdf.iloc[:100], "a.parquet")
+    st = ingest.stream_transcripts(spark, stream_dirs["src"])
+    q = ingest.stage_stream(st, stream_dirs["staging"], stream_dirs["ckpt"])
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(stream_dirs["staging"]).count()
+    assert got1 == 100
+    # second trigger: only the NEW file is processed (checkpointed offsets)
+    _drop_file(stream_dirs["src"], pdf.iloc[100:150], "b.parquet")
+    st = ingest.stream_transcripts(spark, stream_dirs["src"])
+    q = ingest.stage_stream(st, stream_dirs["staging"], stream_dirs["ckpt"])
+    q.awaitTermination(120)
+    assert spark.read.parquet(stream_dirs["staging"]).count() == 150
+
+
+def test_stream_then_resume_build(spark, stream_dirs, tmp_path):
+    """The Lambda loop: stream → staging → batch index build; more stream
+    → resume-build folds the new turns in; queries see everything."""
+    from neural_search_spark.index.build import IndexBuilder
+    from neural_search_spark.query.bm25 import BM25Index, bm25_topk
+
+    pdf = generate_transcripts(80, seed=2)
+    half = len(pdf) // 2
+    _drop_file(stream_dirs["src"], pdf.iloc[:half], "a.parquet")
+    st = ingest.stream_transcripts(spark, stream_dirs["src"])
+    ingest.stage_stream(
+        st, stream_dirs["staging"], stream_dirs["ckpt"]
+    ).awaitTermination(120)
+    out = str(tmp_path / "idx")
+    IndexBuilder(spark, out, n_shards=4, block_size=64).build(
+        spark.read.parquet(stream_dirs["staging"])
+    )
+    n1 = BM25Index(spark, out).n_docs
+    assert n1 == half
+    # new arrivals → stage → full rebuild-from-scratch of changed corpus
+    # (resume covers crash-restart; corpus growth rebuilds: doc stats and
+    # idf change with N, so a grown corpus is a new index version)
+    _drop_file(stream_dirs["src"], pdf.iloc[half:], "b.parquet")
+    st = ingest.stream_transcripts(spark, stream_dirs["src"])
+    ingest.stage_stream(
+        st, stream_dirs["staging"], stream_dirs["ckpt"]
+    ).awaitTermination(120)
+    IndexBuilder(spark, out, n_shards=4, block_size=64).build(
+        spark.read.parquet(stream_dirs["staging"])
+    )
+    idx = BM25Index(spark, out)
+    assert idx.n_docs == len(pdf)
+    assert bm25_topk(idx, "the", k=5).count() == 5
+
+
+def test_turn_rollup_stream(spark, stream_dirs):
+    pdf = generate_transcripts(40, seed=3)
+    _drop_file(stream_dirs["src"], pdf, "a.parquet")
+    st = ingest.stream_transcripts(spark, stream_dirs["src"])
+    rolled = ingest.turn_rollup_stream(st, window="5 minutes")
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM rollup_test").toPandas()
+    assert got.n_turns.sum() == len(pdf)
+    assert set(got.role) <= {"user", "assistant", "tool"}
+    # windows align to 5-minute boundaries
+    assert (got.win_start.astype("int64") // 10**9 % 300 == 0).all()
+
+
+def test_dedup_stream(spark, stream_dirs):
+    pdf = generate_transcripts(30, seed=4)
+    dup = pd.concat([pdf, pdf.iloc[:20]], ignore_index=True)
+    _drop_file(stream_dirs["src"], dup, "a.parquet")
+    st = ingest.stream_transcripts(spark, stream_dirs["src"])
+    deduped = ingest.dedup_stream(st)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_test").toPandas()
+    # each distinct text kept exactly once
+    assert len(got) == pdf.text.map(
+        lambda t: " ".join(t.lower().split())
+    ).nunique()
