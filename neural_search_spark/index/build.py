@@ -44,6 +44,7 @@ from .. import BLOCK_SIZE, BM25_B, BM25_K1
 from ..tokenizer import tokenize_expr
 from .codec import encode_doc_ids, encode_varint
 
+INDEX_FORMAT_VERSION = 2  # v2: int64 tid postings (v1 stored term strings)
 N_TERM_BUCKETS = 64  # on-disk partitions; query prunes to its terms' buckets
 
 
@@ -445,6 +446,7 @@ class IndexBuilder:
             pd.DataFrame(
                 {
                     "run_id": [run_id],
+                    "format_version": [INDEX_FORMAT_VERSION],
                     "n_docs": [n_docs],
                     "avgdl": [avgdl],
                     "n_shards": [self.n_shards],

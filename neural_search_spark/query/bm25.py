@@ -57,6 +57,18 @@ class BM25Index:
         self.spark = spark
         self.path = path
         srow = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        from ..index.build import INDEX_FORMAT_VERSION
+
+        ver = (
+            int(srow["format_version"])
+            if "format_version" in srow.asDict()
+            else 1
+        )
+        if ver != INDEX_FORMAT_VERSION:
+            raise ValueError(
+                f"index at {path} has format v{ver}; this engine reads "
+                f"v{INDEX_FORMAT_VERSION} — rebuild with IndexBuilder"
+            )
         self.n_docs = int(srow["n_docs"])
         self.avgdl = float(srow["avgdl"])
         self.k1 = float(srow["k1"])
