@@ -201,7 +201,14 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band-join →
     exact-Jaccard verify ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
-    sh = shingles(df, text_col, id_col, shingle_n)
+    from pyspark import StorageLevel
+
+    # the shingle table feeds signatures, sizes and the intersection join —
+    # persist it once instead of re-tokenizing the corpus three times
+    # (disk-backed; LRU-evicted when the pipeline's actions finish)
+    sh = shingles(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands)
     return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
