@@ -50,4 +50,10 @@ def oracle_sql() -> dict[str, str]:
         )
     except Exception:
         pass  # rows-only check for lsh_ann_topk if the probe fails
+    try:
+        # IVF oracle replays the driver-side centroid pick + probe choice
+        # from the same parquet, then runs fully in DuckDB
+        oracles["ivf_ann_topk"] = gate.sql_ivf_ann_for_sf(_ORACLE_SF)
+    except Exception:
+        pass  # rows-only check if the probe fails
     return oracles

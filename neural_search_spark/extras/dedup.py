@@ -226,16 +226,28 @@ def simhash(
     """(doc_id, simhash): 64-bit sign-aggregated fingerprint. Per doc-term:
     tf-weighted ±1 vote per bit of h60(term); bit set where the vote sum is
     positive. One groupBy(doc) aggregation with ``bits`` agg expressions —
-    stays entirely in codegen (the tall form would 64× the shuffle)."""
+    stays entirely in codegen (the tall form would 64× the shuffle).
+
+    h60 only yields 60 bits, so bits 60..63 come from a second seeded h60
+    ('sh') — all 64 bits vary, keeping the 4 pigeonhole prefix regions of
+    ``simhash_near_dups`` balanced (16 effective bits each)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(text_col)).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     h = h60(F.col("term"))
+    h2 = h60(F.col("term"), seed="sh")
+
+    def _bit(i: int):
+        return (
+            F.shiftright(h, i).bitwiseAND(F.lit(1))
+            if i < 60
+            else F.shiftright(h2, i - 60).bitwiseAND(F.lit(1))
+        )
+
     votes = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-            .otherwise(-F.col("tf"))
+            F.when(_bit(i) == 1, F.col("tf")).otherwise(-F.col("tf"))
         ).alias(f"v{i}")
         for i in range(bits)
     ]

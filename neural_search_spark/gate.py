@@ -292,7 +292,7 @@ def sql_term_stats() -> str:
     return f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY ALL),
-stats AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term)
+stats AS (SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term)
 SELECT term, df, cf, row_number() OVER (ORDER BY df DESC, term)::INTEGER AS rank
 FROM stats ORDER BY df DESC, term LIMIT 50"""
 
@@ -436,12 +436,21 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 def sql_simhash() -> str:
     h = h60_sql("term")
+    h2 = h60_sql("term", "sh")  # bits 60..63 (h60 only yields 60 bits)
+
+    def bit(i: int) -> str:
+        return f"(({h} >> {i}) & 1)" if i < 60 else f"(({h2} >> {i - 60}) & 1)"
+
     votes = ", ".join(
-        f"sum(CASE WHEN (({h} >> {i}) & 1) = 1 THEN tf ELSE -tf END) AS v{i}"
+        f"sum(CASE WHEN {bit(i)} = 1 THEN tf ELSE -tf END) AS v{i}"
         for i in range(64)
     )
+    # bit 63: -(2^63) must be written as (-2^63+1)-1 — a bare
+    # -9223372036854775808::BIGINT parses as cast-of-positive-2^63 (overflow)
     sig = " + ".join(
-        f"(CASE WHEN v{i} > 0 THEN {(1 << i) if i < 63 else -(1 << 63)}::BIGINT ELSE 0::BIGINT END)"
+        f"(CASE WHEN v{i} > 0 THEN "
+        + (f"{1 << i}::BIGINT" if i < 63 else "(-9223372036854775807 - 1)::BIGINT")
+        + " ELSE 0::BIGINT END)"
         for i in range(64)
     )
     return f"""
@@ -552,14 +561,78 @@ WHERE bit_count(xor(bucket, {qbucket}::BIGINT)) <= 1"""
     return _topk_sql(inner, ["vec_id"], 10, score_col="cosine")
 
 
+_IVF_LISTS = 8
+_IVF_NPROBE = 4
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-flat ANN (rows-only check: centroid selection is driver-side)."""
+    """IVF-flat ANN: deterministic centroids (h60-smallest ids) so the
+    oracle can replicate the pick + probe choice from the same parquet."""
     emb = _emb(spark, sf)
     qv = _query_vec(spark, sf)
-    assigned, cents = similarity.ivf_assign(emb, n_lists=8)
-    out = similarity.ivf_topk(assigned, cents, qv, k=10, nprobe=4).drop("rank")
+    assigned, cents = similarity.ivf_assign(emb, n_lists=_IVF_LISTS)
+    out = similarity.ivf_topk(
+        assigned, cents, qv, k=10, nprobe=_IVF_NPROBE
+    ).drop("rank")
     scored = out.select("vec_id", F.round("cosine", 6).alias("cosine"))
     return _ranked(scored, ["vec_id"], 10, score_col="cosine")
+
+
+def sql_ivf_ann_for_sf(sf_dir: str) -> str:
+    """Oracle for q_ivf_ann_topk: replays the engine's driver-side steps
+    (centroid pick = h60-smallest vec_ids; probe list = nprobe nearest
+    normalized centroids to the normalized query) in python over the SAME
+    parquet, then embeds the normalized-centroid literals so assignment,
+    probe filter and exact cosine run entirely in DuckDB. Dot products are
+    sequential-fold doubles in both engines → bit-exact argmax/ordering."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    picked = sorted(rows, key=lambda r: (h(r[0]), r[0]))[:_IVF_LISTS]
+    cents = np.array([np.asarray(r[1], dtype=np.float64) for r in picked])
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    qv = np.asarray(
+        next(r[1] for r in rows if r[0] == 0), dtype=np.float64
+    )
+    qn = qv / np.linalg.norm(qv)
+    probe = [int(i) for i in np.argsort(-(cents @ qn), kind="stable")[:_IVF_NPROBE]]
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in cents[i]) + "]::DOUBLE[]"
+        for i in range(_IVF_LISTS)
+    ]
+    sims = ", ".join(
+        f"list_dot_product(v, {lits[i]}) / sqrt(list_dot_product(v, v)) AS s{i}"
+        for i in range(_IVF_LISTS)
+    )
+    mx = "greatest(" + ", ".join(f"s{i}" for i in range(_IVF_LISTS)) + ")"
+    # first CASE match = smallest i — matches Spark greatest(struct(s, -i))
+    argmax = "CASE " + " ".join(
+        f"WHEN s{i} = mx THEN {i}" for i in range(_IVF_LISTS)
+    ) + " END"
+    probes = ", ".join(str(i) for i in probe)
+    inner = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id, v, {sims} FROM e),
+a AS (SELECT vec_id, v, {argmax} AS list_id FROM (SELECT *, {mx} AS mx FROM s)),
+probed AS (SELECT vec_id, v FROM a WHERE list_id IN ({probes})),
+raw AS (
+  SELECT vec_id,
+    list_dot_product(v, q.qv) /
+      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM probed CROSS JOIN q
+  ORDER BY c DESC, vec_id LIMIT 10)
+SELECT vec_id, round(c, 6) AS cosine FROM raw"""
+    return _topk_sql(inner, ["vec_id"], 10, score_col="cosine")
 
 
 # ---------------------------------------------------------------------------

