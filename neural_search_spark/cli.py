@@ -84,6 +84,31 @@ def cmd_query_batch(args) -> None:
     print(json.dumps({"queries": len(pairs), "output": args.output}))
 
 
+def cmd_search(args) -> None:
+    """Engine.search() front door: routes a JSON QuerySpec/HybridSpec tree
+    to the attached indexes / corpus (HybridQueryPhaseSearcher analog)."""
+    from .engine import Engine
+    from .index.sparse import SparseIndex
+    from .query.bm25 import BM25Index
+
+    spark = _get_session(args)
+    if args.spec_json:
+        spec = args.spec_json
+    else:
+        with open(args.spec) as f:
+            spec = f.read()
+    eng = Engine(
+        spark,
+        corpus=spark.read.parquet(args.corpus) if args.corpus else None,
+        bm25_index=BM25Index(spark, args.index) if args.index else None,
+        sparse_index=(
+            SparseIndex(spark, args.sparse_index) if args.sparse_index else None
+        ),
+    )
+    for row in eng.search(spec, k=args.k).collect():
+        print(json.dumps(row.asDict()))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="neural_search_spark")
     p.add_argument("--local-cpus", type=int, default=None,
@@ -116,6 +141,17 @@ def main(argv=None) -> None:
     qb.add_argument("--output", required=True)
     qb.add_argument("--k", type=int, default=10)
     qb.set_defaults(fn=cmd_query_batch)
+
+    s = sub.add_parser(
+        "search", help="Engine.search(): JSON QuerySpec/HybridSpec front door"
+    )
+    s.add_argument("--spec", help="path to a JSON query spec file")
+    s.add_argument("--spec-json", help="inline JSON query spec")
+    s.add_argument("--index", help="BM25 block index dir (match queries)")
+    s.add_argument("--sparse-index", help="sparse postings index dir")
+    s.add_argument("--corpus", help="corpus parquet (neural / fallback paths)")
+    s.add_argument("--k", type=int, default=10)
+    s.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,160 @@
+"""Engine.search() — the single query front door.
+
+The reference routes every search through HybridQueryPhaseSearcher
+(search/query/HybridQueryPhaseSearcher.java:41-233): hybrid queries go to
+the hybrid collector pipeline, everything else to the default query phase.
+This module is the Spark analog: one dispatcher that takes a QuerySpec (or
+a HybridSpec tree / its JSON form) and routes to the best physical plan —
+the on-disk block/sparse postings indexes when attached, the corpus scan
+plans otherwise.
+
+Routing table (spec → plan):
+
+  match          → bm25_topk over BM25Index     | bm25_scored corpus scan
+  neural_sparse  → sparse_index_topk            | sparse_topk corpus scan
+  neural / knn   → brute-force cosine over the corpus embedding column
+  hybrid{...}    → per-sub-query branches (each routed as above, bounded
+                   by pagination_depth) → normalize → combine → top-k
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .query.neural import QuerySpec, execute, rewrite
+
+
+@dataclass
+class HybridSpec:
+    """Hybrid query tree (reference query/HybridQueryBuilder.java)."""
+
+    sub_queries: list[QuerySpec]
+    normalization: str = "min_max"
+    combination: str = "arithmetic_mean"
+    weights: list[float] | None = None
+    rank_constant: int = 60
+    pagination_depth: int | None = None
+
+
+def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec:
+    """Parse the JSON query surface:
+
+      {"match": {"query_text": "..."}}
+      {"neural_sparse": {"query_tokens": {"t": 1.5}}}
+      {"neural": {"query_text": "...", "field": "embedding"}}
+      {"hybrid": {"queries": [<sub-specs>], "normalization": "min_max",
+                  "combination": "rrf", "weights": [..],
+                  "pagination_depth": 100}}
+    """
+    d = json.loads(obj) if isinstance(obj, str) else obj
+    if len(d) != 1:
+        raise ValueError("query spec must have exactly one top-level key")
+    (qtype, body), = d.items()
+    if qtype == "hybrid":
+        subs = [spec_from_json(s) for s in body.get("queries", [])]
+        if any(isinstance(s, HybridSpec) for s in subs):
+            raise ValueError("hybrid queries cannot nest")
+        return HybridSpec(
+            sub_queries=subs,
+            normalization=body.get("normalization", "min_max"),
+            combination=body.get("combination", "arithmetic_mean"),
+            weights=body.get("weights"),
+            rank_constant=body.get("rank_constant", 60),
+            pagination_depth=body.get("pagination_depth"),
+        )
+    allowed = {"match", "neural", "neural_sparse", "neural_knn"}
+    if qtype not in allowed:
+        raise ValueError(f"unknown query type: {qtype}; valid: {sorted(allowed)}")
+    return QuerySpec(query_type=qtype, **body)
+
+
+class Engine:
+    """Search facade binding the physical assets (indexes / corpus)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame | None = None,
+        bm25_index=None,
+        sparse_index=None,
+        id_col: str = "doc_id",
+    ):
+        self.spark = spark
+        self.corpus = corpus
+        self.bm25_index = bm25_index
+        self.sparse_index = sparse_index
+        self.id_col = id_col
+
+    # ---- single-branch plans ------------------------------------------
+    def _need_corpus(self, qtype: str) -> DataFrame:
+        if self.corpus is None:
+            raise ValueError(
+                f"{qtype} query needs a corpus DataFrame (no index route)"
+            )
+        return self.corpus
+
+    def _branch_topk(self, spec: QuerySpec, k: int) -> DataFrame:
+        """(doc_id, score) bounded to top-k, routed index-first."""
+        if spec.query_type == "match":
+            if self.bm25_index is not None and spec.filter is None:
+                from .query.bm25 import bm25_topk
+
+                return bm25_topk(
+                    self.bm25_index, spec.query_text or "", k=k
+                ).drop("rank")
+            scored = execute(spec, self._need_corpus("match"), self.id_col)
+            return (
+                scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            )
+        if spec.query_type == "neural_sparse":
+            spec = rewrite(spec)
+            if self.sparse_index is not None and spec.filter is None:
+                from .index.sparse import sparse_index_topk
+
+                return sparse_index_topk(
+                    self.sparse_index, spec.query_tokens or {}, k=k
+                ).drop("rank")
+            scored = execute(spec, self._need_corpus("neural_sparse"), self.id_col)
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if spec.query_type in ("neural", "neural_knn"):
+            scored = execute(
+                spec, self._need_corpus(spec.query_type), self.id_col
+            )
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        raise ValueError(f"unknown query type: {spec.query_type}")
+
+    # ---- public API ----------------------------------------------------
+    def search(
+        self, spec: QuerySpec | HybridSpec | dict | str, k: int = 10
+    ) -> DataFrame:
+        """Top-k for any spec → (doc_id, score, rank)."""
+        if isinstance(spec, (dict, str)):
+            spec = spec_from_json(spec)
+        if isinstance(spec, HybridSpec):
+            from .query.hybrid import hybrid_topk
+
+            depth = spec.pagination_depth or k
+            branches = [
+                self._branch_topk(s, depth) for s in spec.sub_queries
+            ]
+            return hybrid_topk(
+                branches,
+                k=k,
+                normalization=spec.normalization,
+                combination=spec.combination,
+                weights=spec.weights,
+                rank_constant=spec.rank_constant,
+                # branches are already depth-bounded; re-bounding is a no-op
+                pagination_depth=spec.pagination_depth,
+            )
+        out = self._branch_topk(spec, k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+        )

@@ -337,3 +337,65 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed near-dup pairs — the 100 TB path: each vector gets an
+    ``n_planes``-bit random-hyperplane sign bucket; candidate pairs come
+    from an equi-join on 4 rotated 2-bit bucket regions (pigeonhole:
+    bucket-hamming ≤ 3 guarantees a shared region), then the exact cosine
+    + bucket-hamming filters verify. The shuffle is keyed by (region,
+    rkey) — never an all-pairs cross join. Recall is the standard LSH
+    trade-off: pairs whose buckets differ in > max_hamming planes are not
+    candidates (P(miss) falls geometrically with cosine)."""
+    from .similarity import cosine_expr, hyperplanes, lsh_bucket
+
+    assert n_planes % 4 == 0
+    rb = n_planes // 4  # region width in bits
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, dim)
+    b = emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    regions = [
+        F.struct(
+            F.lit(r).alias("region"),
+            F.shiftright(F.col("bucket"), r * rb)
+            .bitwiseAND(F.lit((1 << rb) - 1))
+            .alias("rkey"),
+        )
+        for r in range(4)
+    ]
+    tall = b.select(
+        "doc_id", "v", "bucket", F.explode(F.array(*regions)).alias("reg")
+    ).select("doc_id", "v", "bucket", "reg.region", "reg.rkey")
+    a, c = tall.alias("a"), tall.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.region") == F.col("b.region"))
+            & (F.col("a.rkey") == F.col("b.rkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.bucket").bitwiseXOR(F.col("b.bucket"))
+            ).alias("hamming"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .distinct()
+    )
+    return pairs.filter(
+        (F.col("hamming") <= max_hamming) & (F.col("cosine") >= threshold)
+    ).select("id_a", "id_b", "cosine")

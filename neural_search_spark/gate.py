@@ -177,7 +177,7 @@ FROM ({inner}) ORDER BY {score_col} DESC, {keylist} LIMIT {k}"""
 
 def q_bm25_topk_docs(spark: SparkSession, sf: str) -> DataFrame:
     return _ranked(
-        bm25_scored(_docs(spark, sf), ["doc_id"], QUERY_A, stats_key=(sf, "docs")),
+        bm25_scored(_docs(spark, sf), ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs")),
         ["doc_id"], 10,
     )
 
@@ -189,7 +189,7 @@ def sql_bm25_topk_docs() -> str:
 def q_bm25_topk_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     t = derived_transcripts(spark, sf)
     return _ranked(
-        bm25_scored(t, ["conv_id", "turn_idx"], QUERY_B, stats_key=(sf, "tr")),
+        bm25_scored(t, ["conv_id", "turn_idx"], QUERY_B, stats_key=(_sf_key(sf), "tr")),
         ["conv_id", "turn_idx"],
         10,
     )
@@ -206,22 +206,57 @@ def sql_bm25_topk_transcripts() -> str:
 # ---------------------------------------------------------------------------
 # BM25 via the real index (block-max MaxScore + treeAggregate merge)
 # ---------------------------------------------------------------------------
-_INDEX_CACHE: dict[str, str] = {}
+_INDEX_CACHE: dict[tuple, str] = {}
+_SPARSE_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _sf_key(sf: str) -> tuple:
+    """Cache key = (abspath, source mtime) so a rewritten corpus in a
+    long-lived session invalidates every derived cache."""
+    path = os.path.abspath(sf)
+    try:
+        mtime = os.path.getmtime(os.path.join(path, "documents.parquet"))
+    except OSError:
+        mtime = 0.0
+    return (path, mtime)
 
 
 def _gate_index(spark: SparkSession, sf: str) -> str:
-    """Build (once per sf_dir) the real on-disk block index over the derived
-    transcripts table; queries below exercise the production path."""
-    key = os.path.abspath(sf)
+    """Build (once per sf_dir snapshot) the real on-disk block index over
+    the derived transcripts table; queries below exercise the production
+    path."""
+    key = _sf_key(sf)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     from .index.build import IndexBuilder
 
-    tag = hashlib.md5(key.encode()).hexdigest()[:8]
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:8]
     out = f"/tmp/nss_gate_index_{tag}"
     tr = derived_transcripts(spark, sf)
     IndexBuilder(spark, out, n_shards=8, block_size=256).build(tr)
     _INDEX_CACHE[key] = out
+    return out
+
+
+def _gate_sparse_index(spark: SparkSession, sf: str) -> str:
+    """Build (once per sf_dir snapshot) the sparse feature-weight postings
+    index over the documents tf features — the FeatureField analog the
+    sparse query entries exercise."""
+    key = _sf_key(sf)
+    if key in _SPARSE_INDEX_CACHE:
+        return _SPARSE_INDEX_CACHE[key]
+    from .index.sparse import SparseIndexBuilder
+
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:8]
+    out = f"/tmp/nss_gate_sparse_{tag}"
+    tall = (
+        _docs(spark, sf)
+        .select("doc_id", F.explode(tokenize_expr("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("float").alias("weight"))
+    )
+    SparseIndexBuilder(spark, out, n_shards=8, block_size=256).build(tall)
+    _SPARSE_INDEX_CACHE[key] = out
     return out
 
 
@@ -372,7 +407,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def sql_minhash_lsh_pairs() -> str:
+def _sql_lsh_jaccard(threshold: float) -> str:
     rows = _NUM_HASHES // _BANDS
     # tall band rows via UNION ALL (one SELECT per band)
     unions = " UNION ALL ".join(
@@ -408,26 +443,32 @@ j AS (
   JOIN cand USING (doc_a, doc_b)
   JOIN sizes za ON za.doc_id = i.doc_a
   JOIN sizes zb ON zb.doc_id = i.doc_b)
-SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.3"""
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= {threshold}"""
+
+
+def sql_minhash_lsh_pairs() -> str:
+    return _sql_lsh_jaccard(0.3)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    sh = dedup.shingles(_docs(spark, sf), n=3)
-    out = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.2)
+    """Exact n-gram Jaccard verification over LSH candidates — the scale
+    path (candidates-first semi-join, dedup.py jaccard_pairs(sh, cand));
+    the quadratic shingle self-join form remains available as
+    ``jaccard_pairs(sh)`` for verification-scale runs but is NOT the
+    checked path."""
+    from pyspark import StorageLevel
+
+    sh = dedup.shingles(_docs(spark, sf), n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = dedup.minhash_signatures(sh, _NUM_HASHES)
+    cand = dedup.lsh_candidate_pairs(sigs, _NUM_HASHES, _BANDS)
+    out = dedup.jaccard_pairs(sh, cand).filter(F.col("jaccard") >= 0.2)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def sql_ngram_jaccard_pairs() -> str:
-    return f"""
-WITH {_SHINGLE_SQL},
-sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
-inter AS (
-  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter
-  FROM shing sa JOIN shing sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b, round(i.inter / CAST(za.sz + zb.sz - i.inter AS DOUBLE), 6) AS jaccard
-FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b
-WHERE i.inter / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= 0.2"""
+    return _sql_lsh_jaccard(0.2)
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -460,20 +501,53 @@ votes AS (SELECT doc_id, {votes} FROM tf GROUP BY doc_id)
 SELECT doc_id, ({sig})::BIGINT AS simhash FROM votes"""
 
 
+_END_PLANES = 8
+_END_HAMMING = 3
+_EMB_DIM = 64  # TESTDATA embeddings dim (both sf0.001 and sf0.01)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    out = dedup.embedding_near_dups(_emb(spark, sf), threshold=0.35)
+    """Bucketed (LSH-region-join) near-dup pairs — the scale path; the
+    all-pairs cross-join form remains as dedup.embedding_near_dups for
+    verification-scale runs but is NOT the checked path."""
+    out = dedup.embedding_near_dups_lsh(
+        _emb(spark, sf),
+        threshold=0.35,
+        n_planes=_END_PLANES,
+        max_hamming=_END_HAMMING,
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def sql_embedding_near_dups() -> str:
-    return """
+    """Replays the engine's LSH candidate contract exactly: same literal
+    hyperplanes, 2-bit region equi-join, bucket-hamming ≤ 3 + cosine ≥
+    threshold verification."""
+    planes = similarity.hyperplanes(_END_PLANES, _EMB_DIM)
+    plane_lits = [
+        "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        for p in range(_END_PLANES)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lits[p]}::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_END_PLANES)
+    )
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e),
+t AS (SELECT vec_id, bucket, r, (bucket >> (2 * r)) & 3 AS rkey
+      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM t a JOIN t b ON a.r = b.r AND a.rkey = b.rkey AND a.vec_id < b.vec_id),
 p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_dot_product(a.v, b.v) /
-         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.35"""
+  SELECT c.id_a, c.id_b,
+         bit_count(xor(ba.bucket, bb.bucket)) AS hamming,
+         list_dot_product(ba.v, bb.v) /
+           (sqrt(list_dot_product(ba.v, ba.v)) * sqrt(list_dot_product(bb.v, bb.v))) AS cos
+  FROM cand c JOIN b ba ON ba.vec_id = c.id_a JOIN b bb ON bb.vec_id = c.id_b)
+SELECT id_a, id_b, round(cos, 6) AS cosine
+FROM p WHERE hamming <= {_END_HAMMING} AND cos >= 0.35"""
 
 
 # ---------------------------------------------------------------------------
@@ -784,10 +858,13 @@ tf AS (
 
 
 def q_sparse_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from .query.sparse import sparse_topk
+    """neural_sparse top-k via the sparse postings index (the FeatureField
+    path) — NOT the per-query corpus explode (that join-path form remains
+    as ``query.sparse.sparse_topk``, the no-index fallback)."""
+    from .index.sparse import SparseIndex, sparse_index_topk
 
-    feats = _doc_features(spark, sf)
-    return sparse_topk(feats, dict(SPARSE_Q), k=10)
+    idx = SparseIndex(spark, _gate_sparse_index(spark, sf))
+    return sparse_index_topk(idx, dict(SPARSE_Q), k=10)
 
 
 def sql_sparse_topk() -> str:
@@ -802,11 +879,14 @@ FROM tf WHERE term IN ({terms}) GROUP BY doc_id"""
 
 
 def q_sparse_two_phase(spark: SparkSession, sf: str) -> DataFrame:
-    from .query.sparse import sparse_topk_two_phase
+    """Two-phase sparse via the index: phase-1 candidates from the rare
+    high-weight tokens' pruned postings scan; phase-2 adds the hot tokens'
+    contributions for candidates only (block-range skip)."""
+    from .index.sparse import SparseIndex, sparse_index_topk_two_phase
 
-    feats = _doc_features(spark, sf)
-    return sparse_topk_two_phase(
-        feats, dict(SPARSE_Q2), k=10, prune_ratio=0.4, expansion_rate=5.0
+    idx = SparseIndex(spark, _gate_sparse_index(spark, sf))
+    return sparse_index_topk_two_phase(
+        idx, dict(SPARSE_Q2), k=10, prune_ratio=0.4, expansion_rate=5.0
     )
 
 
@@ -890,8 +970,8 @@ SELECT doc_id, token, weight FROM r WHERE run <= 0.5 * tot"""
 def _branches(spark: SparkSession, sf: str) -> list[DataFrame]:
     d = _docs(spark, sf)
     return [
-        bm25_scored(d, ["doc_id"], QUERY_A, ndp=6, stats_key=(sf, "docs")),
-        bm25_scored(d, ["doc_id"], QUERY_B, ndp=6, stats_key=(sf, "docs")),
+        bm25_scored(d, ["doc_id"], QUERY_A, ndp=6, stats_key=(_sf_key(sf), "docs")),
+        bm25_scored(d, ["doc_id"], QUERY_B, ndp=6, stats_key=(_sf_key(sf), "docs")),
     ]
 
 
@@ -1006,7 +1086,7 @@ def q_collapse_by_source(spark: SparkSession, sf: str) -> DataFrame:
     from .query.hybrid import collapse_top1
 
     d = _docs(spark, sf)
-    scored = bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(sf, "docs")).join(
+    scored = bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs")).join(
         d.select("doc_id", "source"), "doc_id"
     )
     out = collapse_top1(scored, "source", k=5)
@@ -1028,7 +1108,7 @@ def q_rerank_by_field(spark: SparkSession, sf: str) -> DataFrame:
     from .query.hybrid import rerank_by_field
 
     d = _docs(spark, sf)
-    top = _ranked(bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(sf, "docs")), ["doc_id"], 20)
+    top = _ranked(bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs")), ["doc_id"], 20)
     out = rerank_by_field(top, d.select("doc_id", "n_chars"), "n_chars")
     return out.select("doc_id", "score", "rank")
 
@@ -1287,8 +1367,8 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
     aggs see the raw per-sub-query matched set): per-source doc count and
     max branch score over the union of both branches' matches."""
     d = _docs(spark, sf)
-    b0 = bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(sf, "docs"))
-    b1 = bm25_scored(d, ["doc_id"], QUERY_B, stats_key=(sf, "docs"))
+    b0 = bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs"))
+    b1 = bm25_scored(d, ["doc_id"], QUERY_B, stats_key=(_sf_key(sf), "docs"))
     matched = b0.unionAll(b1).groupBy("doc_id").agg(F.max("score").alias("best"))
     return (
         matched.join(d.select("doc_id", "source"), "doc_id")
@@ -1318,7 +1398,7 @@ def q_ml_rerank(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _docs(spark, sf)
     top = _ranked(
-        bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(sf, "docs")), ["doc_id"], 20
+        bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs")), ["doc_id"], 20
     ).join(d.select("doc_id", "text"), "doc_id")
     out = ml_rerank(top, QUERY_A)
     return out.select("doc_id", F.round("score", 6).alias("score"), "rank")
@@ -1330,7 +1410,7 @@ def q_highlight(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _docs(spark, sf)
     top = _ranked(
-        bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(sf, "docs")), ["doc_id"], 10
+        bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs")), ["doc_id"], 10
     ).join(d.select("doc_id", "text"), "doc_id")
     out = highlight_topk(top, QUERY_A)
     return out.select("doc_id", "rank", F.size("highlights").alias("n_spans"))
@@ -1347,6 +1427,367 @@ def q_hybrid_explain(spark: SparkSession, sf: str) -> DataFrame:
         F.round("norm_score", 4).alias("norm_score"),
         F.round("combined_score", 4).alias("combined_score"),
     )
+
+def q_hybrid_index_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid end-to-end over the BLOCK INDEX (reference flagship path:
+    HybridCollectorManager over Lucene postings → normalize → combine):
+    two bm25_topk branches from the on-disk index, each bounded to a
+    pagination_depth of 50 (over-fetch on the engine's float32 ordering,
+    re-ranked on the rounded score so the oracle's double ordering selects
+    identical branch membership), min_max normalize (groupBy+broadcast
+    stats), arithmetic-mean combine, top-10."""
+    from .index.build import doc_id_col
+    from .query.bm25 import BM25Index, bm25_topk
+    from .query.hybrid import normalize_scores
+
+    idx = BM25Index(spark, _gate_index(spark, sf))
+    tr = derived_transcripts(spark, sf).withColumn("doc_id", doc_id_col())
+    keys = tr.select("doc_id", "conv_id", "turn_idx")
+    tall = None
+    for j, q in enumerate((QUERY_A, QUERY_B)):
+        raw = bm25_topk(idx, q, k=80, merge="takeOrdered").drop("rank")
+        b = (
+            raw.join(keys, "doc_id")
+            .select(
+                "doc_id", "conv_id", "turn_idx",
+                F.round(F.col("score").cast("double"), 4).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+            .limit(50)
+            .select(F.lit(j).alias("subq"), "doc_id", "conv_id", "turn_idx", "score")
+        )
+        tall = b if tall is None else tall.unionAll(b)
+    normed = normalize_scores(tall, "min_max")
+    combined = normed.groupBy("conv_id", "turn_idx").agg(
+        F.round(
+            (F.sum("norm_score") / F.lit(2.0)).cast("float").cast("double"), 4
+        ).alias("score")
+    )
+    return _ranked(combined, ["conv_id", "turn_idx"], 10)
+
+
+def sql_hybrid_index_minmax() -> str:
+    b0 = bm25_scored_sql(TRANSCRIPTS_SQL, ["conv_id", "turn_idx"], QUERY_A, ndp=4)
+    b1 = bm25_scored_sql(TRANSCRIPTS_SQL, ["conv_id", "turn_idx"], QUERY_B, ndp=4)
+    inner = f"""
+WITH t0 AS (SELECT conv_id, turn_idx, score FROM ({b0})
+            ORDER BY score DESC, conv_id, turn_idx LIMIT 50),
+t1 AS (SELECT conv_id, turn_idx, score FROM ({b1})
+       ORDER BY score DESC, conv_id, turn_idx LIMIT 50),
+tall AS (
+  SELECT 0 AS subq, conv_id, turn_idx, score FROM t0
+  UNION ALL
+  SELECT 1 AS subq, conv_id, turn_idx, score FROM t1),
+n AS (SELECT subq, conv_id, turn_idx, score,
+        min(score) OVER (PARTITION BY subq) AS mn,
+        max(score) OVER (PARTITION BY subq) AS mx FROM tall),
+nn AS (SELECT subq, conv_id, turn_idx,
+        (CASE WHEN mx = mn AND mx = score THEN 1.0
+              WHEN (score - mn)/(mx - mn) = 0.0 THEN 0.001
+              ELSE (score - mn)/(mx - mn) END)::REAL::DOUBLE AS ns FROM n)
+SELECT conv_id, turn_idx, round((sum(ns) / 2.0)::REAL::DOUBLE, 4) AS score
+FROM nn GROUP BY conv_id, turn_idx"""
+    return _topk_sql(inner, ["conv_id", "turn_idx"], 10)
+
+
+_TOKEN_LIMIT = 20
+
+
+def q_chunk_fixed_token(spark: SparkSession, sf: str) -> DataFrame:
+    from .chunking import chunk_table
+
+    return chunk_table(
+        _docs(spark, sf),
+        algorithm="fixed_token_length",
+        token_limit=_TOKEN_LIMIT,
+        overlap_rate=0.0,
+        max_chunk_limit=-1,
+    )
+
+
+def sql_chunk_fixed_token() -> str:
+    """Replicates FixedTokenLengthChunker offsets: token start offsets are
+    reconstructed from the interleaving of regexp token matches and their
+    separators (start of token j = Σ len(sep_1..j) + Σ len(tok_1..j-1))."""
+    L = _TOKEN_LIMIT
+    return f"""
+WITH t AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lt, '[a-z0-9]+')) AS tok,
+         generate_subscripts(regexp_extract_all(lt, '[a-z0-9]+'), 1) AS j
+  FROM t),
+seps AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lt, '[a-z0-9]+')) AS sep,
+         generate_subscripts(regexp_split_to_array(lt, '[a-z0-9]+'), 1) AS i
+  FROM t),
+tokcum AS (
+  SELECT doc_id, j,
+         coalesce(sum(length(tok)) OVER (PARTITION BY doc_id ORDER BY j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokpre
+  FROM toks),
+sepcum AS (
+  SELECT doc_id, i, sum(length(sep)) OVER (PARTITION BY doc_id ORDER BY i) AS seppre
+  FROM seps),
+starts AS (
+  SELECT tokcum.doc_id, j, (tokpre + seppre)::BIGINT AS start0
+  FROM tokcum JOIN sepcum
+    ON sepcum.doc_id = tokcum.doc_id AND sepcum.i = tokcum.j),
+nt AS (SELECT doc_id, max(j) AS n FROM starts GROUP BY doc_id),
+wins AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(ceil(n / {L}.0) AS BIGINT) - 1)) AS w
+  FROM nt WHERE n > 0),
+spans AS (
+  SELECT w.doc_id, w.w,
+    CASE WHEN w.w = 0 THEN 0 ELSE s.start0 END AS a,
+    e.start0 AS b
+  FROM wins w
+  JOIN starts s ON s.doc_id = w.doc_id AND s.j = w.w * {L} + 1
+  LEFT JOIN starts e ON e.doc_id = w.doc_id AND e.j = (w.w + 1) * {L} + 1)
+SELECT s.doc_id, s.w::INTEGER AS chunk_idx,
+  CASE WHEN s.b IS NULL THEN substr(d.text, s.a + 1)
+       ELSE substr(d.text, s.a + 1, s.b - s.a) END AS chunk
+FROM spans s JOIN documents d USING (doc_id)"""
+
+
+def q_prune_max_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    from .query.sparse import prune_exploded
+
+    tall = (
+        _docs(spark, sf)
+        .select("doc_id", F.explode(tokenize_expr("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("weight"))
+    )
+    return prune_exploded(tall, "max_ratio", 0.5).select(
+        "doc_id", "token", "weight"
+    )
+
+
+def sql_prune_max_ratio() -> str:
+    return f"""
+WITH tall AS (
+  SELECT doc_id, term AS token, count(*) AS weight
+  FROM (SELECT doc_id, unnest({TOK}) AS term FROM documents) GROUP BY ALL),
+r AS (SELECT *, max(weight) OVER (PARTITION BY doc_id) AS mx FROM tall)
+SELECT doc_id, token, weight FROM r WHERE weight >= 0.5 * mx"""
+
+
+def q_prune_abs_value(spark: SparkSession, sf: str) -> DataFrame:
+    from .query.sparse import prune_exploded
+
+    tall = (
+        _docs(spark, sf)
+        .select("doc_id", F.explode(tokenize_expr("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("weight"))
+    )
+    return prune_exploded(tall, "abs_value", 2.0).select(
+        "doc_id", "token", "weight"
+    )
+
+
+def sql_prune_abs_value() -> str:
+    return f"""
+WITH tall AS (
+  SELECT doc_id, term AS token, count(*) AS weight
+  FROM (SELECT doc_id, unnest({TOK}) AS term FROM documents) GROUP BY ALL)
+SELECT doc_id, token, weight FROM tall WHERE weight >= 2.0"""
+
+
+_LB0 = 2.0  # subq 0: mode apply
+_LB1 = 1.0  # subq 1: mode clip
+
+
+def q_minmax_lower_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """min_max with per-sub-query lower_bounds (reference Mode enum,
+    MinMaxScoreNormalizationTechnique.java:344-413): subq 0 'apply',
+    subq 1 'clip'."""
+    from .query.hybrid import LowerBound, combine_scores, normalize_scores
+
+    tall = None
+    for j, b in enumerate(_branches(spark, sf)):
+        t = b.select(
+            F.lit(j).alias("subq"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        tall = t if tall is None else tall.unionAll(t)
+    normed = normalize_scores(
+        tall,
+        "min_max",
+        lower_bounds=[
+            LowerBound("apply", _LB0),
+            LowerBound("clip", _LB1),
+        ],
+    )
+    combined = combine_scores(normed, 2, "arithmetic_mean")
+    return _ranked(
+        combined.withColumn("score", F.round("score", 4)), ["doc_id"], 10
+    )
+
+
+def sql_minmax_lower_bounds() -> str:
+    inner = f"""
+WITH {_TALL_SQL},
+n AS (SELECT subq, doc_id, score,
+        min(score) OVER (PARTITION BY subq) AS mn,
+        max(score) OVER (PARTITION BY subq) AS mx FROM tall),
+nn AS (SELECT subq, doc_id,
+  (CASE WHEN mx = mn AND mx = score THEN 1.0
+        WHEN subq = 0 THEN
+          CASE WHEN mx < {_LB0} OR score < {_LB0}
+               THEN (score - mn)/(mx - mn)
+               ELSE (score - {_LB0})/(mx - {_LB0}) END
+        ELSE
+          CASE WHEN score < mn THEN 0.0
+               WHEN mx < {_LB1} THEN (score - mn)/(mx - mn)
+               ELSE (score - {_LB1})/(mx - {_LB1}) END
+   END)::REAL::DOUBLE AS ns FROM n),
+c AS (SELECT doc_id,
+        sum(CASE WHEN ns >= 0 THEN ns ELSE 0.0 END) AS num,
+        2.0 - sum(CASE WHEN ns < 0 THEN 1.0 ELSE 0.0 END) AS den
+      FROM nn GROUP BY doc_id)
+SELECT doc_id,
+  round((CASE WHEN den = 0 THEN 0.0 ELSE num / den END)::REAL::DOUBLE, 4) AS score
+FROM c"""
+    return _topk_sql(inner, ["doc_id"], 10)
+
+
+def q_text_image_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """text_image_embedding over (text, image) where image is a
+    deterministic binary payload (the source tag's bytes)."""
+    from . import processors
+
+    d = _docs(spark, sf).withColumn("image", F.col("source").cast("binary"))
+    out = processors.text_image_embedding(d, out_col="emb")
+    cols = [F.element_at("emb", j + 1).alias(f"e{j}") for j in range(4)]
+    return out.select("doc_id", *cols)
+
+
+def sql_text_image_embedding() -> str:
+    from .extras.hashing import H60_MAX, h60_sql
+
+    joined = "(text || hex(source::BLOB))"
+    comps = ", ".join(
+        f"(({h60_sql(f'md5({joined})', j)} / {H60_MAX!r}) * 2.0 - 1.0)::REAL AS e{j}"
+        for j in range(4)
+    )
+    return f"SELECT doc_id, {comps} FROM documents"
+
+
+_SH_HAMMING = 12
+
+
+def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    sigs = dedup.simhash(_docs(spark, sf))
+    return dedup.simhash_near_dups(sigs, max_hamming=_SH_HAMMING).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+def sql_simhash_near_dups() -> str:
+    """Pairs = hamming ≤ max AND ≥1 shared 16-bit region (the engine's
+    pigeonhole candidate contract, exact only for hamming ≤ 3). The oracle
+    replays it quadratically — fine at oracle scale."""
+    sim = sql_simhash()
+    region = " OR ".join(
+        f"((a.simhash >> {16 * r}) & 65535) = ((b.simhash >> {16 * r}) & 65535)"
+        for r in range(4)
+    )
+    return f"""
+WITH sigs AS ({sim})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_HAMMING}
+  AND ({region})"""
+
+
+QUERY_C = "table query index scan"
+_W3 = [0.5, 0.3, 0.2]
+
+
+def q_hybrid_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """3-sub-query hybrid with non-uniform weights
+    (ScoreCombinationUtil.java:142 weighted arithmetic mean)."""
+    from .query.hybrid import combine_scores, normalize_scores
+
+    d = _docs(spark, sf)
+    branches = [
+        bm25_scored(d, ["doc_id"], q, ndp=6, stats_key=(_sf_key(sf), "docs"))
+        for q in (QUERY_A, QUERY_B, QUERY_C)
+    ]
+    tall = None
+    for j, b in enumerate(branches):
+        t = b.select(
+            F.lit(j).alias("subq"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        tall = t if tall is None else tall.unionAll(t)
+    combined = combine_scores(
+        normalize_scores(tall, "min_max"), 3, "arithmetic_mean", weights=_W3
+    )
+    return _ranked(
+        combined.withColumn("score", F.round("score", 4)), ["doc_id"], 10
+    )
+
+
+def sql_hybrid_weighted() -> str:
+    bs = [
+        bm25_scored_sql("documents", ["doc_id"], q, ndp=6)
+        for q in (QUERY_A, QUERY_B, QUERY_C)
+    ]
+    tall = " UNION ALL ".join(
+        f"SELECT {j} AS subq, doc_id, score FROM ({b})"
+        for j, b in enumerate(bs)
+    )
+    wcase = "CASE subq WHEN 0 THEN 0.5 WHEN 1 THEN 0.3 ELSE 0.2 END"
+    inner = f"""
+WITH tall AS ({tall}),
+n AS (SELECT subq, doc_id, score,
+        min(score) OVER (PARTITION BY subq) AS mn,
+        max(score) OVER (PARTITION BY subq) AS mx FROM tall),
+nn AS (SELECT subq, doc_id,
+        (CASE WHEN mx = mn AND mx = score THEN 1.0
+              WHEN (score - mn)/(mx - mn) = 0.0 THEN 0.001
+              ELSE (score - mn)/(mx - mn) END)::REAL::DOUBLE AS ns FROM n)
+SELECT doc_id, round((sum({wcase} * ns) / 1.0)::REAL::DOUBLE, 4) AS score
+FROM nn GROUP BY doc_id"""
+    return _topk_sql(inner, ["doc_id"], 10)
+
+
+def q_track_total_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """track_total_hits / HitsThresholdChecker: exact count under the
+    threshold ('eq'), clipped with 'gte' above it — two thresholds."""
+    from .query.rerank import track_total_hits
+
+    matched = bm25_scored(
+        _docs(spark, sf), ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs")
+    )
+    rows = []
+    for up_to in (50, 1_000_000):
+        r = track_total_hits(matched, up_to=up_to)
+        rows.append((up_to, r["value"], r["relation"]))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["up_to", "total_hits", "relation"])
+    ).select(
+        F.col("up_to").cast("long"),
+        F.col("total_hits").cast("long"),
+        "relation",
+    )
+
+
+def sql_track_total_hits() -> str:
+    scored = bm25_scored_sql("documents", ["doc_id"], QUERY_A)
+    return f"""
+WITH m AS (SELECT count(*) AS c FROM ({scored}))
+SELECT 50::BIGINT AS up_to, least(c, 50)::BIGINT AS total_hits,
+       CASE WHEN c > 50 THEN 'gte' ELSE 'eq' END AS relation FROM m
+UNION ALL
+SELECT 1000000::BIGINT, least(c, 1000000)::BIGINT,
+       CASE WHEN c > 1000000 THEN 'gte' ELSE 'eq' END FROM m"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -1401,6 +1842,15 @@ def build_registry():
         "ml_rerank": q_ml_rerank,
         "highlight": q_highlight,
         "hybrid_explain": q_hybrid_explain,
+        "hybrid_index_minmax": q_hybrid_index_minmax,
+        "chunk_fixed_token": q_chunk_fixed_token,
+        "prune_max_ratio": q_prune_max_ratio,
+        "prune_abs_value": q_prune_abs_value,
+        "minmax_lower_bounds": q_minmax_lower_bounds,
+        "text_image_embedding": q_text_image_embedding,
+        "simhash_near_dups": q_simhash_near_dups,
+        "hybrid_weighted": q_hybrid_weighted,
+        "track_total_hits": q_track_total_hits,
     }
     oracles = {
         "bm25_topk_docs": sql_bm25_topk_docs(),
@@ -1441,6 +1891,15 @@ def build_registry():
         "sort_search_after": sql_sort_search_after(),
         "hybrid_filtered": sql_hybrid_filtered(),
         "hybrid_agg": sql_hybrid_agg(),
+        "hybrid_index_minmax": sql_hybrid_index_minmax(),
+        "chunk_fixed_token": sql_chunk_fixed_token(),
+        "prune_max_ratio": sql_prune_max_ratio(),
+        "prune_abs_value": sql_prune_abs_value(),
+        "minmax_lower_bounds": sql_minmax_lower_bounds(),
+        "text_image_embedding": sql_text_image_embedding(),
+        "simhash_near_dups": sql_simhash_near_dups(),
+        "hybrid_weighted": sql_hybrid_weighted(),
+        "track_total_hits": sql_track_total_hits(),
         # lsh_ann_topk needs driver-side constants → resolved lazily by the
         # parity harness; the driver gets a plain SQL at default sf via
         # __spark_entry__.oracle_sql().

@@ -243,7 +243,12 @@ class IndexBuilder:
         block_size: int = BLOCK_SIZE,
         k1: float = BM25_K1,
         b: float = BM25_B,
-        target_postings_per_task: int = 2_000_000,
+        # bounds the collect_list cell in build_blocks_jvm: one (tid,
+        # shard, salt) group materializes ≤ target structs of ~24 B in a
+        # single array cell (~12 MB at 500k) before slicing into blocks —
+        # keep well under executor row-size comfort; raising it trades
+        # fewer salted groups for bigger single-row memory spikes
+        target_postings_per_task: int = 500_000,
         n_term_groups: int = 32,
     ):
         self.spark = spark

@@ -81,6 +81,16 @@ def decode_doc_ids(buf: bytes) -> np.ndarray:
     return (u - _SIGN_FLIP).astype(np.int64)
 
 
+def encode_f32(vals: np.ndarray) -> bytes:
+    """Raw little-endian float32 payload (sparse feature weights — the
+    FeatureField analog stores one float per posting, not an int tf)."""
+    return np.ascontiguousarray(vals, dtype="<f4").tobytes()
+
+
+def decode_f32(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype="<f4")
+
+
 def encode_tfs(tfs: np.ndarray) -> bytes:
     return encode_varint(tfs.astype(np.uint64))
 

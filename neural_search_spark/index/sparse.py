@@ -1,0 +1,495 @@
+"""Sparse (feature-weight) postings index — the FeatureField analog.
+
+The reference scores neural_sparse queries against Lucene FeatureField
+postings (query/NeuralSparseQueryBuilder.java:497-506: doc score =
+Σ query_weight × doc_weight over shared tokens); SURVEY.md §1 maps this to
+"posting-list form identical to the BM25 index with weight payloads".
+Without an index, every sparse query is a full corpus explode+shuffle —
+this module gives sparse/two-phase queries the same pruned-scan path the
+BM25 block index gives match queries:
+
+  tall features (doc_id, token, weight)
+    ──► tid = h60(token); shard_id = hash(doc_id) % n_shards
+    ──► hot-token salting by df (same range-salt plan as the BM25 build)
+    ──► JVM block build: sort_array(collect_list) → slice → per-block
+        doc_id varint-delta + raw-f32 weight payloads + max_weight
+        (the block-max bound used for skipping)
+    ──► parquet partitioned by term_bucket (query prunes to its tokens'
+        buckets) + terms / stats / lineage tables.
+
+Query side mirrors query/bm25.py: auto driver-side execution for
+sub-threshold queries (pyarrow pruned read, numpy accumulate), distributed
+per-shard applyInPandas kernels above, two-phase candidate/rescore built on
+top (processor/NeuralSparseTwoPhaseProcessor.java:37-252 semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import BLOCK_SIZE
+from .build import N_TERM_BUCKETS, _range_salt, tid_expr, tid_py
+from .codec import decode_doc_ids, decode_f32, encode_doc_ids, encode_f32
+
+SPARSE_FORMAT_VERSION = 1
+
+SPARSE_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.FloatType()),
+    ]
+)
+
+
+def _encode_udfs():
+    @F.pandas_udf(T.BinaryType())
+    def enc_docs(col: pd.Series) -> pd.Series:
+        return col.map(lambda a: encode_doc_ids(np.asarray(a, dtype=np.int64)))
+
+    @F.pandas_udf(T.BinaryType())
+    def enc_w(col: pd.Series) -> pd.Series:
+        return col.map(lambda a: encode_f32(np.asarray(a, dtype=np.float32)))
+
+    return enc_docs, enc_w
+
+
+class SparseIndexBuilder:
+    """Builds the on-disk sparse postings index from a tall feature table
+    (doc_id long, token string, weight float) — the sparse_encoding
+    processor's output form."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_shards: int = 32,
+        block_size: int = BLOCK_SIZE,
+        # bounds the collect_list cell (≈12 B/struct → ~6 MB per group row)
+        target_postings_per_task: int = 500_000,
+    ):
+        self.spark = spark
+        self.out = out_dir
+        self.n_shards = n_shards
+        self.block_size = block_size
+        self.target = target_postings_per_task
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.out, name)
+
+    def build(self, features: DataFrame) -> dict:
+        if os.path.exists(self.out):
+            shutil.rmtree(self.out)
+        os.makedirs(self.out, exist_ok=True)
+        tall = features.select(
+            F.col("doc_id").cast("long"),
+            tid_expr("token").alias("tid"),
+            F.col("weight").cast("float"),
+        ).withColumn(
+            "shard_id",
+            F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(self.n_shards)).cast(
+                "int"
+            ),
+        )
+
+        # token dictionary + df (drives query planning AND the salt plan)
+        tstats = (
+            features.select("token", tid_expr("token").alias("tid"))
+            .groupBy("token", "tid")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        tstats.write.mode("overwrite").parquet(self._p("terms"))
+        terms = self.spark.read.parquet(self._p("terms"))
+        hot = terms.filter(
+            F.col("df") > F.lit(self.target * self.n_shards)
+        ).select(
+            "tid",
+            F.ceil(F.col("df") / F.lit(self.target * self.n_shards))
+            .cast("int")
+            .alias("n_salts"),
+        )
+        salted = (
+            tall.join(F.broadcast(hot), "tid", "left")
+            .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+            .withColumn("salt", _range_salt(F.col("doc_id"), F.col("n_salts")))
+        )
+
+        enc_docs, enc_w = _encode_udfs()
+        grouped = salted.groupBy("tid", "shard_id", "salt").agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "weight"))).alias(
+                "ps"
+            )
+        )
+        bs = self.block_size
+        nblocks = F.ceil(F.size("ps") / F.lit(bs)).cast("int")
+        exploded = grouped.select(
+            "tid",
+            "shard_id",
+            "salt",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nblocks - 1),
+                    lambda i: F.slice("ps", i * bs + 1, bs),
+                )
+            ).alias("blk", "p"),
+        )
+        doc_ids = F.transform("p", lambda x: x["doc_id"])
+        ws = F.transform("p", lambda x: x["weight"])
+        blocks = exploded.select(
+            "tid",
+            F.col("shard_id").cast("int").alias("shard_id"),
+            (F.shiftleft(F.col("salt").cast("long"), 20) + F.col("blk"))
+            .cast("int")
+            .alias("block_seq"),
+            F.size("p").alias("n_docs"),
+            F.element_at(doc_ids, 1).alias("min_doc_id"),
+            F.element_at(doc_ids, -1).alias("max_doc_id"),
+            enc_docs(doc_ids).alias("docs"),
+            enc_w(ws).alias("weights"),
+            F.array_max(ws).cast("float").alias("max_weight"),
+        ).withColumn("term_bucket", F.pmod("tid", F.lit(N_TERM_BUCKETS)))
+        (
+            blocks.repartition("term_bucket")
+            .sortWithinPartitions("tid", "shard_id", "block_seq")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(self._p("postings"))
+        )
+
+        written = self.spark.read.parquet(self._p("postings"))
+        lineage = written.groupBy("term_bucket").agg(
+            F.countDistinct("shard_id").alias("n_shards"),
+            F.min("tid").alias("tid_lo"),
+            F.max("tid").alias("tid_hi"),
+            F.sum("n_docs").alias("doc_count"),
+            F.sum(F.length("docs") + F.length("weights")).alias("bytes"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.lit("complete").alias("status"),
+        )
+        lineage.write.mode("overwrite").parquet(self._p("lineage"))
+
+        self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "format_version": [SPARSE_FORMAT_VERSION],
+                    "n_shards": [self.n_shards],
+                    "block_size": [self.block_size],
+                }
+            )
+        ).write.mode("overwrite").parquet(self._p("stats"))
+        return {"out": self.out}
+
+
+DRIVER_MAX_POSTINGS = 2_000_000
+
+
+class SparseIndex:
+    """Handle on an on-disk sparse index directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        srow = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        ver = int(srow["format_version"])
+        if ver != SPARSE_FORMAT_VERSION:
+            raise ValueError(
+                f"sparse index at {path} has format v{ver}; this engine "
+                f"reads v{SPARSE_FORMAT_VERSION} — rebuild"
+            )
+        self.n_shards = int(srow["n_shards"])
+        self._terms_path = os.path.join(path, "terms")
+        self._postings_path = os.path.join(path, "postings")
+        self._postings_df: DataFrame | None = None
+        self._terms_ds = None
+        self._postings_ds = None
+
+    def token_stats(self, tokens: list[str]) -> dict[str, int]:
+        """{token: df} via pyarrow predicate-pushdown point read."""
+        if not tokens:
+            return {}
+        import pyarrow.dataset as ds
+
+        if self._terms_ds is None:
+            self._terms_ds = ds.dataset(self._terms_path, format="parquet")
+        tbl = self._terms_ds.to_table(
+            columns=["token", "df"], filter=ds.field("token").isin(tokens)
+        )
+        return dict(
+            zip(tbl["token"].to_pylist(), (int(x) for x in tbl["df"].to_pylist()))
+        )
+
+    def cache(self) -> "SparseIndex":
+        from pyspark import StorageLevel
+
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(self._postings_path)
+        self._postings_df = self._postings_df.persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        return self
+
+    def postings_for(self, tokens: list[str]) -> DataFrame:
+        tids = sorted({tid_py(t) for t in tokens})
+        buckets = sorted({t % N_TERM_BUCKETS for t in tids})
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(self._postings_path)
+        return self._postings_df.filter(
+            F.col("term_bucket").isin(buckets) & F.col("tid").isin(tids)
+        )
+
+
+def _accumulate(tbl_tids, docs_col, weights_col, q_weights: dict[int, float]):
+    """numpy accumulate: Σ q_w · d_w per doc over the given decoded blocks.
+    Deterministic order: tokens processed in ascending tid."""
+    acc_ids = np.empty(0, dtype=np.int64)
+    acc_sc = np.empty(0, dtype=np.float64)
+    for tid in sorted(q_weights):
+        rows = np.flatnonzero(tbl_tids == tid)
+        if len(rows) == 0:
+            continue
+        ids = np.concatenate([decode_doc_ids(docs_col[i]) for i in rows])
+        ws = np.concatenate(
+            [decode_f32(weights_col[i]) for i in rows]
+        ).astype(np.float64)
+        contrib = q_weights[tid] * ws
+        merged_ids = np.concatenate([acc_ids, ids])
+        merged_sc = np.concatenate([acc_sc, contrib])
+        acc_ids, inv = np.unique(merged_ids, return_inverse=True)
+        acc_sc = np.zeros(len(acc_ids), dtype=np.float64)
+        np.add.at(acc_sc, inv, merged_sc)
+    return acc_ids, acc_sc
+
+
+def _driver_scores(
+    index: SparseIndex, q_weights: dict[int, float]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Coordinator-side pruned read + accumulate — zero Spark jobs."""
+    import pyarrow.dataset as ds
+
+    tids = sorted(q_weights)
+    buckets = sorted({t % N_TERM_BUCKETS for t in tids})
+    if index._postings_ds is None:
+        index._postings_ds = ds.dataset(
+            index._postings_path, format="parquet", partitioning="hive"
+        )
+    tbl = index._postings_ds.to_table(
+        columns=["tid", "docs", "weights"],
+        filter=ds.field("term_bucket").isin(buckets) & ds.field("tid").isin(tids),
+    )
+    return _accumulate(
+        tbl["tid"].to_numpy(),
+        tbl["docs"].to_pylist(),
+        tbl["weights"].to_pylist(),
+        q_weights,
+    )
+
+
+def _topk_pdf(ids: np.ndarray, sc: np.ndarray, k: int) -> pd.DataFrame:
+    f32 = sc.astype(np.float32)
+    sel = np.lexsort((ids, -f32.astype(np.float64)))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": ids[sel],
+            "score": f32[sel].astype(np.float64),
+            "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+        }
+    )
+
+
+def _distributed_scores(
+    index: SparseIndex, q_weights: dict[int, float], tokens: list[str], k: int
+) -> DataFrame:
+    """Per-shard applyInPandas accumulate + per-shard top-k; merged by
+    TakeOrderedAndProject. One pruned scan of the tokens' buckets."""
+    blocks = index.postings_for(tokens).select(
+        "shard_id", "tid", "docs", "weights"
+    )
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float32}
+            )
+        ids, sc = _accumulate(
+            pdf["tid"].to_numpy(dtype=np.int64),
+            pdf["docs"].tolist(),
+            pdf["weights"].tolist(),
+            q_weights,
+        )
+        f32 = sc.astype(np.float32)
+        sel = np.lexsort((ids, -f32.astype(np.float64)))[:k]
+        return pd.DataFrame({"doc_id": ids[sel], "score": f32[sel]})
+
+    return blocks.groupBy("shard_id").applyInPandas(
+        score_shard, SPARSE_TOPK_SCHEMA
+    )
+
+
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    return spark.range(0).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0.0).alias("score"),
+        F.lit(0).cast("int").alias("rank"),
+    )
+
+
+def sparse_index_topk(
+    index: SparseIndex,
+    query_tokens: dict[str, float],
+    k: int = 10,
+    mode: str = "auto",
+) -> DataFrame:
+    """Top-k Σ q_w·d_w over the sparse index. Returns (doc_id, score,
+    rank) with score float32-cast then double (same dtype contract as the
+    join-path ``sparse_topk``, so results are value-identical)."""
+    spark = index.spark
+    stats = index.token_stats(sorted(query_tokens))
+    live = {t: w for t, w in query_tokens.items() if t in stats}
+    if not live:
+        return _empty_topk(spark)
+    q_weights = {tid_py(t): float(w) for t, w in live.items()}
+    if mode == "driver" or (
+        mode == "auto" and sum(stats.values()) <= DRIVER_MAX_POSTINGS
+    ):
+        ids, sc = _driver_scores(index, q_weights)
+        return spark.createDataFrame(
+            _topk_pdf(ids, sc, k), schema="doc_id long, score double, rank int"
+        )
+    shard_topk = _distributed_scores(index, q_weights, sorted(live), k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        shard_topk.withColumn("score", F.col("score").cast("double"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+def sparse_index_topk_two_phase(
+    index: SparseIndex,
+    query_tokens: dict[str, float],
+    k: int = 10,
+    prune_ratio: float = 0.4,
+    expansion_rate: float = 5.0,
+    max_window_size: int = 10000,
+    mode: str = "auto",
+) -> DataFrame:
+    """Two-phase over the index (NeuralSparseTwoPhaseProcessor semantics):
+    phase 1 scores ONLY the high-weight tokens (a pruned scan of their
+    buckets — typically the rare tokens) and takes a global candidate
+    window of k·expansion_rate; phase 2 scans the low-weight (hot) tokens'
+    postings restricted to the candidate set and re-ranks. The hot tokens'
+    postings are never accumulated corpus-wide."""
+    from ..query.sparse import split_tokens_max_ratio
+
+    spark = index.spark
+    high, low = split_tokens_max_ratio(query_tokens, prune_ratio)
+    window = int(min(k * expansion_rate, max_window_size))
+    stats = index.token_stats(sorted(query_tokens))
+    high = {t: w for t, w in high.items() if t in stats}
+    low = {t: w for t, w in low.items() if t in stats}
+    if not high:
+        return _empty_topk(spark)
+    hi_w = {tid_py(t): float(w) for t, w in high.items()}
+    hi_df = sum(stats[t] for t in high)
+    # ---- phase 1: candidate window on high tokens only
+    if mode == "driver" or (mode == "auto" and hi_df <= DRIVER_MAX_POSTINGS):
+        ids, sc = _driver_scores(index, hi_w)
+        cand = _topk_pdf(ids, sc, window).drop(columns=["rank"])
+    else:
+        shard = _distributed_scores(index, hi_w, sorted(high), window)
+        cand = (
+            shard.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(window)
+            .toPandas()
+        )
+        cand["score"] = cand["score"].astype(np.float32).astype(np.float64)
+    if not low or cand.empty:
+        out = cand.copy()
+        out["score"] = out["score"].astype(np.float32).astype(np.float64)
+        out = out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+        return spark.createDataFrame(
+            out, schema="doc_id long, score double, rank int"
+        )
+    # ---- phase 2: low-token contributions for candidates only
+    lo_w = {tid_py(t): float(w) for t, w in low.items()}
+    cand_ids = np.sort(cand["doc_id"].to_numpy(dtype=np.int64))
+    lo_df = sum(stats[t] for t in low)
+    if mode == "driver" or (mode == "auto" and lo_df <= DRIVER_MAX_POSTINGS):
+        ids2, sc2 = _driver_scores(index, lo_w)
+        add = dict(zip(ids2.tolist(), sc2.tolist()))
+    else:
+        blocks = index.postings_for(sorted(low)).select(
+            "shard_id", "tid", "min_doc_id", "max_doc_id", "docs", "weights"
+        )
+        cid = cand_ids
+        # additions stay float64 end-to-end (the single-pass contract only
+        # f32-casts the FINAL sum, so rounding the addend would drift)
+        add_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("add", T.DoubleType()),
+            ]
+        )
+
+        def add_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": [], "add": []}).astype(
+                {"doc_id": np.int64, "add": np.float64}
+            )
+            if pdf.empty:
+                return empty
+            # block-range skip: only decode blocks overlapping a candidate
+            lo_i = np.searchsorted(cid, pdf["min_doc_id"].to_numpy())
+            hi_i = np.searchsorted(
+                cid, pdf["max_doc_id"].to_numpy(), side="right"
+            )
+            keep = hi_i > lo_i
+            if not keep.any():
+                return empty
+            sub = pdf[keep]
+            ids, sc = _accumulate(
+                sub["tid"].to_numpy(dtype=np.int64),
+                sub["docs"].tolist(),
+                sub["weights"].tolist(),
+                lo_w,
+            )
+            pos = np.searchsorted(cid, ids)
+            ok = (pos < len(cid)) & (
+                cid[np.minimum(pos, len(cid) - 1)] == ids
+            )
+            return pd.DataFrame({"doc_id": ids[ok], "add": sc[ok]})
+
+        # each doc lives in exactly one shard → no cross-shard combine needed
+        addl = (
+            blocks.groupBy("shard_id")
+            .applyInPandas(add_shard, add_schema)
+            .toPandas()
+        )
+        add = dict(zip(addl["doc_id"].tolist(), addl["add"].tolist()))
+    out = cand.copy()
+    out["score"] = (
+        (
+            out["score"].to_numpy(dtype=np.float64)
+            + np.array(
+                [add.get(int(d), 0.0) for d in out["doc_id"]], dtype=np.float64
+            )
+        )
+        .astype(np.float32)
+        .astype(np.float64)
+    )
+    out = out.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return spark.createDataFrame(
+        out, schema="doc_id long, score double, rank int"
+    )

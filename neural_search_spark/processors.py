@@ -99,7 +99,7 @@ def text_image_embedding(
     """One embedding from {inputText, inputImage}: the stub hashes the
     concatenated modalities (image treated as opaque bytes → hex)."""
     joined = F.concat_ws(
-        "",
+        "",
         F.coalesce(F.col(text_col), F.lit("")),
         F.coalesce(F.hex(F.col(image_col)), F.lit("")),
     )

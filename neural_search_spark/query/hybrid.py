@@ -105,13 +105,28 @@ def normalize_scores(
     """Add ``norm_score`` to a tall (subq, doc_id, score) DataFrame.
 
     group_cols: extra partition columns (e.g. query_id for batched search).
+
+    Scale shape: per-sub-query statistics (min/max/Σs²/mean/std) are a
+    ≤5·n_queries-row ``groupBy(subq).agg`` broadcast-joined back onto the
+    tall table — NOT a ``Window.partitionBy(subq)``, which would move every
+    sub-query's entire matched set through one reducer. rrf is the one
+    technique that needs a true per-sub-query rank; its input contract is
+    the reference's: callers bound each sub-query to ``pagination_depth``
+    docs first (HybridCollectorManager.java:595-610), so the rank window
+    runs over ≤ depth rows per sub-query.
     """
     if not 1 <= rank_constant <= 10000:
         raise ValueError("rank_constant must be in [1, 10000]")
-    w = Window.partitionBy(*group_cols, "subq")
+    keys = [*group_cols, "subq"]
     s = F.col("score")
+
+    def _join_stats(*aggs) -> DataFrame:
+        stats = df.groupBy(*keys).agg(*aggs)
+        return df.join(F.broadcast(stats), keys)
+
     if technique == "min_max":
-        mn, mx = F.min(s).over(w), F.max(s).over(w)
+        j = _join_stats(F.min(s).alias("_mn"), F.max(s).alias("_mx"))
+        mn, mx = F.col("_mn"), F.col("_mx")
         if lower_bounds is None:
             out = _minmax_expr(s, mn, mx, None)
         else:
@@ -120,38 +135,49 @@ def normalize_scores(
                     "lower bounds array exceeds max number of sub-queries"
                 )
             cases = None
-            for j, lb in enumerate(lower_bounds):
+            for jx, lb in enumerate(lower_bounds):
                 e = _minmax_expr(s, mn, mx, lb)
                 cases = (
-                    F.when(F.col("subq") == j, e)
+                    F.when(F.col("subq") == jx, e)
                     if cases is None
-                    else cases.when(F.col("subq") == j, e)
+                    else cases.when(F.col("subq") == jx, e)
                 )
             out = cases
+        drop = ["_mn", "_mx"]
     elif technique == "l2":
-        norm = F.sqrt(F.sum(s * s).over(w))
+        j = _join_stats(F.sum(s * s).alias("_ss"))
+        norm = F.sqrt(F.col("_ss"))
         out = F.when(norm == 0.0, F.lit(MIN_SCORE)).otherwise(s / norm)
+        drop = ["_ss"]
     elif technique == "z_score":
-        mean = F.avg(s).over(w)
-        std = F.stddev_samp(s).over(w)  # commons-math sample std (n-1)
-        mx, mn = F.max(s).over(w), F.min(s).over(w)
+        j = _join_stats(
+            F.avg(s).alias("_mu"),
+            F.stddev_samp(s).alias("_sd"),  # commons-math sample std (n-1)
+            F.max(s).alias("_mx"),
+            F.min(s).alias("_mn"),
+        )
+        mean, std = F.col("_mu"), F.col("_sd")
+        mx, mn = F.col("_mx"), F.col("_mn")
         z = (s - mean) / std
         out = (
             F.when(s == mean, mx)
             .when(std.isNull() | (std == 0.0), mn)
             .otherwise(F.when(z <= 0.0, F.lit(MIN_SCORE)).otherwise(z))
         )
+        drop = ["_mu", "_sd", "_mx", "_mn"]
     elif technique == "rrf":
+        w = Window.partitionBy(*keys)
         rank = F.row_number().over(
             w.orderBy(F.desc("score"), F.asc("doc_id"))
         )
         # BigDecimal(1/(rc+rank), 10 dp, HALF_UP) → float: Spark round() is
         # HALF_UP for positive values, matching the reference bit pattern
         out = F.round(F.lit(1.0) / (F.lit(rank_constant) + rank), 10)
+        return df.withColumn("norm_score", out.cast("float").cast("double"))
     else:
         raise ValueError(f"unknown normalization technique: {technique}")
-    return df.withColumn(
-        "norm_score", out.cast("float").cast("double")
+    return j.withColumn("norm_score", out.cast("float").cast("double")).drop(
+        *drop
     )
 
 
@@ -203,6 +229,35 @@ def combine_scores(
     return g.agg(out.cast("float").cast("double").alias("score"))
 
 
+def _tall_union(
+    branches: list[DataFrame], pagination_depth: int | None
+) -> DataFrame:
+    """Union branch results into the tall (subq, doc_id, score) form.
+
+    pagination_depth bounds EACH sub-query's retrieved set before
+    normalization (reference HybridCollectorManager.java:595-610: per-shard
+    per-sub-query retrieval size = pagination_depth when provided). The
+    bound is a TakeOrderedAndProject (per-partition top-depth + driver
+    merge) — no full sort, no single-partition shuffle."""
+    if pagination_depth is not None and not 1 <= pagination_depth <= 10000:
+        # reference: depth must be >0 (HybridQuery.java:70-73) and under the
+        # max result window (HybridQueryBuilder.validatePaginationDepth)
+        raise ValueError("pagination_depth must be in [1, 10000]")
+    tall = None
+    for j, b in enumerate(branches):
+        t = b.select(
+            F.lit(j).alias("subq"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        if pagination_depth is not None:
+            t = t.orderBy(F.desc("score"), F.asc("doc_id")).limit(
+                pagination_depth
+            )
+        tall = t if tall is None else tall.unionAll(t)
+    return tall
+
+
 def hybrid_topk(
     branches: list[DataFrame],
     k: int = 10,
@@ -211,6 +266,7 @@ def hybrid_topk(
     weights: list[float] | None = None,
     lower_bounds: list[LowerBound | None] | None = None,
     rank_constant: int = DEFAULT_RANK_CONSTANT,
+    pagination_depth: int | None = None,
 ) -> DataFrame:
     """Full hybrid pipeline over per-sub-query scored DataFrames, each with
     columns (doc_id, score). Returns (doc_id, score, rank).
@@ -221,14 +277,7 @@ def hybrid_topk(
         raise ValueError(
             f"hybrid query accepts 1..{MAX_NUMBER_OF_SUB_QUERIES} sub-queries"
         )
-    tall = None
-    for j, b in enumerate(branches):
-        t = b.select(
-            F.lit(j).alias("subq"),
-            F.col("doc_id").cast("long"),
-            F.col("score").cast("double"),
-        )
-        tall = t if tall is None else tall.unionAll(t)
+    tall = _tall_union(branches, pagination_depth)
     normed = normalize_scores(
         tall, normalization, lower_bounds=lower_bounds, rank_constant=rank_constant
     )
@@ -251,6 +300,7 @@ def hybrid_explain(
     weights: list[float] | None = None,
     lower_bounds: list[LowerBound | None] | None = None,
     rank_constant: int = DEFAULT_RANK_CONSTANT,
+    pagination_depth: int | None = None,
 ) -> DataFrame:
     """Explain mode (reference hybrid_score_explanation response processor,
     processor/ExplanationResponseProcessor.java): for the final top-k docs,
@@ -261,14 +311,7 @@ def hybrid_explain(
         (weights[j] if weights is not None and j < len(weights) else 1.0)
         for j in range(len(branches))
     ]
-    tall = None
-    for j, b in enumerate(branches):
-        t = b.select(
-            F.lit(j).alias("subq"),
-            F.col("doc_id").cast("long"),
-            F.col("score").cast("double"),
-        )
-        tall = t if tall is None else tall.unionAll(t)
+    tall = _tall_union(branches, pagination_depth)
     normed = normalize_scores(
         tall, normalization, lower_bounds=lower_bounds, rank_constant=rank_constant
     )

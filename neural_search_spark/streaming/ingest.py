@@ -92,14 +92,21 @@ def dedup_stream(
     stream: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:
     """Streaming exact-dedup: drop turns whose normalized-content
-    fingerprint was already seen within the watermark horizon (state-store
-    backed dropDuplicates — the streaming form of exact_dedup)."""
+    fingerprint was already seen within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the state store actually
+    EVICTS fingerprints once the watermark passes them — a plain
+    ``dropDuplicates([fp])`` without an event-time key never evicts and
+    grows state unboundedly on a long-running stream. Duplicates farther
+    apart than the watermark horizon may both survive (the documented
+    within-watermark contract); the batch ``exact_dedup`` over the staging
+    table is the global backstop."""
     from ..tokenizer import tokenize_expr
 
     fp = F.md5(F.array_join(tokenize_expr("text"), " ").cast("binary"))
     return (
         stream.withColumn("_fp", fp)
         .withWatermark("ts", watermark)
-        .dropDuplicates(["_fp"])
+        .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )

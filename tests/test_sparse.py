@@ -136,3 +136,75 @@ def explode_cols():
     from pyspark.sql import functions as F
 
     return [F.explode("features").alias("token", "weight")]
+
+
+# ---------------------------------------------------------------------------
+# sparse postings index (FeatureField analog)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def sparse_index(spark, sparse_docs, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.index.sparse import SparseIndex, SparseIndexBuilder
+
+    tall = sparse_docs.select(
+        "doc_id", F.explode("features").alias("token", "weight")
+    )
+    out = str(tmp_path_factory.mktemp("sidx") / "sparse_index")
+    SparseIndexBuilder(spark, out, n_shards=4, block_size=32).build(tall)
+    return SparseIndex(spark, out)
+
+
+IDX_QUERY = {"t001": 2.0, "t010": 1.5, "t033": 1.0, "t055": 0.3}
+
+
+def test_sparse_index_matches_join_path(spark, sparse_docs, sparse_index):
+    from neural_search_spark.index.sparse import sparse_index_topk
+
+    want = sparse_topk(sparse_docs, IDX_QUERY, k=15).toPandas()
+    for mode in ("driver", "distributed"):
+        got = sparse_index_topk(sparse_index, IDX_QUERY, k=15, mode=mode).toPandas()
+        assert got.doc_id.tolist() == want.doc_id.tolist(), mode
+        np.testing.assert_allclose(got.score, want.score, rtol=0, atol=0)
+
+
+def test_sparse_index_two_phase_matches_join_path(
+    spark, sparse_docs, sparse_index
+):
+    from neural_search_spark.index.sparse import sparse_index_topk_two_phase
+
+    want = sparse_topk_two_phase(
+        sparse_docs, IDX_QUERY, k=10, prune_ratio=0.6, expansion_rate=2.0
+    ).toPandas()
+    for mode in ("driver", "distributed"):
+        got = sparse_index_topk_two_phase(
+            sparse_index, IDX_QUERY, k=10, prune_ratio=0.6, expansion_rate=2.0,
+            mode=mode,
+        ).toPandas()
+        assert got.doc_id.tolist() == want.doc_id.tolist(), mode
+        np.testing.assert_allclose(got.score, want.score, rtol=0, atol=0)
+
+
+def test_sparse_index_absent_tokens(spark, sparse_index):
+    from neural_search_spark.index.sparse import sparse_index_topk
+
+    out = sparse_index_topk(sparse_index, {"zzz": 1.0}, k=5).toPandas()
+    assert len(out) == 0
+    mixed = sparse_index_topk(
+        sparse_index, {"zzz": 1.0, "t001": 2.0}, k=5
+    ).toPandas()
+    assert len(mixed) == 5
+
+
+def test_sparse_index_format_version(spark, sparse_index, tmp_path):
+    import pandas as pd
+
+    from neural_search_spark.index.sparse import SparseIndex
+
+    bad = tmp_path / "bad_idx"
+    (bad / "stats").mkdir(parents=True)
+    spark.createDataFrame(
+        pd.DataFrame({"format_version": [99], "n_shards": [1], "block_size": [4]})
+    ).write.mode("overwrite").parquet(str(bad / "stats"))
+    with pytest.raises(ValueError, match="format v99"):
+        SparseIndex(spark, str(bad))
