@@ -104,6 +104,42 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
     q["bm25_batched_all"] = round(batch_s, 3)
     out["bm25_batched_qps"] = round(len(pairs) / batch_s, 2)
 
+    # --- sparse postings index: build + serve (reported separately so the
+    # headline total stays comparable round-over-round) --------------------
+    if mode == "full":
+        from neural_search_spark.index.build import doc_id_col
+        from neural_search_spark.index.sparse import (
+            SparseIndex,
+            SparseIndexBuilder,
+            sparse_index_topk,
+        )
+        from neural_search_spark.processors import sparse_encode
+        from neural_search_spark.query.neural import QuerySpec, rewrite
+
+        tall = sparse_encode(
+            tr.withColumn("doc_id", doc_id_col()), text_col="text"
+        )
+        sp_dir = f"/tmp/nss_bench_sparse_{cpus}"
+        t0 = time.time()
+        SparseIndexBuilder(spark, sp_dir, n_shards=32, block_size=4096).build(
+            tall
+        )
+        sp_build = time.time() - t0
+        sp_idx = SparseIndex(spark, sp_dir).cache()
+        sp_queries = [
+            rewrite(
+                QuerySpec(query_type="neural_sparse", query_text=r["query_text"])
+            ).query_tokens
+            for r in queries[:20]
+        ]
+        sparse_index_topk(sp_idx, sp_queries[0], k=10).collect()  # warm
+        t0 = time.time()
+        for toks in sp_queries:
+            sparse_index_topk(sp_idx, toks, k=10).collect()
+        sp_serve = time.time() - t0
+        out["sparse_index_build_sec"] = round(sp_build, 3)
+        out["sparse_qps"] = round(len(sp_queries) / sp_serve, 2)
+
     # --- sf-table operator queries ----------------------------------------
     extra_ops = [] if mode == "scaling" else [
         ("hybrid_minmax_arith", gate.q_hybrid_minmax_arith),

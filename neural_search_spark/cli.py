@@ -149,7 +149,12 @@ def main(argv=None) -> None:
     s.add_argument("--spec-json", help="inline JSON query spec")
     s.add_argument("--index", help="BM25 block index dir (match queries)")
     s.add_argument("--sparse-index", help="sparse postings index dir")
-    s.add_argument("--corpus", help="corpus parquet (neural / fallback paths)")
+    s.add_argument(
+        "--corpus",
+        help="corpus parquet for the no-index routes; must carry doc_id "
+        "plus the queried fields (text for match, an embedding array for "
+        "neural, a MapType features column for neural_sparse fallback)",
+    )
     s.add_argument("--k", type=int, default=10)
     s.set_defaults(fn=cmd_search)
 

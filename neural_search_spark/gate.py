@@ -1393,19 +1393,41 @@ FROM m JOIN documents d USING (doc_id) GROUP BY d.source"""
 
 
 def q_ml_rerank(spark: SparkSession, sf: str) -> DataFrame:
-    """Cross-encoder rerank of the BM25 top-20 (stub model — rows-only)."""
+    """Cross-encoder rerank of the BM25 top-20. The stub cross-encoder
+    (term-overlap with tf saturation) is deterministic and SQL-expressible,
+    so the whole rerank is oracle-checked; ranks are re-derived on the
+    ROUNDED score so FP summation order can't flip a boundary."""
     from .query.rerank import ml_rerank
 
     d = _docs(spark, sf)
     top = _ranked(
         bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs")), ["doc_id"], 20
     ).join(d.select("doc_id", "text"), "doc_id")
-    out = ml_rerank(top, QUERY_A)
-    return out.select("doc_id", F.round("score", 6).alias("score"), "rank")
+    out = ml_rerank(top, QUERY_A).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    return _ranked(out, ["doc_id"], 20)
+
+
+def sql_ml_rerank() -> str:
+    """Replicates stub_cross_encoder: Σ_{t ∈ set(q)} tf_t/(tf_t+1) / |set(q)|."""
+    terms = sorted(set(tokenize_py(QUERY_A)))
+    tf = {
+        t: f"len(list_filter({TOK}, x -> x = '{t}'))" for t in terms
+    }
+    s = " + ".join(f"({tf[t]} / ({tf[t]} + 1.0))" for t in terms)
+    scored = bm25_scored_sql("documents", ["doc_id"], QUERY_A)
+    top = _topk_sql(scored, ["doc_id"], 20)
+    inner = f"""
+WITH top20 AS ({top})
+SELECT d.doc_id, round(({s}) / {len(terms)}.0, 6) AS score
+FROM top20 t JOIN documents d USING (doc_id)"""
+    return _topk_sql(inner, ["doc_id"], 20)
 
 
 def q_highlight(spark: SparkSession, sf: str) -> DataFrame:
-    """Fetch-phase highlighter over the top-10 (stub span model — rows-only)."""
+    """Fetch-phase highlighter over the top-10. The stub span model marks
+    every query-term occurrence, so the span COUNT is SQL-checkable."""
     from .extras.highlight import highlight_topk
 
     d = _docs(spark, sf)
@@ -1416,9 +1438,22 @@ def q_highlight(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "rank", F.size("highlights").alias("n_spans"))
 
 
+def sql_highlight() -> str:
+    terms = sorted(set(tokenize_py(QUERY_A)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    scored = bm25_scored_sql("documents", ["doc_id"], QUERY_A)
+    top = _topk_sql(scored, ["doc_id"], 10)
+    return f"""
+WITH top10 AS ({top})
+SELECT d.doc_id, t.rank,
+       len(list_filter({TOK}, x -> x IN ({tlist})))::INTEGER AS n_spans
+FROM top10 t JOIN documents d USING (doc_id)"""
+
+
 def q_hybrid_explain(spark: SparkSession, sf: str) -> DataFrame:
     """Explain mode: per-(doc, sub-query) normalization/combination detail
-    for the hybrid top-5 (rows-only; values covered by hybrid_* oracles)."""
+    for the hybrid top-5 — fully oracle-checked (the intermediate columns
+    are the same deterministic pipeline the hybrid_* entries verify)."""
     from .query.hybrid import hybrid_explain
 
     out = hybrid_explain(_branches(spark, sf), k=5)
@@ -1427,6 +1462,24 @@ def q_hybrid_explain(spark: SparkSession, sf: str) -> DataFrame:
         F.round("norm_score", 4).alias("norm_score"),
         F.round("combined_score", 4).alias("combined_score"),
     )
+
+
+def sql_hybrid_explain() -> str:
+    return f"""
+WITH {_TALL_SQL},
+n AS (SELECT subq, doc_id, score,
+        min(score) OVER (PARTITION BY subq) AS mn,
+        max(score) OVER (PARTITION BY subq) AS mx FROM tall),
+nn AS (SELECT subq, doc_id, score,
+        (CASE WHEN mx = mn AND mx = score THEN 1.0
+              WHEN (score - mn)/(mx - mn) = 0.0 THEN 0.001
+              ELSE (score - mn)/(mx - mn) END)::REAL::DOUBLE AS ns FROM n),
+c AS (SELECT doc_id, (sum(ns) / 2.0)::REAL::DOUBLE AS combined
+      FROM nn GROUP BY doc_id),
+top5 AS (SELECT doc_id, combined FROM c ORDER BY combined DESC, doc_id LIMIT 5)
+SELECT nn.doc_id, nn.subq, round(nn.score, 4) AS raw_score,
+       round(nn.ns, 4) AS norm_score, round(t.combined, 4) AS combined_score
+FROM nn JOIN top5 t USING (doc_id)"""
 
 def q_hybrid_index_minmax(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid end-to-end over the BLOCK INDEX (reference flagship path:
@@ -1891,6 +1944,9 @@ def build_registry():
         "sort_search_after": sql_sort_search_after(),
         "hybrid_filtered": sql_hybrid_filtered(),
         "hybrid_agg": sql_hybrid_agg(),
+        "ml_rerank": sql_ml_rerank(),
+        "highlight": sql_highlight(),
+        "hybrid_explain": sql_hybrid_explain(),
         "hybrid_index_minmax": sql_hybrid_index_minmax(),
         "chunk_fixed_token": sql_chunk_fixed_token(),
         "prune_max_ratio": sql_prune_max_ratio(),

@@ -225,13 +225,15 @@ class SparseIndex:
         )
 
     def cache(self) -> "SparseIndex":
+        """Serving mode: pinned + pre-partitioned by shard_id so per-query
+        groupBy(shard_id) plans elide their Exchange (see BM25Index.cache)."""
         from pyspark import StorageLevel
 
         if self._postings_df is None:
             self._postings_df = self.spark.read.parquet(self._postings_path)
-        self._postings_df = self._postings_df.persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        self._postings_df = self._postings_df.repartition(
+            self.n_shards, "shard_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         return self
 
     def postings_for(self, tokens: list[str]) -> DataFrame:
@@ -246,9 +248,10 @@ class SparseIndex:
 
 def _accumulate(tbl_tids, docs_col, weights_col, q_weights: dict[int, float]):
     """numpy accumulate: Σ q_w · d_w per doc over the given decoded blocks.
-    Deterministic order: tokens processed in ascending tid."""
-    acc_ids = np.empty(0, dtype=np.int64)
-    acc_sc = np.empty(0, dtype=np.float64)
+    One gather pass then a single sort-unique + bincount-sum (float64;
+    deterministic: tokens gathered in ascending tid)."""
+    ids_parts: list[np.ndarray] = []
+    sc_parts: list[np.ndarray] = []
     for tid in sorted(q_weights):
         rows = np.flatnonzero(tbl_tids == tid)
         if len(rows) == 0:
@@ -257,12 +260,14 @@ def _accumulate(tbl_tids, docs_col, weights_col, q_weights: dict[int, float]):
         ws = np.concatenate(
             [decode_f32(weights_col[i]) for i in rows]
         ).astype(np.float64)
-        contrib = q_weights[tid] * ws
-        merged_ids = np.concatenate([acc_ids, ids])
-        merged_sc = np.concatenate([acc_sc, contrib])
-        acc_ids, inv = np.unique(merged_ids, return_inverse=True)
-        acc_sc = np.zeros(len(acc_ids), dtype=np.float64)
-        np.add.at(acc_sc, inv, merged_sc)
+        ids_parts.append(ids)
+        sc_parts.append(q_weights[tid] * ws)
+    if not ids_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    all_ids = np.concatenate(ids_parts)
+    all_sc = np.concatenate(sc_parts)
+    acc_ids, inv = np.unique(all_ids, return_inverse=True)
+    acc_sc = np.bincount(inv, weights=all_sc, minlength=len(acc_ids))
     return acc_ids, acc_sc
 
 
