@@ -339,6 +339,77 @@ def embedding_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(doc_id, component) for every node in the near-dup pair graph;
+    component = smallest doc_id reachable. Dedup keeps one representative
+    per component (doc_id == component).
+
+    Min-label propagation with pointer jumping: each round (a) every node
+    takes the min of its own and its neighbors' labels (node-keyed join +
+    groupBy-min — shuffles keyed by node id, no driver-side graph), then
+    (b) jumps its label to its label's label (`l(u) ← l(l(u))`), which
+    halves chain depth so convergence is O(log n) rounds rather than
+    O(diameter). A label is always the id of a node reachable from u, so
+    the converged fixpoint — where both endpoints of every edge agree — is
+    exactly the component minimum. Each round checks a deterministic
+    fingerprint; a non-decreasing label sum makes the check sound."""
+    from pyspark import StorageLevel
+
+    sym = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionAll(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("u").alias("n"))
+        .distinct()
+        .withColumn("l", F.col("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev = None
+    for _ in range(max_iterations):
+        # (a) neighbor min: l(u) ← min(l(u), min_{v∈N(u)} l(v))
+        nbr = sym.join(
+            labels.withColumnRenamed("n", "v"), "v"
+        ).select(F.col("u").alias("n"), "l")
+        stepped = (
+            labels.unionAll(nbr).groupBy("n").agg(F.min("l").alias("l"))
+        )
+        # (b) pointer jump: l(u) ← l(l(u))
+        jump = labels.select(
+            F.col("n").alias("l"), F.col("l").alias("l2")
+        )
+        nxt = (
+            stepped.join(jump, "l", "left")
+            .select("n", F.coalesce("l2", F.col("l")).alias("l"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        row = nxt.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("l").alias("s")
+        ).collect()[0]
+        fp = (int(row["c"]), int(row["s"] or 0))
+        labels.unpersist()
+        labels = nxt
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    out = labels.select(
+        F.col("n").alias("doc_id"), F.col("l").alias("component")
+    )
+    sym.unpersist()
+    return out
+
+
 def embedding_near_dups_lsh(
     emb: DataFrame,
     threshold: float = 0.95,

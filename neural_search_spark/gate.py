@@ -471,6 +471,32 @@ def sql_ngram_jaccard_pairs() -> str:
     return _sql_lsh_jaccard(0.2)
 
 
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs → connected components →
+    (doc_id, component); dedup keeps doc_id == component. The step a real
+    pipeline needs between pair generation and actually dropping rows."""
+    pairs = dedup.minhash_near_dups(
+        _docs(spark, sf), threshold=0.3, num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    return dedup.connected_components(pairs)
+
+
+def sql_dedup_components() -> str:
+    """Transitive closure over the same pair set via recursive CTE —
+    exact at oracle scale."""
+    pairs = _sql_lsh_jaccard(0.3)
+    return f"""
+WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ({pairs})),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u"""
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf))
 
@@ -1861,6 +1887,7 @@ def build_registry():
         "exact_dedup": q_exact_dedup,
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_components": q_dedup_components,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1916,6 +1943,7 @@ def build_registry():
         "exact_dedup": sql_exact_dedup(),
         "minhash_sigs": sql_minhash_sigs(),
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+        "dedup_components": sql_dedup_components(),
         "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
         "simhash": sql_simhash(),
         "embedding_near_dups": sql_embedding_near_dups(),

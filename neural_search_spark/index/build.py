@@ -185,16 +185,28 @@ def build_blocks_jvm(
     )
 
 
-def tokenize_corpus(transcripts: DataFrame) -> DataFrame:
-    """(doc_id, dl, term, tf) — vectorized tokenize + map-side-combined tf.
+def tokenized_turns(transcripts: DataFrame) -> DataFrame:
+    """(doc_id, toks, dl) — ONE vectorized tokenize pass over the corpus.
 
     Uses the pure-Catalyst tokenizer (split+filter, output-identical to the
     Arrow pandas UDF — parity-tested): it stays inside whole-stage codegen
     and scales ~0.8 efficiency 8→32 cores, where the Python-worker path
-    bottlenecks on Arrow transfer + interpreter contention."""
-    toks = transcripts.select(
+    bottlenecks on Arrow transfer + interpreter contention.
+
+    The builder persists THIS form so the tf table, doc stats and the term
+    dictionary all derive from a single corpus scan — at 100 TB the
+    tokenize+scan is the dominant cost and must not run twice."""
+    return transcripts.select(
         doc_id_col().alias("doc_id"), tokenize_expr("text").alias("toks")
     ).withColumn("dl", F.size("toks"))
+
+
+def tokenize_corpus(transcripts: DataFrame) -> DataFrame:
+    """(doc_id, dl, tid, tf) — tokenize + map-side-combined tf counts."""
+    return postings_from_tokens(tokenized_turns(transcripts))
+
+
+def postings_from_tokens(toks: DataFrame) -> DataFrame:
     return (
         toks.select("doc_id", "dl", F.explode("toks").alias("term"))
         .select("doc_id", "dl", tid_expr("term").alias("tid"))
@@ -203,14 +215,21 @@ def tokenize_corpus(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def term_dictionary(transcripts: DataFrame) -> DataFrame:
-    """(term, tid) — distinct vocabulary. Map-side partial distinct means
-    the shuffle carries ~vocab rows per partition, not corpus rows."""
+def term_dictionary_from_tokens(toks: DataFrame) -> DataFrame:
+    """(term, tid) from the already-tokenized form — no corpus re-scan.
+    Map-side partial distinct keeps the shuffle ~vocab-sized."""
     return (
-        transcripts.select(F.explode(tokenize_expr("text")).alias("term"))
+        toks.select(F.explode("toks").alias("term"))
         .distinct()
         .withColumn("tid", tid_expr("term"))
     )
+
+
+def term_dictionary(transcripts: DataFrame) -> DataFrame:
+    """(term, tid) — distinct vocabulary straight off the corpus (used when
+    no tokenized form is at hand; the builder uses
+    ``term_dictionary_from_tokens`` to avoid the second scan)."""
+    return term_dictionary_from_tokens(tokenized_turns(transcripts))
 
 
 def compute_doc_stats(transcripts: DataFrame) -> tuple[int, float]:
@@ -310,10 +329,14 @@ class IndexBuilder:
             shutil.rmtree(self.out)
         os.makedirs(self.out, exist_ok=True)
 
-        # --- stage 1: tokenize ONCE → persist the tf table (disk-backed);
-        # doc stats, term stats and the block build all read the persisted
-        # form instead of re-tokenizing the corpus (3× scan → 1× at 100 TB)
-        postings_all = tokenize_corpus(transcripts).persist(
+        # --- stage 1: tokenize ONCE → persist the tokenized turns; the tf
+        # table, doc stats AND the term dictionary all derive from this one
+        # corpus scan (previously the dictionary re-tokenized the corpus —
+        # a second full scan of the most expensive stage at 100 TB)
+        toks = tokenized_turns(transcripts).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        postings_all = postings_from_tokens(toks).persist(
             StorageLevel.MEMORY_AND_DISK
         )
 
@@ -326,14 +349,11 @@ class IndexBuilder:
         else:
             # N counts ALL turns (including zero-token ones, which produce
             # no postings), matching the numpy oracle's corpus definition
-            n_docs = transcripts.count()
-            dl_row = (
-                postings_all.groupBy("doc_id")
-                .agg(F.first("dl").alias("dl"))
-                .agg(F.sum("dl").alias("s"))
-                .collect()[0]
-            )
-            avgdl = float(dl_row["s"] or 0) / max(n_docs, 1)
+            row = toks.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+            ).collect()[0]
+            n_docs = int(row["n"])
+            avgdl = float(row["s"] or 0) / max(n_docs, 1)
         _mark("tokenize_and_doc_stats")
         metrics.append((run_id, "build", "doc_count", n_docs))
 
@@ -353,12 +373,13 @@ class IndexBuilder:
         if resume and os.path.exists(terms_path):
             term_stats = self.spark.read.parquet(terms_path)
         else:
-            tdict = term_dictionary(transcripts)
+            tdict = term_dictionary_from_tokens(toks)
             tid_stats = compute_term_stats(postings)
             tdict.join(tid_stats, "tid").select(
                 "term", "tid", "df", "cf"
             ).write.mode("overwrite").parquet(terms_path)
             term_stats = self.spark.read.parquet(terms_path)
+        toks.unpersist()  # everything downstream reads postings_all
         # postings per (shard, term) ≈ df / n_shards; split further when a
         # term's per-shard slice would exceed the per-task target
         hot = term_stats.filter(

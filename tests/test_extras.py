@@ -240,3 +240,29 @@ def test_frame_sample(spark):
     for _, r in vids.iterrows():
         n = len(frames[frames.media_id == r.media_id])
         assert n == max(r.duration_ms - 1, 0) // 500 + 1
+
+
+def test_connected_components(spark):
+    # two chains, a triangle, and an isolated pair (node ids chosen so the
+    # chain is long enough to need pointer jumping, not one-hop propagation)
+    pairs = [
+        (9, 8), (8, 7), (7, 6), (6, 5),          # chain → comp 5
+        (20, 21), (21, 22), (20, 22),            # triangle → comp 20
+        (100, 101),                              # pair → comp 100
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out = dedup.connected_components(df).toPandas()
+    got = dict(zip(out.doc_id, out.component))
+    assert got == {
+        9: 5, 8: 5, 7: 5, 6: 5, 5: 5,
+        20: 20, 21: 20, 22: 20,
+        100: 100, 101: 100,
+    }
+
+
+def test_connected_components_from_minhash(docs_df):
+    near = dedup.minhash_near_dups(docs_df, threshold=0.3)
+    comp = dedup.connected_components(near).toPandas()
+    got = dict(zip(comp.doc_id, comp.component))
+    # docs 0,1,2 are (near-)dups of each other → one component rooted at 0
+    assert got[0] == got[1] == got[2] == 0
