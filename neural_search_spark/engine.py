@@ -38,6 +38,9 @@ class HybridSpec:
     weights: list[float] | None = None
     rank_constant: int = 60
     pagination_depth: int | None = None
+    # search-pipeline post-steps (need a corpus bound to the Engine)
+    collapse_field: str | None = None
+    rerank_by_field: str | None = None
 
 
 def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec:
@@ -65,6 +68,8 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec:
             weights=body.get("weights"),
             rank_constant=body.get("rank_constant", 60),
             pagination_depth=body.get("pagination_depth"),
+            collapse_field=body.get("collapse_field"),
+            rerank_by_field=body.get("rerank_by_field"),
         )
     allowed = {"match", "neural", "neural_sparse", "neural_knn"}
     if qtype not in allowed:
@@ -135,13 +140,41 @@ class Engine:
         if isinstance(spec, (dict, str)):
             spec = spec_from_json(spec)
         if isinstance(spec, HybridSpec):
-            from .query.hybrid import hybrid_topk
+            from .query.hybrid import (
+                _tall_union,
+                collapse_top1,
+                combine_scores,
+                hybrid_topk,
+                normalize_scores,
+                rerank_by_field,
+            )
 
             depth = spec.pagination_depth or k
             branches = [
                 self._branch_topk(s, depth) for s in spec.sub_queries
             ]
-            return hybrid_topk(
+            if spec.collapse_field is not None:
+                # collapse applies to the full combined set (best doc per
+                # group, then top-k) — before any k-truncation
+                corpus = self._need_corpus("collapse")
+                tall = _tall_union(branches, spec.pagination_depth)
+                combined = combine_scores(
+                    normalize_scores(
+                        tall, spec.normalization,
+                        rank_constant=spec.rank_constant,
+                    ),
+                    len(branches),
+                    spec.combination,
+                    weights=spec.weights,
+                )
+                scored = combined.join(
+                    corpus.select(self.id_col, spec.collapse_field).withColumnRenamed(
+                        self.id_col, "doc_id"
+                    ),
+                    "doc_id",
+                )
+                return collapse_top1(scored, spec.collapse_field, k=k)
+            out = hybrid_topk(
                 branches,
                 k=k,
                 normalization=spec.normalization,
@@ -151,6 +184,17 @@ class Engine:
                 # branches are already depth-bounded; re-bounding is a no-op
                 pagination_depth=spec.pagination_depth,
             )
+            if spec.rerank_by_field is not None:
+                corpus = self._need_corpus("rerank")
+                out = rerank_by_field(
+                    out,
+                    corpus.select(self.id_col, spec.rerank_by_field).withColumnRenamed(
+                        self.id_col, "doc_id"
+                    ),
+                    spec.rerank_by_field,
+                    k=k,
+                )
+            return out
         out = self._branch_topk(spec, k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return (

@@ -71,6 +71,30 @@ def make_media_df(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Derive a deterministic media table from a documents table (payload =
+    the text's UTF-8 bytes, kind cycling by id) — entirely Catalyst, so the
+    downstream mapInPandas feature extraction is cross-engine checkable
+    (n_bytes == octet_length(text)) without shipping python-made blobs."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.col(text_col).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(48).alias("height"),
+            ((F.col(id_col) % 7) * 1000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     """Deterministic fake 'decoder': digest-seeded feature vector.
     Clearly NOT a real codec — stands in for PIL/ffmpeg, which aren't in

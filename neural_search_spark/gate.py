@@ -1175,13 +1175,26 @@ FROM events GROUP BY 1, 2"""
 
 
 # ---------------------------------------------------------------------------
-# multimodal (rows-only)
+# multimodal
 # ---------------------------------------------------------------------------
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    media = multimodal.make_media_df(spark, n=64)
+    """Media table derived from documents (payload = text bytes), features
+    via the real mapInPandas stage; the SQL-checkable columns verify the
+    Arrow round trip (n_bytes computed INSIDE the pandas stage must equal
+    octet_length(text)). The stub feature vector itself stays out of the
+    comparison — it stands in for absent codec libs."""
+    media = multimodal.media_from_documents(_docs(spark, sf))
     return multimodal.extract_features(media, dim=8).select(
         "media_id", "kind", "n_bytes"
     )
+
+
+def sql_multimodal_features() -> str:
+    return """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INTEGER] AS kind,
+       octet_length(text::BLOB)::INTEGER AS n_bytes
+FROM documents"""
 
 
 
@@ -1322,6 +1335,51 @@ SELECT doc_id,
         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
 FROM e CROSS JOIN q"""
     return _topk_sql(inner, ["doc_id"], 10)
+
+
+_RADIUS_MIN_SCORE = 0.15
+
+
+def q_neural_radius(spark: SparkSession, sf: str) -> DataFrame:
+    """Radius search (NeuralQueryBuilder min_score): every doc whose stub
+    cosine clears the bound — no k-truncation."""
+    from . import processors
+    from .query import neural as nq
+
+    embedded = processors.text_embedding(_docs(spark, sf), out_col="vec")
+    spec = nq.rewrite(
+        nq.QuerySpec(
+            query_type="neural", field="vec", query_text=QUERY_A,
+            min_score=_RADIUS_MIN_SCORE,
+        )
+    )
+    # floor-scale instead of round: with bit-identical doubles both engines
+    # truncate identically, whereas a .5-at-6dp boundary splits HALF_UP
+    # (Spark) vs DuckDB's rounding on 2/181 rows here
+    return nq.execute(spec, embedded).select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6).cast("long").alias("score"),
+    )
+
+
+def sql_neural_radius() -> str:
+    from .processors import embed_sql
+    from .query import neural as nq
+
+    spec = nq.rewrite(
+        nq.QuerySpec(query_type="neural", field="vec", query_text=QUERY_A)
+    )
+    qlit = "[" + ", ".join(repr(float(x)) for x in spec.vector) + "]"
+    emb = embed_sql("text")
+    return f"""
+WITH e AS (SELECT doc_id, ({emb})::DOUBLE[] AS v FROM documents),
+q AS (SELECT {qlit}::DOUBLE[] AS qv),
+s AS (SELECT doc_id,
+        list_dot_product(v, q.qv) /
+          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+      FROM e CROSS JOIN q)
+SELECT doc_id, floor(c * 1000000.0)::BIGINT AS score
+FROM s WHERE c >= {_RADIUS_MIN_SCORE}"""
 
 
 def q_sort_search_after(spark: SparkSession, sf: str) -> DataFrame:
@@ -1916,6 +1974,7 @@ def build_registry():
         "semantic_chunks": q_semantic_chunks,
         "skip_existing": q_skip_existing,
         "neural_dense_topk": q_neural_dense_topk,
+        "neural_radius": q_neural_radius,
         "sort_search_after": q_sort_search_after,
         "hybrid_filtered": q_hybrid_filtered,
         "hybrid_agg": q_hybrid_agg,
@@ -1964,11 +2023,13 @@ def build_registry():
         "collapse_by_source": sql_collapse_by_source(),
         "rerank_by_field": sql_rerank_by_field(),
         "events_rollup": sql_events_rollup(),
+        "multimodal_features": sql_multimodal_features(),
         "text_embedding": sql_text_embedding(),
         "sparse_encoding": sql_sparse_encoding(),
         "semantic_chunks": sql_semantic_chunks(),
         "skip_existing": sql_skip_existing(),
         "neural_dense_topk": sql_neural_dense_topk(),
+        "neural_radius": sql_neural_radius(),
         "sort_search_after": sql_sort_search_after(),
         "hybrid_filtered": sql_hybrid_filtered(),
         "hybrid_agg": sql_hybrid_agg(),

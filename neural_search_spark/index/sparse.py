@@ -83,8 +83,39 @@ class SparseIndexBuilder:
     def _p(self, name: str) -> str:
         return os.path.join(self.out, name)
 
-    def build(self, features: DataFrame) -> dict:
-        if os.path.exists(self.out):
+    def _done_buckets(self) -> set[int]:
+        path = self._p("lineage")
+        if not os.path.exists(path):
+            return set()
+        lin = self.spark.read.parquet(path)
+        return {
+            r["term_bucket"]
+            for r in lin.filter(F.col("status") == "complete")
+            .select("term_bucket")
+            .distinct()
+            .collect()
+        }
+
+    def _clean_incomplete(self, done: set[int]) -> None:
+        pdir = self._p("postings")
+        if not os.path.exists(pdir):
+            return
+        for d in os.listdir(pdir):
+            if d.startswith("term_bucket="):
+                b = int(d.split("=")[1])
+                if b not in done:
+                    shutil.rmtree(os.path.join(pdir, d))
+
+    def build(self, features: DataFrame, resume: bool = False) -> dict:
+        """Build (or, with resume=True, complete) the sparse index.
+        Resume mirrors the BM25 builder's lineage contract: term_buckets
+        with complete lineage are kept verbatim, unrecorded partial
+        partitions are purged and rebuilt. Sparse weights carry no corpus
+        statistics, so resumed buckets are bit-identical by construction."""
+        done = self._done_buckets() if resume else set()
+        if resume:
+            self._clean_incomplete(done)
+        elif os.path.exists(self.out):
             shutil.rmtree(self.out)
         os.makedirs(self.out, exist_ok=True)
         tall = features.select(
@@ -97,15 +128,21 @@ class SparseIndexBuilder:
                 "int"
             ),
         )
+        if done:
+            tall = tall.filter(
+                ~F.pmod("tid", F.lit(N_TERM_BUCKETS)).isin(list(done))
+            )
 
         # token dictionary + df (drives query planning AND the salt plan)
-        tstats = (
-            features.select("token", tid_expr("token").alias("tid"))
-            .groupBy("token", "tid")
-            .agg(F.count(F.lit(1)).alias("df"))
-        )
-        tstats.write.mode("overwrite").parquet(self._p("terms"))
-        terms = self.spark.read.parquet(self._p("terms"))
+        terms_path = self._p("terms")
+        if not (resume and os.path.exists(terms_path)):
+            tstats = (
+                features.select("token", tid_expr("token").alias("tid"))
+                .groupBy("token", "tid")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
+            tstats.write.mode("overwrite").parquet(terms_path)
+        terms = self.spark.read.parquet(terms_path)
         hot = terms.filter(
             F.col("df") > F.lit(self.target * self.n_shards)
         ).select(
@@ -157,12 +194,14 @@ class SparseIndexBuilder:
         (
             blocks.repartition("term_bucket")
             .sortWithinPartitions("tid", "shard_id", "block_seq")
-            .write.mode("overwrite")
+            .write.mode("append")
             .partitionBy("term_bucket")
             .parquet(self._p("postings"))
         )
 
         written = self.spark.read.parquet(self._p("postings"))
+        if done:
+            written = written.filter(~F.col("term_bucket").isin(list(done)))
         lineage = written.groupBy("term_bucket").agg(
             F.countDistinct("shard_id").alias("n_shards"),
             F.min("tid").alias("tid_lo"),
@@ -172,7 +211,7 @@ class SparseIndexBuilder:
             F.count(F.lit(1)).alias("n_blocks"),
             F.lit("complete").alias("status"),
         )
-        lineage.write.mode("overwrite").parquet(self._p("lineage"))
+        lineage.write.mode("append").parquet(self._p("lineage"))
 
         self.spark.createDataFrame(
             pd.DataFrame(

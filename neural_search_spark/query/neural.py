@@ -37,6 +37,11 @@ class QuerySpec:
     model_id: str | None = None
     k: int = 10  # reference default NeuralQueryBuilder.java:135
     filter: Column | None = None
+    # radius-search knobs (NeuralQueryBuilder max_distance / min_score):
+    # min_score keeps score ≥ bound; max_distance keeps (1 - cosine) ≤
+    # bound (cosine space). Mutually exclusive in the reference.
+    min_score: float | None = None
+    max_distance: float | None = None
 
 
 def enrich(specs: list[QuerySpec], default_model_id: str | None = None,
@@ -84,15 +89,24 @@ def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFra
     is applied BEFORE scoring (the reference pushes the hybrid filter into
     every sub-query, query/HybridQueryBuilder.java:111-122)."""
     spec = rewrite(spec)
+    if spec.min_score is not None and spec.max_distance is not None:
+        raise ValueError(
+            "min_score and max_distance cannot both be set"
+        )  # NeuralQueryBuilder validates the same exclusivity
     scoped = docs.filter(spec.filter) if spec.filter is not None else docs
     if spec.query_type in ("neural", "neural_knn"):
         from ..extras.similarity import cosine_expr
 
         q = F.array(*[F.lit(float(x)).cast("float") for x in (spec.vector or [])])
-        return scoped.select(
+        out = scoped.select(
             F.col(id_col).alias("doc_id"),
             cosine_expr(F.col(spec.field), q).alias("score"),
         )
+        if spec.min_score is not None:
+            out = out.filter(F.col("score") >= spec.min_score)
+        if spec.max_distance is not None:
+            out = out.filter((1.0 - F.col("score")) <= spec.max_distance)
+        return out
     if spec.query_type == "neural_sparse":
         from .sparse import sparse_score
 

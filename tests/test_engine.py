@@ -124,3 +124,21 @@ def test_cli_search(spark, eng, tmp_path, capsys):
     )
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(out) == 3 and out[0]["rank"] == 1
+
+
+def test_hybrid_collapse_and_rerank(spark, eng):
+    base = {
+        "queries": [
+            {"match": {"query_text": "the tool"}},
+            {"match": {"query_text": "the user"}},
+        ],
+        "pagination_depth": 40,
+    }
+    col = eng.search({"hybrid": {**base, "collapse_field": "role"}}, k=3).toPandas()
+    # one row per role value, ranked
+    assert len(col) == 3 and col["rank"].tolist() == [1, 2, 3]
+    rr = eng.search(
+        {"hybrid": {**base, "rerank_by_field": "turn_idx"}}, k=5
+    ).toPandas()
+    assert len(rr) == 5
+    assert rr["score"].is_monotonic_decreasing  # re-sorted by turn_idx

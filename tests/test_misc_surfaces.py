@@ -145,3 +145,28 @@ def test_tid_py_matches_tid_expr(spark):
     }
     for t in vocab:
         assert got[t] == tid_py(t), t
+
+
+def test_neural_radius_filters(spark):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark import processors
+    from neural_search_spark.query import neural as nq
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} about spark") for i in range(20)],
+        "doc_id long, text string",
+    )
+    emb = processors.text_embedding(docs, out_col="vec")
+    spec = nq.QuerySpec(query_type="neural", field="vec", query_text="spark", min_score=0.0)
+    out = nq.execute(spec, emb).toPandas()
+    assert (out["score"] >= 0.0).all()
+    spec2 = nq.QuerySpec(query_type="neural", field="vec", query_text="spark", max_distance=0.9)
+    out2 = nq.execute(spec2, emb).toPandas()
+    assert ((1.0 - out2["score"]) <= 0.9).all()
+    with pytest.raises(ValueError, match="cannot both"):
+        nq.execute(
+            nq.QuerySpec(query_type="neural", field="vec", query_text="x",
+                         min_score=0.1, max_distance=0.5),
+            emb,
+        )

@@ -64,3 +64,55 @@ def test_resumed_index_query_identical(spark, crashed_build):
         got = bm25_topk(idx, q, k=10).toPandas()
         assert got["doc_id"].tolist() == expected["doc_id"].tolist(), q
         assert got["score"].tolist() == expected["score"].tolist(), q
+
+
+# ---------------------------------------------------------------------------
+# sparse index resume
+# ---------------------------------------------------------------------------
+def test_sparse_resume_query_identical(spark, transcripts_df, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.index.build import doc_id_col
+    from neural_search_spark.index.sparse import (
+        SparseIndex,
+        SparseIndexBuilder,
+        sparse_index_topk,
+    )
+    from neural_search_spark.tokenizer import tokenize_expr
+
+    tall = (
+        transcripts_df.withColumn("doc_id", doc_id_col())
+        .select("doc_id", F.explode(tokenize_expr("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("float").alias("weight"))
+    )
+    out = str(tmp_path_factory.mktemp("sidx") / "sparse_resume")
+    SparseIndexBuilder(spark, out, n_shards=4, block_size=64).build(tall)
+    q = {"the": 1.0, "w0001": 3.0, "w0250": 2.0}
+    full = sparse_index_topk(SparseIndex(spark, out), q, k=10).toPandas()
+
+    # crash: half the buckets lose lineage; some also keep orphaned files
+    lin_dir = os.path.join(out, "lineage")
+    lin = pd.read_parquet(lin_dir)
+    buckets = sorted(lin["term_bucket"].unique())
+    dropped = buckets[::2]
+    shutil.rmtree(lin_dir)
+    os.makedirs(lin_dir)
+    keep = lin[~lin["term_bucket"].isin(dropped)]
+    keep.to_parquet(os.path.join(lin_dir, "part-0.parquet"), index=False)
+    for i, b in enumerate(dropped):
+        if i % 2 == 0:
+            d = os.path.join(out, "postings", f"term_bucket={b}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+
+    SparseIndexBuilder(spark, out, n_shards=4, block_size=64).build(
+        tall, resume=True
+    )
+    lin2 = pd.read_parquet(lin_dir)
+    done = lin2[lin2["status"] == "complete"]["term_bucket"]
+    assert sorted(done.unique()) == buckets
+    assert not done.duplicated().any()
+    got = sparse_index_topk(SparseIndex(spark, out), q, k=10).toPandas()
+    assert got["doc_id"].tolist() == full["doc_id"].tolist()
+    assert got["score"].tolist() == full["score"].tolist()
