@@ -79,6 +79,11 @@ class BM25Index:
         self._postings_df: DataFrame | None = None
         self._terms_ds = None  # cached pyarrow datasets (file listings)
         self._postings_ds = None
+        # driver-path hot-term cache: tid → decoded (ids, tfs, dls) numpy
+        # arrays. Bounded LRU — the coordinator analog of Lucene's hot
+        # posting pages living in the OS page cache.
+        self._driver_cache: dict[int, tuple] = {}
+        self.driver_cache_terms = 512
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         """Driver-side term-dictionary lookup: a pyarrow predicate-pushdown
@@ -273,41 +278,59 @@ def _bm25_topk_driver(
     query terms' bucket partitions (hive pruning) with a tid row-group
     filter, then the same numpy kernel scores in-process — zero Spark jobs,
     so p50/p99 is filesystem latency, not task scheduling. Rank-identical
-    to the distributed path (same float32 cast, same doc_id tiebreak)."""
+    to the distributed path (same float32 cast, same doc_id tiebreak).
+
+    Decoded (ids, tfs, dls) arrays are kept in a bounded per-index LRU —
+    repeated queries over a zipfian vocabulary re-read only cold terms."""
     import pyarrow.dataset as ds
 
-    buckets = sorted({t % N_TERM_BUCKETS for t in tids})
-    if index._postings_ds is None:
-        index._postings_ds = ds.dataset(
-            index._postings_path, format="parquet", partitioning="hive"
+    cache = index._driver_cache
+    missing = [t for t in tids if t not in cache]
+    if missing:
+        buckets = sorted({t % N_TERM_BUCKETS for t in missing})
+        if index._postings_ds is None:
+            index._postings_ds = ds.dataset(
+                index._postings_path, format="parquet", partitioning="hive"
+            )
+        tbl = index._postings_ds.to_table(
+            columns=["tid", "docs", "tfs", "dls"],
+            filter=ds.field("term_bucket").isin(buckets)
+            & ds.field("tid").isin(missing),
         )
-    dataset = index._postings_ds
-    tbl = dataset.to_table(
-        columns=["tid", "docs", "tfs", "dls"],
-        filter=ds.field("term_bucket").isin(buckets) & ds.field("tid").isin(tids),
-    )
-    tid_arr = tbl["tid"].to_numpy()
+        tid_arr = tbl["tid"].to_numpy()
+        docs_col = tbl["docs"].to_pylist()
+        tfs_col = tbl["tfs"].to_pylist()
+        dls_col = tbl["dls"].to_pylist()
+        for tid in missing:
+            rows = np.flatnonzero(tid_arr == tid)
+            if len(rows) == 0:
+                cache[tid] = None
+                continue
+            cache[tid] = (
+                np.concatenate([decode_doc_ids(docs_col[i]) for i in rows]),
+                np.concatenate(
+                    [decode_varint(tfs_col[i]) for i in rows]
+                ).astype(np.float64),
+                np.concatenate(
+                    [decode_varint(dls_col[i]) for i in rows]
+                ).astype(np.float64),
+            )
     k1, b, avgdl = index.k1, index.b, index.avgdl
-    docs_col = tbl["docs"].to_pylist()
-    tfs_col = tbl["tfs"].to_pylist()
-    dls_col = tbl["dls"].to_pylist()
     ids_parts: list[np.ndarray] = []
     sc_parts: list[np.ndarray] = []
     for tid in tids:
-        rows = np.flatnonzero(tid_arr == tid)
-        if len(rows) == 0:
+        got = cache.get(tid)
+        if got is None:
             continue
-        ids = np.concatenate([decode_doc_ids(docs_col[i]) for i in rows])
-        tfs = np.concatenate([decode_varint(tfs_col[i]) for i in rows]).astype(
-            np.float64
-        )
-        dls = np.concatenate([decode_varint(dls_col[i]) for i in rows]).astype(
-            np.float64
-        )
+        ids, tfs, dls = got
         ids_parts.append(ids)
         sc_parts.append(
             idfs[tid] * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
         )
+    # evict AFTER scoring so the current query's (possibly old) entries
+    # can't be dropped mid-use; FIFO ≈ LRU at this cache size
+    while len(cache) > index.driver_cache_terms:
+        cache.pop(next(iter(cache)))
     if ids_parts:
         all_ids = np.concatenate(ids_parts)
         all_sc = np.concatenate(sc_parts)
