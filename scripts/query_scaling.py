@@ -65,24 +65,28 @@ def run(cpus: int):
     spark.stop()
 
 
-def sweep():
-    results: dict[int, list[float]] = {2: [], 8: []}
-    for _ in range(3):
-        for cpus in (2, 8):
+def sweep(lo: int = 2, hi: int = 8, rounds: int = 3):
+    results: dict[int, list[float]] = {lo: [], hi: []}
+    for _ in range(rounds):
+        for cpus in (lo, hi):
             r = subprocess.run(
                 [sys.executable, __file__, "run", str(cpus)],
                 capture_output=True, text=True,
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
             results[cpus].append(json.loads(line)["qps"])
-    q2, q8 = max(results[2]), max(results[8])
+    ql, qh = max(results[lo]), max(results[hi])
     print(json.dumps({
-        "qps_local2": q2, "qps_local8": q8, "all": results,
-        "efficiency_2_to_8": round(q8 / q2 / 4, 3),
+        f"qps_local{lo}": ql, f"qps_local{hi}": qh, "all": results,
+        f"efficiency_{lo}_to_{hi}": round(qh / ql / (hi / lo), 3),
     }))
 
 
 if __name__ == "__main__":
-    {"build": build, "sweep": sweep}.get(
-        sys.argv[1], lambda: run(int(sys.argv[2]))
-    )() if sys.argv[1] != "run" else run(int(sys.argv[2]))
+    if sys.argv[1] == "build":
+        build()
+    elif sys.argv[1] == "sweep":
+        args = [int(x) for x in sys.argv[2:4]] or [2, 8]
+        sweep(*args)
+    else:
+        run(int(sys.argv[2]))
