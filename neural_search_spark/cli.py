@@ -91,6 +91,8 @@ def cmd_search(args) -> None:
     from .index.sparse import SparseIndex
     from .query.bm25 import BM25Index
 
+    if not args.spec and not args.spec_json:
+        raise SystemExit("search: provide --spec FILE or --spec-json JSON")
     spark = _get_session(args)
     if args.spec_json:
         spec = args.spec_json

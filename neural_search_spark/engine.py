@@ -74,7 +74,12 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec:
     allowed = {"match", "neural", "neural_sparse", "neural_knn"}
     if qtype not in allowed:
         raise ValueError(f"unknown query type: {qtype}; valid: {sorted(allowed)}")
-    return QuerySpec(query_type=qtype, **body)
+    try:
+        return QuerySpec(query_type=qtype, **body)
+    except TypeError as ex:
+        # a typo'd body key reaches the dataclass ctor — surface it as the
+        # documented ValueError family, naming the bad field
+        raise ValueError(f"invalid {qtype} query body: {ex}") from None
 
 
 class Engine:
@@ -149,6 +154,8 @@ class Engine:
                 rerank_by_field,
             )
 
+            if not 1 <= len(spec.sub_queries) <= 5:
+                raise ValueError("hybrid query accepts 1..5 sub-queries")
             depth = spec.pagination_depth or k
             branches = [
                 self._branch_topk(s, depth) for s in spec.sub_queries
@@ -173,7 +180,17 @@ class Engine:
                     ),
                     "doc_id",
                 )
-                return collapse_top1(scored, spec.collapse_field, k=k)
+                out = collapse_top1(scored, spec.collapse_field, k=k)
+                if spec.rerank_by_field is not None:
+                    out = rerank_by_field(
+                        out,
+                        self._need_corpus("rerank")
+                        .select(self.id_col, spec.rerank_by_field)
+                        .withColumnRenamed(self.id_col, "doc_id"),
+                        spec.rerank_by_field,
+                        k=k,
+                    )
+                return out
             out = hybrid_topk(
                 branches,
                 k=k,

@@ -373,40 +373,47 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prev = None
-    for _ in range(max_iterations):
-        # (a) neighbor min: l(u) ← min(l(u), min_{v∈N(u)} l(v))
-        nbr = sym.join(
-            labels.withColumnRenamed("n", "v"), "v"
-        ).select(F.col("u").alias("n"), "l")
-        stepped = (
-            labels.unionAll(nbr).groupBy("n").agg(F.min("l").alias("l"))
-        )
-        # (b) pointer jump: l(u) ← l(l(u))
-        jump = labels.select(
-            F.col("n").alias("l"), F.col("l").alias("l2")
-        )
-        nxt = (
-            stepped.join(jump, "l", "left")
-            .select("n", F.coalesce("l2", F.col("l")).alias("l"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        row = nxt.agg(
-            F.count(F.lit(1)).alias("c"), F.sum("l").alias("s")
-        ).collect()[0]
-        fp = (int(row["c"]), int(row["s"] or 0))
+    try:
+        for _ in range(max_iterations):
+            # (a) neighbor min: l(u) ← min(l(u), min_{v∈N(u)} l(v))
+            nbr = sym.join(
+                labels.withColumnRenamed("n", "v"), "v"
+            ).select(F.col("u").alias("n"), "l")
+            stepped = (
+                labels.unionAll(nbr).groupBy("n").agg(F.min("l").alias("l"))
+            )
+            # (b) pointer jump: l(u) ← l(l(u))
+            jump = labels.select(
+                F.col("n").alias("l"), F.col("l").alias("l2")
+            )
+            nxt = (
+                stepped.join(jump, "l", "left")
+                .select("n", F.coalesce("l2", F.col("l")).alias("l"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            row = nxt.agg(
+                F.count(F.lit(1)).alias("c"), F.sum("l").alias("s")
+            ).collect()[0]
+            fp = (int(row["c"]), int(row["s"] or 0))
+            labels.unpersist()
+            labels = nxt
+            if fp == prev:
+                break
+            prev = fp
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} rounds"
+            )
+        # localCheckpoint truncates the iteration lineage so every
+        # intermediate cache (labels, sym) can be released here instead of
+        # leaking MEMORY_AND_DISK storage into the caller's session
+        out = labels.select(
+            F.col("n").alias("doc_id"), F.col("l").alias("component")
+        ).localCheckpoint(eager=True)
+    finally:
         labels.unpersist()
-        labels = nxt
-        if fp == prev:
-            break
-        prev = fp
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
-        )
-    out = labels.select(
-        F.col("n").alias("doc_id"), F.col("l").alias("component")
-    )
-    sym.unpersist()
+        sym.unpersist()
     return out
 
 
@@ -417,6 +424,7 @@ def embedding_near_dups_lsh(
     max_hamming: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Bucketed near-dup pairs — the 100 TB path: each vector gets an
     ``n_planes``-bit random-hyperplane sign bucket; candidate pairs come
@@ -430,7 +438,16 @@ def embedding_near_dups_lsh(
 
     assert n_planes % 4 == 0
     rb = n_planes // 4  # region width in bits
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        # one peek action to learn the vector dimension — pass dim to skip
+        row = emb.select(vec_col).first()
+        if row is None:  # empty input → empty pair set
+            return emb.sparkSession.range(0).select(
+                F.col("id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            )
+        dim = len(row[0])
     planes = hyperplanes(n_planes, dim)
     b = emb.select(
         F.col(id_col).alias("doc_id"),

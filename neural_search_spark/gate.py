@@ -456,11 +456,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     the quadratic shingle self-join form remains available as
     ``jaccard_pairs(sh)`` for verification-scale runs but is NOT the
     checked path."""
-    from pyspark import StorageLevel
-
-    sh = dedup.shingles(_docs(spark, sf), n=3).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # no explicit persist here: the returned DataFrame is lazy, so a cache
+    # pinned inside a gate entry could never be released by the harness —
+    # at oracle scale recomputing shingles per consumer is cheap, and the
+    # production entrypoint (minhash_near_dups) owns its own persist
+    sh = dedup.shingles(_docs(spark, sf), n=3)
     sigs = dedup.minhash_signatures(sh, _NUM_HASHES)
     cand = dedup.lsh_candidate_pairs(sigs, _NUM_HASHES, _BANDS)
     out = dedup.jaccard_pairs(sh, cand).filter(F.col("jaccard") >= 0.2)
@@ -1582,7 +1582,11 @@ def q_hybrid_index_minmax(spark: SparkSession, sf: str) -> DataFrame:
     keys = tr.select("doc_id", "conv_id", "turn_idx")
     tall = None
     for j, q in enumerate((QUERY_A, QUERY_B)):
-        raw = bm25_topk(idx, q, k=80, merge="takeOrdered").drop("rank")
+        # 3× over-fetch: the oracle ranks the FULL matched set on the
+        # 4dp-rounded score, so the raw-f32 pool must cover every doc that
+        # could tie into the rounded top-50 boundary; 100 spare slots
+        # absorbs any plausible tie cluster at these score densities
+        raw = bm25_topk(idx, q, k=150, merge="takeOrdered").drop("rank")
         b = (
             raw.join(keys, "doc_id")
             .select(

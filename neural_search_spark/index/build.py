@@ -284,6 +284,40 @@ class IndexBuilder:
         return os.path.join(self.out, name)
 
     # ---- lineage / resume --------------------------------------------
+    def _write_config(self) -> None:
+        """Layout parameters recorded at build START (before any postings)
+        so a resume can validate against them even if the crash happened
+        before the final stats write."""
+        pd.DataFrame(
+            {
+                "format_version": [INDEX_FORMAT_VERSION],
+                "n_shards": [self.n_shards],
+                "block_size": [self.block_size],
+                "k1": [self.k1],
+                "b": [self.b],
+            }
+        ).to_parquet(os.path.join(self.out, "build_config.parquet"))
+
+    def _check_config(self) -> None:
+        """Resuming with different layout params would mix incompatible
+        shard functions across kept and rebuilt buckets — refuse."""
+        path = os.path.join(self.out, "build_config.parquet")
+        if not os.path.exists(path):
+            return
+        cfg = pd.read_parquet(path).iloc[0]
+        for name, mine in (
+            ("n_shards", self.n_shards),
+            ("block_size", self.block_size),
+            ("k1", self.k1),
+            ("b", self.b),
+        ):
+            if cfg[name] != mine:
+                raise ValueError(
+                    f"resume {name}={mine} differs from the index's "
+                    f"{name}={cfg[name]} — kept buckets would be "
+                    f"incompatible; rebuild without resume or match params"
+                )
+
     def _done_buckets(self) -> set[int]:
         path = self._p("lineage")
         if not os.path.exists(path):
@@ -322,12 +356,15 @@ class IndexBuilder:
             stage_sec[name] = round(now - _t[0], 3)
             _t[0] = now
 
+        if resume:
+            self._check_config()
         done = self._done_buckets() if resume else set()
         if resume:
             self._clean_incomplete(done)
         elif os.path.exists(self.out):
             shutil.rmtree(self.out)
         os.makedirs(self.out, exist_ok=True)
+        self._write_config()
 
         # --- stage 1: tokenize ONCE → persist the tokenized turns; the tf
         # table, doc stats AND the term dictionary all derive from this one

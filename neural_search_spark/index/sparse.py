@@ -83,6 +83,33 @@ class SparseIndexBuilder:
     def _p(self, name: str) -> str:
         return os.path.join(self.out, name)
 
+    def _write_config(self) -> None:
+        pd.DataFrame(
+            {
+                "format_version": [SPARSE_FORMAT_VERSION],
+                "n_shards": [self.n_shards],
+                "block_size": [self.block_size],
+            }
+        ).to_parquet(os.path.join(self.out, "build_config.parquet"))
+
+    def _check_config(self) -> None:
+        """Refuse to resume with a different layout (mixed shard functions
+        across kept/rebuilt buckets would double-count docs per shard)."""
+        path = os.path.join(self.out, "build_config.parquet")
+        if not os.path.exists(path):
+            return
+        cfg = pd.read_parquet(path).iloc[0]
+        for name, mine in (
+            ("n_shards", self.n_shards),
+            ("block_size", self.block_size),
+        ):
+            if cfg[name] != mine:
+                raise ValueError(
+                    f"resume {name}={mine} differs from the index's "
+                    f"{name}={cfg[name]} — rebuild without resume or "
+                    f"match params"
+                )
+
     def _done_buckets(self) -> set[int]:
         path = self._p("lineage")
         if not os.path.exists(path):
@@ -112,12 +139,15 @@ class SparseIndexBuilder:
         with complete lineage are kept verbatim, unrecorded partial
         partitions are purged and rebuilt. Sparse weights carry no corpus
         statistics, so resumed buckets are bit-identical by construction."""
+        if resume:
+            self._check_config()
         done = self._done_buckets() if resume else set()
         if resume:
             self._clean_incomplete(done)
         elif os.path.exists(self.out):
             shutil.rmtree(self.out)
         os.makedirs(self.out, exist_ok=True)
+        self._write_config()
         tall = features.select(
             F.col("doc_id").cast("long"),
             tid_expr("token").alias("tid"),
@@ -311,9 +341,18 @@ def _accumulate(tbl_tids, docs_col, weights_col, q_weights: dict[int, float]):
 
 
 def _driver_scores(
-    index: SparseIndex, q_weights: dict[int, float]
+    index: SparseIndex,
+    q_weights: dict[int, float],
+    restrict: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Coordinator-side pruned read + accumulate — zero Spark jobs."""
+    """Coordinator-side pruned read + accumulate — zero Spark jobs.
+
+    restrict: sorted doc_id array — only these docs accumulate (the
+    two-phase rescore contract). Blocks whose [min_doc_id, max_doc_id]
+    range misses every candidate are skipped before decoding, and decoded
+    postings are masked, so a hot token's corpus-wide postings are never
+    accumulated just to be discarded."""
+    import pyarrow as pa
     import pyarrow.dataset as ds
 
     tids = sorted(q_weights)
@@ -322,16 +361,32 @@ def _driver_scores(
         index._postings_ds = ds.dataset(
             index._postings_path, format="parquet", partitioning="hive"
         )
+    cols = ["tid", "docs", "weights"]
+    if restrict is not None:
+        cols += ["min_doc_id", "max_doc_id"]
     tbl = index._postings_ds.to_table(
-        columns=["tid", "docs", "weights"],
+        columns=cols,
         filter=ds.field("term_bucket").isin(buckets) & ds.field("tid").isin(tids),
     )
-    return _accumulate(
+    if restrict is not None and len(tbl) > 0:
+        lo = np.searchsorted(restrict, tbl["min_doc_id"].to_numpy())
+        hi = np.searchsorted(
+            restrict, tbl["max_doc_id"].to_numpy(), side="right"
+        )
+        tbl = tbl.filter(pa.array(hi > lo))
+    ids, sc = _accumulate(
         tbl["tid"].to_numpy(),
         tbl["docs"].to_pylist(),
         tbl["weights"].to_pylist(),
         q_weights,
     )
+    if restrict is not None and len(ids):
+        pos = np.searchsorted(restrict, ids)
+        ok = (pos < len(restrict)) & (
+            restrict[np.minimum(pos, len(restrict) - 1)] == ids
+        )
+        ids, sc = ids[ok], sc[ok]
+    return ids, sc
 
 
 def _topk_pdf(ids: np.ndarray, sc: np.ndarray, k: int) -> pd.DataFrame:
@@ -469,7 +524,7 @@ def sparse_index_topk_two_phase(
     cand_ids = np.sort(cand["doc_id"].to_numpy(dtype=np.int64))
     lo_df = sum(stats[t] for t in low)
     if mode == "driver" or (mode == "auto" and lo_df <= DRIVER_MAX_POSTINGS):
-        ids2, sc2 = _driver_scores(index, lo_w)
+        ids2, sc2 = _driver_scores(index, lo_w, restrict=cand_ids)
         add = dict(zip(ids2.tolist(), sc2.tolist()))
     else:
         blocks = index.postings_for(sorted(low)).select(

@@ -57,12 +57,19 @@ def enrich(specs: list[QuerySpec], default_model_id: str | None = None,
 def rewrite(spec: QuerySpec) -> QuerySpec:
     """The reference's doRewrite: run 'inference' to produce the vector /
     token map. Uses the deterministic stub models (processors.py) so query
-    and document representations agree."""
+    and document representations agree.
+
+    Returns a COPY — the caller's spec is never mutated, so a reused spec
+    whose query_text changes between searches re-infers instead of serving
+    a stale cached vector/token map."""
+    import dataclasses
     import hashlib
 
     from ..extras.hashing import H60_MAX
     from ..processors import EMBED_DIM
     from ..tokenizer import tokenize_py
+
+    spec = dataclasses.replace(spec)
 
     if spec.query_type == "neural" and spec.vector is None:
         toks = tokenize_py(spec.query_text or "")

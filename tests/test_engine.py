@@ -142,3 +142,40 @@ def test_hybrid_collapse_and_rerank(spark, eng):
     ).toPandas()
     assert len(rr) == 5
     assert rr["score"].is_monotonic_decreasing  # re-sorted by turn_idx
+
+
+def test_spec_reuse_reinfers(spark, eng):
+    """rewrite() must not mutate the caller's spec — a reused spec whose
+    query_text changed re-infers instead of serving stale results."""
+    from neural_search_spark.query.neural import QuerySpec, rewrite
+
+    spec = QuerySpec(query_type="neural", query_text="cats and dogs")
+    r1 = rewrite(spec)
+    assert spec.vector is None and r1.vector is not None
+    spec.query_text = "submarines"
+    r2 = rewrite(spec)
+    assert r2.vector != r1.vector
+
+
+def test_bad_body_key_is_value_error():
+    with pytest.raises(ValueError, match="invalid match query body"):
+        spec_from_json({"match": {"text": "typo for query_text"}})
+
+
+def test_empty_hybrid_with_collapse_raises(spark, eng):
+    with pytest.raises(ValueError, match="1..5 sub-queries"):
+        eng.search({"hybrid": {"queries": [], "collapse_field": "role"}}, k=3)
+
+
+def test_collapse_then_rerank_applies_both(spark, eng):
+    out = eng.search(
+        {
+            "hybrid": {
+                "queries": [{"match": {"query_text": "the tool"}}],
+                "collapse_field": "role",
+                "rerank_by_field": "turn_idx",
+            }
+        },
+        k=3,
+    ).toPandas()
+    assert len(out) <= 3 and out["score"].is_monotonic_decreasing

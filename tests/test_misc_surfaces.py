@@ -170,3 +170,21 @@ def test_neural_radius_filters(spark):
                          min_score=0.1, max_distance=0.5),
             emb,
         )
+
+
+def test_driver_postings_cache_eviction_correct(spark, small_index):
+    """A 1-term cache forces eviction on every multi-term query; results
+    must stay identical to the uncached path (eviction must never drop an
+    entry the current query still needs)."""
+    from neural_search_spark.query.bm25 import BM25Index, bm25_topk
+
+    plain = BM25Index(spark, small_index)
+    plain.driver_cache_terms = 0
+    tiny = BM25Index(spark, small_index)
+    tiny.driver_cache_terms = 1
+    for q in ["the tool w0001", "w0001 w0250", "the user w0250 w0100"]:
+        a = bm25_topk(plain, q, k=8, mode="driver").toPandas()
+        b = bm25_topk(tiny, q, k=8, mode="driver").toPandas()
+        c = bm25_topk(tiny, q, k=8, mode="driver").toPandas()  # re-run, warm/evicted mix
+        assert a.doc_id.tolist() == b.doc_id.tolist() == c.doc_id.tolist(), q
+        assert a.score.tolist() == b.score.tolist() == c.score.tolist(), q

@@ -116,3 +116,12 @@ def test_sparse_resume_query_identical(spark, transcripts_df, tmp_path_factory):
     got = sparse_index_topk(SparseIndex(spark, out), q, k=10).toPandas()
     assert got["doc_id"].tolist() == full["doc_id"].tolist()
     assert got["score"].tolist() == full["score"].tolist()
+
+
+def test_resume_rejects_changed_layout(spark, transcripts_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "cfg")
+    IndexBuilder(spark, out, n_shards=4, block_size=64).build(transcripts_df)
+    with pytest.raises(ValueError, match="n_shards=8 differs"):
+        IndexBuilder(spark, out, n_shards=8, block_size=64).build(
+            transcripts_df, resume=True
+        )
