@@ -217,9 +217,10 @@ def postings_from_tokens(toks: DataFrame) -> DataFrame:
 
 def term_dictionary_from_tokens(toks: DataFrame) -> DataFrame:
     """(term, tid) from the already-tokenized form — no corpus re-scan.
-    Map-side partial distinct keeps the shuffle ~vocab-sized."""
+    Per-row array_distinct halves the exploded row count before the
+    map-side partial distinct; the shuffle stays ~vocab-sized."""
     return (
-        toks.select(F.explode("toks").alias("term"))
+        toks.select(F.explode(F.array_distinct("toks")).alias("term"))
         .distinct()
         .withColumn("tid", tid_expr("term"))
     )
@@ -455,7 +456,10 @@ class IndexBuilder:
             "term_bucket", F.pmod("tid", F.lit(N_TERM_BUCKETS))
         )
         (
-            blocks.repartition("term_bucket")
+            # bucket-aligned shuffle: one task per on-disk partition
+            # (64 > shuffle_partitions default → better write
+            # parallelism AND exactly one file per bucket)
+            blocks.repartition(N_TERM_BUCKETS, "term_bucket")
             .sortWithinPartitions("tid", "shard_id", "block_seq")
             .write.mode("append")
             .partitionBy("term_bucket")

@@ -222,7 +222,10 @@ class SparseIndexBuilder:
             F.array_max(ws).cast("float").alias("max_weight"),
         ).withColumn("term_bucket", F.pmod("tid", F.lit(N_TERM_BUCKETS)))
         (
-            blocks.repartition("term_bucket")
+            # bucket-aligned shuffle: one task per on-disk partition
+            # (64 > shuffle_partitions default → better write
+            # parallelism AND exactly one file per bucket)
+            blocks.repartition(N_TERM_BUCKETS, "term_bucket")
             .sortWithinPartitions("tid", "shard_id", "block_seq")
             .write.mode("append")
             .partitionBy("term_bucket")
