@@ -1108,6 +1108,66 @@ FROM c"""
     return _topk_sql(inner, ["doc_id"], 10)
 
 
+def q_hybrid_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """BATCHED hybrid search: two hybrid queries normalized + combined in
+    ONE plan via group_cols=("query_id",) — the cluster-throughput shape
+    (per-(query, subq) stats stay a tiny broadcast join). Top-5 per query."""
+    from .query.hybrid import combine_scores, normalize_scores
+
+    d = _docs(spark, sf)
+    qsets = {"qa": (QUERY_A, QUERY_B), "qb": (QUERY_B, QUERY_C)}
+    tall = None
+    for qid, (q0, q1) in sorted(qsets.items()):
+        for j, q in enumerate((q0, q1)):
+            t = bm25_scored(
+                d, ["doc_id"], q, ndp=6, stats_key=(_sf_key(sf), "docs")
+            ).select(
+                F.lit(qid).alias("query_id"),
+                F.lit(j).alias("subq"),
+                F.col("doc_id").cast("long"),
+                F.col("score").cast("double"),
+            )
+            tall = t if tall is None else tall.unionAll(t)
+    normed = normalize_scores(tall, "min_max", group_cols=("query_id",))
+    combined = combine_scores(
+        normed, 2, "arithmetic_mean", group_cols=("query_id",)
+    ).withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        combined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def sql_hybrid_batch() -> str:
+    qsets = {"qa": (QUERY_A, QUERY_B), "qb": (QUERY_B, QUERY_C)}
+    parts = []
+    for qid, (q0, q1) in sorted(qsets.items()):
+        for j, q in enumerate((q0, q1)):
+            b = bm25_scored_sql("documents", ["doc_id"], q, ndp=6)
+            parts.append(
+                f"SELECT '{qid}' AS query_id, {j} AS subq, doc_id, score FROM ({b})"
+            )
+    tall = " UNION ALL ".join(parts)
+    return f"""
+WITH tall AS ({tall}),
+n AS (SELECT query_id, subq, doc_id, score,
+        min(score) OVER (PARTITION BY query_id, subq) AS mn,
+        max(score) OVER (PARTITION BY query_id, subq) AS mx FROM tall),
+nn AS (SELECT query_id, subq, doc_id,
+        (CASE WHEN mx = mn AND mx = score THEN 1.0
+              WHEN (score - mn)/(mx - mn) = 0.0 THEN 0.001
+              ELSE (score - mn)/(mx - mn) END)::REAL::DOUBLE AS ns FROM n),
+c AS (SELECT query_id, doc_id,
+        round((sum(ns) / 2.0)::REAL::DOUBLE, 4) AS score
+      FROM nn GROUP BY query_id, doc_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id)::INTEGER AS rank
+      FROM c)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5"""
+
+
 def q_collapse_by_source(spark: SparkSession, sf: str) -> DataFrame:
     from .query.hybrid import collapse_top1
 
@@ -1969,6 +2029,7 @@ def build_registry():
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_l2_harmonic": q_hybrid_l2_harmonic,
         "hybrid_zscore_geo": q_hybrid_zscore_geo,
+        "hybrid_batch": q_hybrid_batch,
         "collapse_by_source": q_collapse_by_source,
         "rerank_by_field": q_rerank_by_field,
         "events_rollup": q_events_rollup,
@@ -2024,6 +2085,7 @@ def build_registry():
         "hybrid_rrf": sql_hybrid_rrf(),
         "hybrid_l2_harmonic": sql_hybrid_l2_harmonic(),
         "hybrid_zscore_geo": sql_hybrid_zscore_geo(),
+        "hybrid_batch": sql_hybrid_batch(),
         "collapse_by_source": sql_collapse_by_source(),
         "rerank_by_field": sql_rerank_by_field(),
         "events_rollup": sql_events_rollup(),
