@@ -280,6 +280,10 @@ class SparseIndex:
         self._postings_df: DataFrame | None = None
         self._terms_ds = None
         self._postings_ds = None
+        # driver-path hot-token cache: tid → (ids, weights) decoded arrays
+        # (bounded FIFO — see query/bm25.py BM25Index for the rationale)
+        self._driver_cache: dict[int, tuple | None] = {}
+        self.driver_cache_terms = 512
 
     def token_stats(self, tokens: list[str]) -> dict[str, int]:
         """{token: df} via pyarrow predicate-pushdown point read."""
@@ -354,35 +358,72 @@ def _driver_scores(
     two-phase rescore contract). Blocks whose [min_doc_id, max_doc_id]
     range misses every candidate are skipped before decoding, and decoded
     postings are masked, so a hot token's corpus-wide postings are never
-    accumulated just to be discarded."""
+    accumulated just to be discarded.
+
+    Unrestricted decodes populate a bounded per-index FIFO (hot tokens
+    decode once across queries); restricted decodes read cold tokens with
+    the block skip but are NOT cached (they're partial)."""
     import pyarrow as pa
     import pyarrow.dataset as ds
 
+    cache = index._driver_cache
     tids = sorted(q_weights)
-    buckets = sorted({t % N_TERM_BUCKETS for t in tids})
-    if index._postings_ds is None:
-        index._postings_ds = ds.dataset(
-            index._postings_path, format="parquet", partitioning="hive"
+    cold = [t for t in tids if t not in cache]
+    arrs: dict[int, tuple] = {}
+    if cold:
+        buckets = sorted({t % N_TERM_BUCKETS for t in cold})
+        if index._postings_ds is None:
+            index._postings_ds = ds.dataset(
+                index._postings_path, format="parquet", partitioning="hive"
+            )
+        cols = ["tid", "docs", "weights"]
+        if restrict is not None:
+            cols += ["min_doc_id", "max_doc_id"]
+        tbl = index._postings_ds.to_table(
+            columns=cols,
+            filter=ds.field("term_bucket").isin(buckets)
+            & ds.field("tid").isin(cold),
         )
-    cols = ["tid", "docs", "weights"]
-    if restrict is not None:
-        cols += ["min_doc_id", "max_doc_id"]
-    tbl = index._postings_ds.to_table(
-        columns=cols,
-        filter=ds.field("term_bucket").isin(buckets) & ds.field("tid").isin(tids),
-    )
-    if restrict is not None and len(tbl) > 0:
-        lo = np.searchsorted(restrict, tbl["min_doc_id"].to_numpy())
-        hi = np.searchsorted(
-            restrict, tbl["max_doc_id"].to_numpy(), side="right"
-        )
-        tbl = tbl.filter(pa.array(hi > lo))
-    ids, sc = _accumulate(
-        tbl["tid"].to_numpy(),
-        tbl["docs"].to_pylist(),
-        tbl["weights"].to_pylist(),
-        q_weights,
-    )
+        if restrict is not None and len(tbl) > 0:
+            lo = np.searchsorted(restrict, tbl["min_doc_id"].to_numpy())
+            hi = np.searchsorted(
+                restrict, tbl["max_doc_id"].to_numpy(), side="right"
+            )
+            tbl = tbl.filter(pa.array(hi > lo))
+        tid_arr = tbl["tid"].to_numpy()
+        docs_col = tbl["docs"].to_pylist()
+        w_col = tbl["weights"].to_pylist()
+        for tid in cold:
+            rows = np.flatnonzero(tid_arr == tid)
+            if len(rows) == 0:
+                got = None
+            else:
+                got = (
+                    np.concatenate([decode_doc_ids(docs_col[i]) for i in rows]),
+                    np.concatenate(
+                        [decode_f32(w_col[i]) for i in rows]
+                    ).astype(np.float64),
+                )
+            arrs[tid] = got
+            if restrict is None:
+                cache[tid] = got
+    ids_parts: list[np.ndarray] = []
+    sc_parts: list[np.ndarray] = []
+    for tid in tids:
+        got = arrs[tid] if tid in arrs else cache.get(tid)
+        if got is None:
+            continue
+        ids, ws = got
+        ids_parts.append(ids)
+        sc_parts.append(q_weights[tid] * ws)
+    while len(cache) > index.driver_cache_terms:
+        cache.pop(next(iter(cache)))
+    if not ids_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    all_ids = np.concatenate(ids_parts)
+    all_sc = np.concatenate(sc_parts)
+    ids, inv = np.unique(all_ids, return_inverse=True)
+    sc = np.bincount(inv, weights=all_sc, minlength=len(ids))
     if restrict is not None and len(ids):
         pos = np.searchsorted(restrict, ids)
         ok = (pos < len(restrict)) & (
