@@ -1115,19 +1115,30 @@ def q_hybrid_batch(spark: SparkSession, sf: str) -> DataFrame:
     from .query.hybrid import combine_scores, normalize_scores
 
     d = _docs(spark, sf)
-    qsets = {"qa": (QUERY_A, QUERY_B), "qb": (QUERY_B, QUERY_C)}
+    # each DISTINCT query text is scored ONCE; a broadcast crossJoin with
+    # its (query_id, subq) tag rows fans the single scored subtree out to
+    # every hybrid slot that uses it (QUERY_B appears in both qsets — the
+    # naive per-slot form would tokenize+score the corpus for it twice)
+    tags = {
+        QUERY_A: [("qa", 0)],
+        QUERY_B: [("qa", 1), ("qb", 0)],
+        QUERY_C: [("qb", 1)],
+    }
     tall = None
-    for qid, (q0, q1) in sorted(qsets.items()):
-        for j, q in enumerate((q0, q1)):
-            t = bm25_scored(
-                d, ["doc_id"], q, ndp=6, stats_key=(_sf_key(sf), "docs")
-            ).select(
-                F.lit(qid).alias("query_id"),
-                F.lit(j).alias("subq"),
-                F.col("doc_id").cast("long"),
-                F.col("score").cast("double"),
-            )
-            tall = t if tall is None else tall.unionAll(t)
+    for q, pairs in tags.items():
+        scored = bm25_scored(
+            d, ["doc_id"], q, ndp=6, stats_key=(_sf_key(sf), "docs")
+        )
+        tag_df = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["query_id", "subq"])
+        )
+        t = scored.crossJoin(F.broadcast(tag_df)).select(
+            "query_id",
+            F.col("subq").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        tall = t if tall is None else tall.unionAll(t)
     normed = normalize_scores(tall, "min_max", group_cols=("query_id",))
     combined = combine_scores(
         normed, 2, "arithmetic_mean", group_cols=("query_id",)

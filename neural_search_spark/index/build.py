@@ -456,9 +456,11 @@ class IndexBuilder:
             "term_bucket", F.pmod("tid", F.lit(N_TERM_BUCKETS))
         )
         (
-            # bucket-aligned shuffle: one task per on-disk partition
-            # (64 > shuffle_partitions default → better write
-            # parallelism AND exactly one file per bucket)
+            # 64 hash partitions keyed by term_bucket: hash collisions
+            # leave ~40 of the 64 tasks non-empty (birthday stats), but
+            # that still beats the shuffle_partitions default's coarse
+            # tasks (measured 18→14.6 s at local[8]); partitionBy on
+            # write keeps exactly one file per bucket either way
             blocks.repartition(N_TERM_BUCKETS, "term_bucket")
             .sortWithinPartitions("tid", "shard_id", "block_seq")
             .write.mode("append")

@@ -222,9 +222,11 @@ class SparseIndexBuilder:
             F.array_max(ws).cast("float").alias("max_weight"),
         ).withColumn("term_bucket", F.pmod("tid", F.lit(N_TERM_BUCKETS)))
         (
-            # bucket-aligned shuffle: one task per on-disk partition
-            # (64 > shuffle_partitions default → better write
-            # parallelism AND exactly one file per bucket)
+            # 64 hash partitions keyed by term_bucket: hash collisions
+            # leave ~40 of the 64 tasks non-empty (birthday stats), but
+            # that still beats the shuffle_partitions default's coarse
+            # tasks (measured 18→14.6 s at local[8]); partitionBy on
+            # write keeps exactly one file per bucket either way
             blocks.repartition(N_TERM_BUCKETS, "term_bucket")
             .sortWithinPartitions("tid", "shard_id", "block_seq")
             .write.mode("append")
@@ -280,10 +282,13 @@ class SparseIndex:
         self._postings_df: DataFrame | None = None
         self._terms_ds = None
         self._postings_ds = None
-        # driver-path hot-token cache: tid → (ids, weights) decoded arrays
-        # (bounded FIFO — see query/bm25.py BM25Index for the rationale)
+        # driver-path hot-token cache: tid → (ids, weights f32) decoded
+        # arrays (bounded FIFO by count AND bytes — see index/cache.py)
+        from .cache import DEFAULT_MAX_BYTES, DEFAULT_MAX_TERMS
+
         self._driver_cache: dict[int, tuple | None] = {}
-        self.driver_cache_terms = 512
+        self.driver_cache_terms = DEFAULT_MAX_TERMS
+        self.driver_cache_bytes = DEFAULT_MAX_BYTES
 
     def token_stats(self, tokens: list[str]) -> dict[str, int]:
         """{token: df} via pyarrow predicate-pushdown point read."""
@@ -398,11 +403,11 @@ def _driver_scores(
             if len(rows) == 0:
                 got = None
             else:
+                # weights stay float32 in memory (exact — they're f32 on
+                # disk); upcast to f64 only at use, halving cache bytes
                 got = (
                     np.concatenate([decode_doc_ids(docs_col[i]) for i in rows]),
-                    np.concatenate(
-                        [decode_f32(w_col[i]) for i in rows]
-                    ).astype(np.float64),
+                    np.concatenate([decode_f32(w_col[i]) for i in rows]),
                 )
             arrs[tid] = got
             if restrict is None:
@@ -414,22 +419,26 @@ def _driver_scores(
         if got is None:
             continue
         ids, ws = got
+        if restrict is not None and len(ids):
+            # mask per token BEFORE accumulation so a cached hot token's
+            # corpus-wide postings are never carried into the combine —
+            # the contract the block skip implements for cold reads
+            pos = np.searchsorted(restrict, ids)
+            ok = (pos < len(restrict)) & (
+                restrict[np.minimum(pos, len(restrict) - 1)] == ids
+            )
+            ids, ws = ids[ok], ws[ok]
         ids_parts.append(ids)
-        sc_parts.append(q_weights[tid] * ws)
-    while len(cache) > index.driver_cache_terms:
-        cache.pop(next(iter(cache)))
+        sc_parts.append(q_weights[tid] * ws.astype(np.float64))
+    from .cache import evict_fifo
+
+    evict_fifo(cache, index.driver_cache_terms, index.driver_cache_bytes)
     if not ids_parts:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     all_ids = np.concatenate(ids_parts)
     all_sc = np.concatenate(sc_parts)
     ids, inv = np.unique(all_ids, return_inverse=True)
     sc = np.bincount(inv, weights=all_sc, minlength=len(ids))
-    if restrict is not None and len(ids):
-        pos = np.searchsorted(restrict, ids)
-        ok = (pos < len(restrict)) & (
-            restrict[np.minimum(pos, len(restrict) - 1)] == ids
-        )
-        ids, sc = ids[ok], sc[ok]
     return ids, sc
 
 

@@ -79,11 +79,15 @@ class BM25Index:
         self._postings_df: DataFrame | None = None
         self._terms_ds = None  # cached pyarrow datasets (file listings)
         self._postings_ds = None
-        # driver-path hot-term cache: tid → decoded (ids, tfs, dls) numpy
-        # arrays. Bounded LRU — the coordinator analog of Lucene's hot
-        # posting pages living in the OS page cache.
+        # driver-path hot-term cache: tid → decoded (ids, tfs f32, dls f32)
+        # arrays (tf/dl are small ints — exact in float32; upcast at use).
+        # Bounded FIFO by count AND bytes — the coordinator analog of
+        # Lucene's hot posting pages living in the OS page cache.
+        from ..index.cache import DEFAULT_MAX_BYTES, DEFAULT_MAX_TERMS
+
         self._driver_cache: dict[int, tuple] = {}
-        self.driver_cache_terms = 512
+        self.driver_cache_terms = DEFAULT_MAX_TERMS
+        self.driver_cache_bytes = DEFAULT_MAX_BYTES
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         """Driver-side term-dictionary lookup: a pyarrow predicate-pushdown
@@ -306,14 +310,16 @@ def _bm25_topk_driver(
             if len(rows) == 0:
                 cache[tid] = None
                 continue
+            # tf/dl values are small ints (≤ turn length) — float32 holds
+            # them exactly, halving cache bytes; upcast to f64 at use
             cache[tid] = (
                 np.concatenate([decode_doc_ids(docs_col[i]) for i in rows]),
                 np.concatenate(
                     [decode_varint(tfs_col[i]) for i in rows]
-                ).astype(np.float64),
+                ).astype(np.float32),
                 np.concatenate(
                     [decode_varint(dls_col[i]) for i in rows]
-                ).astype(np.float64),
+                ).astype(np.float32),
             )
     k1, b, avgdl = index.k1, index.b, index.avgdl
     ids_parts: list[np.ndarray] = []
@@ -322,15 +328,18 @@ def _bm25_topk_driver(
         got = cache.get(tid)
         if got is None:
             continue
-        ids, tfs, dls = got
+        ids, tfs32, dls32 = got
+        tfs = tfs32.astype(np.float64)
+        dls = dls32.astype(np.float64)
         ids_parts.append(ids)
         sc_parts.append(
             idfs[tid] * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
         )
     # evict AFTER scoring so the current query's (possibly old) entries
     # can't be dropped mid-use; FIFO ≈ LRU at this cache size
-    while len(cache) > index.driver_cache_terms:
-        cache.pop(next(iter(cache)))
+    from ..index.cache import evict_fifo
+
+    evict_fifo(cache, index.driver_cache_terms, index.driver_cache_bytes)
     if ids_parts:
         all_ids = np.concatenate(ids_parts)
         all_sc = np.concatenate(sc_parts)

@@ -208,3 +208,35 @@ def test_sparse_index_format_version(spark, sparse_index, tmp_path):
     ).write.mode("overwrite").parquet(str(bad / "stats"))
     with pytest.raises(ValueError, match="format v99"):
         SparseIndex(spark, str(bad))
+
+
+def test_sparse_driver_cache_eviction_and_restrict(spark, sparse_docs, sparse_index):
+    """Sparse driver cache: tiny-capacity eviction stays value-identical,
+    and a restricted (two-phase) call on a cold index must never poison the
+    cache with partial decodes for later unrestricted queries."""
+    import numpy as np
+
+    from neural_search_spark.index.sparse import (
+        SparseIndex,
+        sparse_index_topk,
+        sparse_index_topk_two_phase,
+    )
+
+    want = sparse_topk(sparse_docs, IDX_QUERY, k=10).toPandas()
+    for cap in (0, 1, 512):
+        idx2 = SparseIndex(spark, sparse_index.path)
+        idx2.driver_cache_terms = cap
+        for _ in range(2):
+            got = sparse_index_topk(idx2, IDX_QUERY, k=10, mode="driver").toPandas()
+            assert got.doc_id.tolist() == want.doc_id.tolist(), cap
+            np.testing.assert_allclose(got.score, want.score, rtol=0, atol=0)
+
+    # restricted-first ordering: run two-phase (phase 2 is restricted) on a
+    # cold index, then the unrestricted single-pass — must match exactly
+    idx3 = SparseIndex(spark, sparse_index.path)
+    sparse_index_topk_two_phase(
+        idx3, IDX_QUERY, k=5, prune_ratio=0.6, expansion_rate=2.0, mode="driver"
+    ).collect()
+    got = sparse_index_topk(idx3, IDX_QUERY, k=10, mode="driver").toPandas()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    np.testing.assert_allclose(got.score, want.score, rtol=0, atol=0)
