@@ -121,3 +121,25 @@ def ratio_in_sql(toks_expr: str, words: list[str]) -> str:
         f"len(list_filter({toks_expr}, t -> list_contains({_sql_list(words)}, t)))"
         f" / CAST(len({toks_expr}) AS DOUBLE) ELSE 0.0 END)"
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Reproducible hash-based row sampling: keep rows whose
+    h60(key # salt) / 2^60 < rate. Unlike df.sample(), membership is a
+    pure function of the key — stable across runs, partitionings and
+    engines (the DuckDB oracle reproduces it exactly), which is what a
+    training-data pipeline needs for holdout splits and decontamination
+    re-runs at 100 TB (a map-side filter, no shuffle, pushes to the scan).
+    Different salts give independent samples for train/val/test splits."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    from .hashing import h60_unit
+
+    return df.filter(
+        h60_unit(F.col(key_col).cast("string"), seed=salt) < F.lit(rate)
+    )

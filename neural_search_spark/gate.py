@@ -797,6 +797,26 @@ SELECT doc_id, n_tokens, round(mtl, 6) AS mean_token_len,
 FROM f"""
 
 
+_SAMPLE_RATE = 0.2
+
+
+def q_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash sample (holdout-split / decontamination rerun
+    primitive): membership is a pure function of the key, so the oracle
+    reproduces it exactly and re-runs at any scale agree row-for-row."""
+    return textstats.deterministic_sample(
+        _docs(spark, sf), rate=_SAMPLE_RATE, salt="val"
+    ).select("doc_id", "lang", "source")
+
+
+def sql_sample_documents() -> str:
+    from .extras.hashing import h60_unit_sql
+
+    u = h60_unit_sql("doc_id::VARCHAR", "val")
+    return f"""
+SELECT doc_id, lang, source FROM documents WHERE {u} < {_SAMPLE_RATE}"""
+
+
 def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return _docs(spark, sf).select(
         "doc_id", textstats.fingerprint("text").alias("fp")
@@ -2030,6 +2050,7 @@ def build_registry():
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprints": q_fingerprints,
+        "sample_documents": q_sample_documents,
         "chunk_fixed_char": q_chunk_fixed_char,
         "chunk_delimiter": q_chunk_delimiter,
         "sparse_topk": q_sparse_topk,
@@ -2086,6 +2107,7 @@ def build_registry():
         "lang_id": sql_lang_id(),
         "quality": sql_quality(),
         "fingerprints": sql_fingerprints(),
+        "sample_documents": sql_sample_documents(),
         "chunk_fixed_char": sql_chunk_fixed_char(),
         "chunk_delimiter": sql_chunk_delimiter(),
         "sparse_topk": sql_sparse_topk(),

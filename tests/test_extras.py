@@ -266,3 +266,19 @@ def test_connected_components_from_minhash(docs_df):
     got = dict(zip(comp.doc_id, comp.component))
     # docs 0,1,2 are (near-)dups of each other → one component rooted at 0
     assert got[0] == got[1] == got[2] == 0
+
+
+def test_deterministic_sample(docs_df):
+    a = textstats.deterministic_sample(docs_df, 0.5, salt="s1").toPandas()
+    b = textstats.deterministic_sample(docs_df, 0.5, salt="s1").toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # stable across runs
+    c = textstats.deterministic_sample(docs_df, 0.5, salt="s2").toPandas()
+    # different salt → independent membership (may coincide on 9 docs, but
+    # rate-1.0 / rate-0.0 bounds must hold exactly)
+    assert len(textstats.deterministic_sample(docs_df, 1.0).toPandas()) == 9
+    assert len(textstats.deterministic_sample(docs_df, 0.0).toPandas()) == 0
+    # nesting property: a rate-0.2 sample is a subset of the rate-0.5 one
+    s02 = set(textstats.deterministic_sample(docs_df, 0.2, salt="s1").toPandas().doc_id)
+    assert s02 <= set(a.doc_id)
+    with pytest.raises(ValueError, match="rate"):
+        textstats.deterministic_sample(docs_df, 1.5)
