@@ -1444,12 +1444,15 @@ def q_neural_radius(spark: SparkSession, sf: str) -> DataFrame:
             min_score=_RADIUS_MIN_SCORE,
         )
     )
-    # floor-scale instead of round: with bit-identical doubles both engines
-    # truncate identically, whereas a .5-at-6dp boundary splits HALF_UP
-    # (Spark) vs DuckDB's rounding on 2/181 rows here
+    # The checked value is a COARSE score bucket (2dp floor): the engines'
+    # cosines agree to ~1 ulp but not bit-exactly (measured 3/1795 rows at
+    # sf0.1 under 6dp floor-scaling, 2/181 under 6dp HALF_UP rounding), so
+    # any fine-grained quantization puts thousands of rows near a boundary.
+    # At 2dp the boundary-hit probability is ~rows × 1e-13 ≈ 0; exact score
+    # VALUES are verified by the neural_dense_topk entry's rounded top-k.
     return nq.execute(spec, embedded).select(
         "doc_id",
-        F.floor(F.col("score") * 1e6).cast("long").alias("score"),
+        F.floor(F.col("score") * 100).cast("long").alias("score_bucket"),
     )
 
 
@@ -1469,7 +1472,7 @@ s AS (SELECT doc_id,
         list_dot_product(v, q.qv) /
           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
       FROM e CROSS JOIN q)
-SELECT doc_id, floor(c * 1000000.0)::BIGINT AS score
+SELECT doc_id, floor(c * 100.0)::BIGINT AS score_bucket
 FROM s WHERE c >= {_RADIUS_MIN_SCORE}"""
 
 
