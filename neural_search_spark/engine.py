@@ -219,3 +219,48 @@ class Engine:
             .limit(k)
             .withColumn("rank", F.row_number().over(w).cast("int"))
         )
+
+    def msearch(
+        self, specs: dict[str, QuerySpec | dict | str], k: int = 10
+    ) -> DataFrame:
+        """Batched search: {query_id: spec} → one (query_id, doc_id,
+        score, rank) DataFrame. A run of consecutive match specs against
+        the BM25 index executes as ONE bm25_topk_batch job (shared pruned
+        scan + per-shard decode cache — the cluster-throughput shape);
+        other spec types fall back to per-spec plans unioned in."""
+        parsed = {
+            qid: (spec_from_json(s) if isinstance(s, (dict, str)) else s)
+            for qid, s in specs.items()
+        }
+        batchable = {
+            qid: s
+            for qid, s in parsed.items()
+            if isinstance(s, QuerySpec)
+            and s.query_type == "match"
+            and s.filter is None
+            and self.bm25_index is not None
+        }
+        parts: list[DataFrame] = []
+        if batchable:
+            from .query.bm25 import bm25_topk_batch
+
+            pairs = [(qid, s.query_text or "") for qid, s in batchable.items()]
+            parts.append(
+                bm25_topk_batch(self.bm25_index, pairs, k=k).select(
+                    "query_id", "doc_id",
+                    F.col("score").cast("double").alias("score"), "rank",
+                )
+            )
+        for qid, s in parsed.items():
+            if qid in batchable:
+                continue
+            parts.append(
+                self.search(s, k=k).select(
+                    F.lit(qid).alias("query_id"), "doc_id",
+                    F.col("score").cast("double").alias("score"), "rank",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out

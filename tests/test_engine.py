@@ -179,3 +179,21 @@ def test_collapse_then_rerank_applies_both(spark, eng):
         k=3,
     ).toPandas()
     assert len(out) <= 3 and out["score"].is_monotonic_decreasing
+
+
+def test_msearch_batches_match_specs(spark, eng):
+    from neural_search_spark.query.bm25 import bm25_topk
+
+    res = eng.msearch(
+        {
+            "q1": {"match": {"query_text": "the tool"}},
+            "q2": {"match": {"query_text": "the user"}},
+            "q3": {"neural_sparse": {"query_tokens": {"the": 1.0}}},
+        },
+        k=4,
+    ).toPandas()
+    assert set(res.query_id) == {"q1", "q2", "q3"}
+    for qid, text in (("q1", "the tool"), ("q2", "the user")):
+        got = res[res.query_id == qid].sort_values("rank")
+        want = bm25_topk(eng.bm25_index, text, k=4).toPandas()
+        assert got.doc_id.tolist() == want.doc_id.tolist(), qid
