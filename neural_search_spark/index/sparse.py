@@ -315,6 +315,12 @@ class SparseIndex:
         self._postings_df = self._postings_df.repartition(
             self.n_shards, "shard_id"
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # EAGER warm-up: until the cached plan materializes, AQE reports
+        # its output partitioning as undecided and every consumer plans a
+        # defensive re-shuffle; after materialization (isFinalPlan) the
+        # per-query Exchange is elided — so pay the warm-up here, not on
+        # the first serving query
+        self._postings_df.count()
         return self
 
     def postings_for(self, tokens: list[str]) -> DataFrame:

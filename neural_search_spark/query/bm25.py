@@ -126,6 +126,12 @@ class BM25Index:
         self._postings_df = self._postings_df.repartition(
             self.n_shards, "shard_id"
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # EAGER warm-up: until the cached plan materializes, AQE reports
+        # its output partitioning as undecided and every consumer plans a
+        # defensive re-shuffle; after materialization (isFinalPlan) the
+        # per-query Exchange is elided — so pay the warm-up here, not on
+        # the first serving query
+        self._postings_df.count()
         return self
 
     def postings_for(self, terms: list[str]) -> DataFrame:

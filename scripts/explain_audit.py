@@ -101,6 +101,24 @@ def main():
         assert "BroadcastHashJoin" in text, f"{tech}: stats join not broadcast"
     print("hybrid normalization: no WindowExec, stats broadcast — ok")
 
+    # serving-cache contract: with cache() (pre-partitioned by shard_id),
+    # the per-query batch plan must not add an Exchange ABOVE the cached
+    # relation (the one-time repartition inside InMemoryRelation is fine)
+    from neural_search_spark.query.bm25 import bm25_topk_batch
+
+    idx_cached = BM25Index(spark, idx_dir).cache()
+    bplan = cap(bm25_topk_batch(idx_cached, [("q0", "spark join")], k=5))
+    # the segment between the kernel and the cached relation is the scan
+    # path; the only Exchange allowed in the whole plan is the final
+    # per-query-id window merge ABOVE the kernel
+    seg = bplan.split("FlatMapGroupsInPandas", 1)[-1].split(
+        "InMemoryRelation"
+    )[0]
+    assert "Exchange" not in seg, (
+        "serving batch plan re-shuffles between the cache and the kernel"
+    )
+    print("serving cache: no exchange between cache and kernel — ok")
+
     out = ["# PLANS — physical-plan audit (auto-generated)\n"]
     out.append(
         "Generated by `scripts/explain_audit.py`; greps each plan for the "
