@@ -165,4 +165,13 @@ def main(argv=None) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if __package__ in (None, ""):
+        # spark-submit runs this FILE as __main__ with no package context,
+        # so the commands' relative imports would fail; re-enter through
+        # the package module (shipped via --py-files, or on sys.path when
+        # launched from the repo root)
+        from neural_search_spark.cli import main as _pkg_main
+
+        _pkg_main()
+    else:
+        main()
