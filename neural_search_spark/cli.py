@@ -107,7 +107,13 @@ def cmd_search(args) -> None:
             SparseIndex(spark, args.sparse_index) if args.sparse_index else None
         ),
     )
-    for row in eng.search(spec, k=args.k).collect():
+    parsed = json.loads(spec)
+    if args.batch:
+        # {query_id: spec} → one msearch job (match specs batched together)
+        out = eng.msearch(parsed, k=args.k)
+    else:
+        out = eng.search(parsed, k=args.k)
+    for row in out.collect():
         print(json.dumps(row.asDict()))
 
 
@@ -158,6 +164,12 @@ def main(argv=None) -> None:
         "neural, a MapType features column for neural_sparse fallback)",
     )
     s.add_argument("--k", type=int, default=10)
+    s.add_argument(
+        "--batch",
+        action="store_true",
+        help="spec is {query_id: spec}; runs Engine.msearch (one batched "
+        "job for the match specs)",
+    )
     s.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)
