@@ -228,6 +228,8 @@ class Engine:
         the BM25 index executes as ONE bm25_topk_batch job (shared pruned
         scan + per-shard decode cache — the cluster-throughput shape);
         other spec types fall back to per-spec plans unioned in."""
+        if not specs:
+            raise ValueError("msearch needs at least one spec")
         parsed = {
             qid: (spec_from_json(s) if isinstance(s, (dict, str)) else s)
             for qid, s in specs.items()

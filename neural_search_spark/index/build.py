@@ -72,7 +72,7 @@ BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("tid", T.LongType()),
         T.StructField("shard_id", T.IntegerType()),
-        T.StructField("block_seq", T.IntegerType()),
+        T.StructField("block_seq", T.LongType()),
         T.StructField("n_docs", T.IntegerType()),
         T.StructField("min_doc_id", T.LongType()),
         T.StructField("max_doc_id", T.LongType()),
@@ -83,6 +83,14 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("sum_tf", T.LongType()),
     ]
 )
+
+
+def _parquet_complete(path: str) -> bool:
+    """A parquet dir is reusable on resume only if its write COMMITTED —
+    Spark drops a _SUCCESS marker at job commit. A crash mid-write leaves
+    files without the marker; reusing such a dir would silently treat the
+    missing rows as absent (unqueryable tokens, stale salt plans)."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 def doc_id_col(conv_id="conv_id", turn_idx="turn_idx"):
@@ -169,8 +177,11 @@ def build_blocks_jvm(
     return exploded.select(
         "tid",
         F.col("shard_id").cast("int").alias("shard_id"),
+        # long, not int: a stopword with df > target*n_shards*2048 would
+        # need n_salts ≥ 2048 and (salt << 20) would wrap int32 — inside
+        # the 100 TB envelope. block_seq only orders the on-disk layout,
+        # so widening costs nothing on the query path (never read there).
         (F.shiftleft(F.col("salt").cast("long"), 20) + F.col("blk"))
-        .cast("int")
         .alias("block_seq"),
         F.size("p").alias("n_docs"),
         F.element_at(doc_ids, 1).alias("min_doc_id"),
@@ -381,7 +392,7 @@ class IndexBuilder:
         # corpus stats (reused verbatim on resume so avgdl/N stay
         # consistent across restarts — the resumability contract)
         stats_path = self._p("stats")
-        if resume and os.path.exists(stats_path):
+        if resume and _parquet_complete(stats_path):
             srow = self.spark.read.parquet(stats_path).collect()[0]
             n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
         else:
@@ -408,11 +419,14 @@ class IndexBuilder:
         # The terms table (term, tid, df, cf) is the query planner's
         # dictionary; tid collisions (two terms, one hash) are counted.
         terms_path = self._p("terms")
-        if resume and os.path.exists(terms_path):
+        if resume and _parquet_complete(terms_path):
             term_stats = self.spark.read.parquet(terms_path)
         else:
             tdict = term_dictionary_from_tokens(toks)
-            tid_stats = compute_term_stats(postings)
+            # stats over ALL postings, not the resume-filtered remainder —
+            # a terms rebuild during resume must still cover the kept
+            # buckets' vocabulary (df/cf drive queries and the salt plan)
+            tid_stats = compute_term_stats(postings_all)
             tdict.join(tid_stats, "tid").select(
                 "term", "tid", "df", "cf"
             ).write.mode("overwrite").parquet(terms_path)

@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import BLOCK_SIZE
-from .build import N_TERM_BUCKETS, _range_salt, tid_expr, tid_py
+from .build import (
+    N_TERM_BUCKETS,
+    _parquet_complete,
+    _range_salt,
+    tid_expr,
+    tid_py,
+)
 from .codec import decode_doc_ids, decode_f32, encode_doc_ids, encode_f32
 
 SPARSE_FORMAT_VERSION = 1
@@ -163,9 +169,13 @@ class SparseIndexBuilder:
                 ~F.pmod("tid", F.lit(N_TERM_BUCKETS)).isin(list(done))
             )
 
-        # token dictionary + df (drives query planning AND the salt plan)
+        # token dictionary + df (drives query planning AND the salt plan).
+        # Reuse on resume only when the prior write COMMITTED (_SUCCESS):
+        # a partially-written terms dir would make token_stats() silently
+        # treat missing tokens as absent and desync the hot-token salt plan
+        # from the kept postings buckets.
         terms_path = self._p("terms")
-        if not (resume and os.path.exists(terms_path)):
+        if not (resume and _parquet_complete(terms_path)):
             tstats = (
                 features.select("token", tid_expr("token").alias("tid"))
                 .groupBy("token", "tid")
@@ -211,8 +221,9 @@ class SparseIndexBuilder:
         blocks = exploded.select(
             "tid",
             F.col("shard_id").cast("int").alias("shard_id"),
+            # long (see build.py build_blocks_jvm): (salt << 20) wraps
+            # int32 once n_salts ≥ 2048 — reachable for 100 TB stopwords
             (F.shiftleft(F.col("salt").cast("long"), 20) + F.col("blk"))
-            .cast("int")
             .alias("block_seq"),
             F.size("p").alias("n_docs"),
             F.element_at(doc_ids, 1).alias("min_doc_id"),
@@ -548,7 +559,15 @@ def sparse_index_topk_two_phase(
 
     spark = index.spark
     high, low = split_tokens_max_ratio(query_tokens, prune_ratio)
-    window = int(min(k * expansion_rate, max_window_size))
+    window = int(k * expansion_rate)
+    if window > max_window_size:
+        # the reference THROWS rather than silently clamping
+        # (NeuralSparseTwoPhaseProcessor.java:183-189) — a clamp would
+        # degrade recall without telling the caller
+        raise ValueError(
+            f"two-phase window k*expansion_rate = {window} exceeds "
+            f"max_window_size = {max_window_size}"
+        )
     stats = index.token_stats(sorted(query_tokens))
     high = {t: w for t, w in high.items() if t in stats}
     low = {t: w for t, w in low.items() if t in stats}

@@ -94,7 +94,14 @@ def sparse_topk_two_phase(
     window — the same candidate-then-rescore trick the reference wires through
     a QueryRescorer (NeuralSparseTwoPhaseProcessor.java:92-160)."""
     high, low = split_tokens_max_ratio(query_tokens, prune_ratio)
-    window = int(min(k * expansion_rate, max_window_size))
+    window = int(k * expansion_rate)
+    if window > max_window_size:
+        # reference THROWS instead of clamping
+        # (NeuralSparseTwoPhaseProcessor.java:183-189)
+        raise ValueError(
+            f"two-phase window k*expansion_rate = {window} exceeds "
+            f"max_window_size = {max_window_size}"
+        )
     phase1 = sparse_score(docs, high, features_col, id_col)
     candidates = phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(window)
     if low:

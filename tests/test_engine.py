@@ -197,3 +197,8 @@ def test_msearch_batches_match_specs(spark, eng):
         got = res[res.query_id == qid].sort_values("rank")
         want = bm25_topk(eng.bm25_index, text, k=4).toPandas()
         assert got.doc_id.tolist() == want.doc_id.tolist(), qid
+
+
+def test_msearch_empty_specs_raises(spark, eng):
+    with pytest.raises(ValueError, match="at least one spec"):
+        eng.msearch({})

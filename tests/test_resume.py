@@ -125,3 +125,36 @@ def test_resume_rejects_changed_layout(spark, transcripts_df, tmp_path_factory):
         IndexBuilder(spark, out, n_shards=8, block_size=64).build(
             transcripts_df, resume=True
         )
+
+
+def test_resume_rebuilds_uncommitted_terms(
+    spark, transcripts_df, tmp_path_factory
+):
+    """A terms dir without the _SUCCESS commit marker (crash mid-write) must
+    be rebuilt on resume, not silently reused with missing tokens."""
+    out = str(tmp_path_factory.mktemp("idx") / "terms")
+    IndexBuilder(spark, out, n_shards=4, block_size=64).build(transcripts_df)
+    terms_dir = os.path.join(out, "terms")
+    before = pd.read_parquet(terms_dir)
+    # simulate a crash between file writes and job commit: drop the marker
+    # AND half the rows' file (here: truncate via rewriting a subset)
+    os.remove(os.path.join(terms_dir, "_SUCCESS"))
+    for f in os.listdir(terms_dir):
+        os.remove(os.path.join(terms_dir, f))
+    before.head(3).to_parquet(
+        os.path.join(terms_dir, "part-0.parquet"), index=False
+    )
+    # also invalidate lineage for one bucket so the resume has work to do
+    lin_dir = os.path.join(out, "lineage")
+    lin = pd.read_parquet(lin_dir)
+    b0 = sorted(lin["term_bucket"].unique())[0]
+    shutil.rmtree(lin_dir)
+    os.makedirs(lin_dir)
+    keep = lin[lin["term_bucket"] != b0].copy()
+    keep["completed_ts"] = keep["completed_ts"].astype("datetime64[us]")
+    keep.to_parquet(os.path.join(lin_dir, "part-0.parquet"), index=False)
+    IndexBuilder(spark, out, n_shards=4, block_size=64).build(
+        transcripts_df, resume=True
+    )
+    after = pd.read_parquet(terms_dir)
+    assert len(after) == len(before), "uncommitted terms dir was reused"

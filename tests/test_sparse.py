@@ -240,3 +240,17 @@ def test_sparse_driver_cache_eviction_and_restrict(spark, sparse_docs, sparse_in
     got = sparse_index_topk(idx3, IDX_QUERY, k=10, mode="driver").toPandas()
     assert got.doc_id.tolist() == want.doc_id.tolist()
     np.testing.assert_allclose(got.score, want.score, rtol=0, atol=0)
+
+
+def test_two_phase_oversized_window_raises(spark, sparse_docs):
+    """k*expansion_rate beyond max_window_size THROWS (reference
+    NeuralSparseTwoPhaseProcessor.java:183-189) instead of clamping."""
+    import pytest
+
+    from neural_search_spark.query.sparse import sparse_topk_two_phase
+
+    with pytest.raises(ValueError, match="exceeds"):
+        sparse_topk_two_phase(
+            sparse_docs, IDX_QUERY, k=100, expansion_rate=5.0,
+            max_window_size=200,
+        )
