@@ -12,9 +12,14 @@ Routing table (spec → plan):
 
   match          → bm25_topk over BM25Index     | bm25_scored corpus scan
   neural_sparse  → sparse_index_topk            | sparse_topk corpus scan
-  neural / knn   → brute-force cosine over the corpus embedding column
+  neural / knn   → attached ANN asset (LshAnnIndex / IvfAnnIndex) |
+                   brute-force cosine over the corpus embedding column
   hybrid{...}    → per-sub-query branches (each routed as above, bounded
                    by pagination_depth) → normalize → combine → top-k
+
+Collect-time extras: post_filter (FilteredCollector analog — scores
+unchanged, failing docs never collected) and a generic rescore window
+(QueryRescorer analog) on Engine.search().
 """
 
 from __future__ import annotations
@@ -38,6 +43,12 @@ class HybridSpec:
     weights: list[float] | None = None
     rank_constant: int = 60
     pagination_depth: int | None = None
+    # post_filter (reference FilteredCollector wrap,
+    # search/query/HybridCollectorManager.java:164-167): collect-time filter
+    # shared by every sub-query — scores unchanged, failing docs never
+    # collected, normalization stats see only survivors. SQL expression or
+    # Column over corpus columns.
+    post_filter: str | None = None
     # search-pipeline post-steps (need a corpus bound to the Engine)
     collapse_field: str | None = None
     rerank_by_field: str | None = None
@@ -68,6 +79,7 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec:
             weights=body.get("weights"),
             rank_constant=body.get("rank_constant", 60),
             pagination_depth=body.get("pagination_depth"),
+            post_filter=body.get("post_filter"),
             collapse_field=body.get("collapse_field"),
             rerank_by_field=body.get("rerank_by_field"),
         )
@@ -91,12 +103,20 @@ class Engine:
         corpus: DataFrame | None = None,
         bm25_index=None,
         sparse_index=None,
+        ann_index=None,
         id_col: str = "doc_id",
     ):
+        """ann_index: an attachable ANN asset (extras.similarity.LshAnnIndex
+        / IvfAnnIndex — anything with .topk(query_vec, k) → (vec_id, cosine,
+        rank)). When present, neural / neural_knn queries delegate to it
+        instead of brute-force corpus cosine, mirroring the reference's
+        delegation to the k-NN plugin index
+        (query/NeuralKNNQueryBuilder.java:52-120)."""
         self.spark = spark
         self.corpus = corpus
         self.bm25_index = bm25_index
         self.sparse_index = sparse_index
+        self.ann_index = ann_index
         self.id_col = id_col
 
     # ---- single-branch plans ------------------------------------------
@@ -107,41 +127,120 @@ class Engine:
             )
         return self.corpus
 
-    def _branch_topk(self, spec: QuerySpec, k: int) -> DataFrame:
-        """(doc_id, score) bounded to top-k, routed index-first."""
+    def _allowed(self, post_filter) -> DataFrame | None:
+        """post_filter → broadcastable allowed-doc_id set (or None)."""
+        if post_filter is None:
+            return None
+        corpus = self._need_corpus("post_filter")
+        pred = F.expr(post_filter) if isinstance(post_filter, str) else post_filter
+        return (
+            corpus.filter(pred)
+            .select(F.col(self.id_col).alias("doc_id"))
+        )
+
+    def _branch_topk(
+        self, spec: QuerySpec, k: int, allowed: DataFrame | None = None
+    ) -> DataFrame:
+        """(doc_id, score) bounded to top-k, routed index-first.
+
+        allowed: collect-time filter set (post_filter semantics): applied
+        between scoring and the k-bound as a semi-join, so scores are the
+        unfiltered ones but failing docs never occupy a top-k slot — the
+        FilteredCollector contract. Branches with a post_filter route
+        through the corpus-scan plans (the index kernels return an already
+        k-truncated set, which would under-fill after filtering)."""
+
+        def _bound(scored: DataFrame) -> DataFrame:
+            if allowed is not None:
+                scored = scored.join(allowed, "doc_id", "left_semi")
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
         if spec.query_type == "match":
-            if self.bm25_index is not None and spec.filter is None:
+            if (
+                self.bm25_index is not None
+                and spec.filter is None
+                and allowed is None
+            ):
                 from .query.bm25 import bm25_topk
 
                 return bm25_topk(
                     self.bm25_index, spec.query_text or "", k=k
                 ).drop("rank")
-            scored = execute(spec, self._need_corpus("match"), self.id_col)
-            return (
-                scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            return _bound(
+                execute(spec, self._need_corpus("match"), self.id_col)
             )
         if spec.query_type == "neural_sparse":
             spec = rewrite(spec)
-            if self.sparse_index is not None and spec.filter is None:
+            if (
+                self.sparse_index is not None
+                and spec.filter is None
+                and allowed is None
+            ):
                 from .index.sparse import sparse_index_topk
 
                 return sparse_index_topk(
                     self.sparse_index, spec.query_tokens or {}, k=k
                 ).drop("rank")
-            scored = execute(spec, self._need_corpus("neural_sparse"), self.id_col)
-            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        if spec.query_type in ("neural", "neural_knn"):
-            scored = execute(
-                spec, self._need_corpus(spec.query_type), self.id_col
+            return _bound(
+                execute(spec, self._need_corpus("neural_sparse"), self.id_col)
             )
-            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if spec.query_type in ("neural", "neural_knn"):
+            if (
+                self.ann_index is not None
+                and spec.filter is None
+                and allowed is None
+            ):
+                spec = rewrite(spec)
+                return self.ann_index.topk(spec.vector or [], k=k).select(
+                    F.col("vec_id").alias("doc_id"),
+                    F.col("cosine").cast("double").alias("score"),
+                )
+            return _bound(
+                execute(spec, self._need_corpus(spec.query_type), self.id_col)
+            )
         raise ValueError(f"unknown query type: {spec.query_type}")
 
     # ---- public API ----------------------------------------------------
     def search(
-        self, spec: QuerySpec | HybridSpec | dict | str, k: int = 10
+        self,
+        spec: QuerySpec | HybridSpec | dict | str,
+        k: int = 10,
+        rescore: dict | None = None,
     ) -> DataFrame:
-        """Top-k for any spec → (doc_id, score, rank)."""
+        """Top-k for any spec → (doc_id, score, rank).
+
+        rescore: optional generic rescore window applied AFTER the primary
+        pipeline (reference HybridCollectorManager.java:241-268 applies
+        rescorers to the hybrid result): {"window_size": W, "query":
+        <sub-spec json/QuerySpec>, "query_weight": 1.0,
+        "rescore_query_weight": 1.0, "score_mode": "total"}. The top-W
+        primary hits are re-scored by the rescore query (corpus-scan exact
+        scores) and combined; hits the rescore query misses keep
+        query_weight·primary."""
+        if rescore is not None:
+            from .query.rerank import rescore_window
+
+            window = int(rescore.get("window_size", k))
+            primary = self.search(spec, k=max(k, window))
+            rq = rescore["query"]
+            if isinstance(rq, (dict, str)):
+                rq = spec_from_json(rq)
+            if not isinstance(rq, QuerySpec):
+                raise ValueError("rescore query must be a leaf query spec")
+            secondary = execute(
+                rq, self._need_corpus("rescore"), self.id_col
+            )
+            return rescore_window(
+                primary.drop("rank"),
+                secondary,
+                window_size=window,
+                query_weight=float(rescore.get("query_weight", 1.0)),
+                rescore_query_weight=float(
+                    rescore.get("rescore_query_weight", 1.0)
+                ),
+                score_mode=rescore.get("score_mode", "total"),
+                k=k,
+            )
         if isinstance(spec, (dict, str)):
             spec = spec_from_json(spec)
         if isinstance(spec, HybridSpec):
@@ -157,8 +256,10 @@ class Engine:
             if not 1 <= len(spec.sub_queries) <= 5:
                 raise ValueError("hybrid query accepts 1..5 sub-queries")
             depth = spec.pagination_depth or k
+            allowed = self._allowed(spec.post_filter)
             branches = [
-                self._branch_topk(s, depth) for s in spec.sub_queries
+                self._branch_topk(s, depth, allowed=allowed)
+                for s in spec.sub_queries
             ]
             if spec.collapse_field is not None:
                 # collapse applies to the full combined set (best doc per
@@ -212,7 +313,9 @@ class Engine:
                     k=k,
                 )
             return out
-        out = self._branch_topk(spec, k)
+        out = self._branch_topk(
+            spec, k, allowed=self._allowed(spec.post_filter)
+        )
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             out.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -140,6 +140,70 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# attachable ANN assets (the Engine's k-NN-index analog)
+# ---------------------------------------------------------------------------
+class LshAnnIndex:
+    """Attachable LSH ANN asset: binds an embedding table + hyperplane
+    config so the Engine can delegate neural/knn queries to the bucketed
+    scan (the reference's NeuralKNNQueryBuilder delegation to the k-NN
+    plugin's index, query/NeuralKNNQueryBuilder.java:52-120)."""
+
+    def __init__(
+        self,
+        emb: DataFrame,
+        n_planes: int = 8,
+        probe_hamming: int = 1,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.emb = emb
+        self.n_planes = n_planes
+        self.probe_hamming = probe_hamming
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def topk(self, query_vec: list[float], k: int) -> DataFrame:
+        return lsh_topk(
+            self.emb,
+            query_vec,
+            k=k,
+            n_planes=self.n_planes,
+            probe_hamming=self.probe_hamming,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+
+
+class IvfAnnIndex:
+    """Attachable IVF-flat asset: pre-assigned lists + centroids."""
+
+    def __init__(
+        self,
+        assigned: DataFrame,
+        centroids: pd.DataFrame,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.assigned = assigned
+        self.centroids = centroids
+        self.nprobe = nprobe
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def topk(self, query_vec: list[float], k: int) -> DataFrame:
+        return ivf_topk(
+            self.assigned,
+            self.centroids,
+            query_vec,
+            k=k,
+            nprobe=self.nprobe,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+
+
+# ---------------------------------------------------------------------------
 # IVF-flat
 # ---------------------------------------------------------------------------
 def ivf_assign(

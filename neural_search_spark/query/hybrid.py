@@ -337,6 +337,45 @@ def hybrid_explain(
     )
 
 
+def inner_hits(
+    parents: DataFrame,
+    children: DataFrame,
+    k_children: int = 3,
+    child_score_col: str = "chunk_score",
+    child_key_cols: tuple[str, ...] = ("chunk_idx",),
+) -> DataFrame:
+    """Inner hits: per-parent top child sub-documents attached to the parent
+    result (reference query/HybridQueryBuilder.java:287-289,419-423 extracts
+    inner-hit contexts; e2e HybridQueryInnerHitsIT). For a semantic-field
+    corpus the children are the parent doc's chunks.
+
+    parents:  (doc_id, score, rank) — the already-bounded top-k hits.
+    children: (doc_id, <child_key_cols>, <child_score_col>, ...).
+
+    Returns one row per (parent, child) with parent_score/parent_rank and a
+    1-based child_rank ordered by child score desc / child keys asc.
+
+    Scale shape: the k parent rows broadcast into a hash-semi join against
+    the (potentially corpus-sized) child table, so child scoring stays a
+    map-side pass; the per-parent rank window sees ≤ the matched children
+    of k parents — never a global window."""
+    p = F.broadcast(
+        parents.select(
+            "doc_id",
+            F.col("score").alias("parent_score"),
+            F.col("rank").alias("parent_rank"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(child_score_col), *[F.asc(c) for c in child_key_cols]
+    )
+    return (
+        children.join(p, "doc_id")
+        .withColumn("child_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("child_rank") <= k_children)
+    )
+
+
 def rerank_by_field(
     results: DataFrame, source: DataFrame, target_field: str, k: int | None = None
 ) -> DataFrame:

@@ -42,6 +42,12 @@ class QuerySpec:
     # bound (cosine space). Mutually exclusive in the reference.
     min_score: float | None = None
     max_distance: float | None = None
+    # post_filter (reference FilteredCollector wrap,
+    # search/query/HybridCollectorManager.java:164-167): applied at COLLECT
+    # time — scores are computed as if unfiltered, failing docs just never
+    # enter the top-k. A Column predicate or SQL expression over corpus
+    # columns. Distinct from ``filter``, which is pushed BEFORE scoring.
+    post_filter: Column | str | None = None
 
 
 def enrich(specs: list[QuerySpec], default_model_id: str | None = None,

@@ -65,6 +65,75 @@ def ml_rerank(
     )
 
 
+RESCORE_SCORE_MODES = ("total", "avg", "max", "min", "multiply")
+
+
+def rescore_window(
+    primary: DataFrame,
+    secondary: DataFrame,
+    window_size: int,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    score_mode: str = "total",
+    k: int | None = None,
+) -> DataFrame:
+    """Generic rescore: re-score the top-``window_size`` primary hits with a
+    second query and combine (the Lucene QueryRescorer the reference applies
+    to hybrid results, search/query/HybridCollectorManager.java:241-268; the
+    sparse two-phase processor is the specialized instance).
+
+    primary:   (doc_id, score, ...) — first-pass scored docs.
+    secondary: (doc_id, score)      — second-pass scores (only rows matching
+               window docs matter; missing docs combine as "second pass did
+               not match": final = qw·primary, the QueryRescorer contract).
+
+    Scale shape: the window bound is a TakeOrderedAndProject (no full sort);
+    the combine join is window_size rows broadcast against the secondary
+    branch, so the second query's corpus-side work is Catalyst-prunable."""
+    if score_mode not in RESCORE_SCORE_MODES:
+        raise ValueError(
+            f"unknown rescore score_mode: {score_mode}; "
+            f"valid: {RESCORE_SCORE_MODES}"
+        )
+    if window_size < 1:
+        raise ValueError("rescore window_size must be >= 1")
+    win = (
+        primary.select("doc_id", F.col("score").alias("_first"))
+        .orderBy(F.desc("_first"), F.asc("doc_id"))
+        .limit(window_size)
+    )
+    sec = secondary.select("doc_id", F.col("score").alias("_second"))
+    j = win.join(sec, "doc_id", "left")
+    first = F.col("_first") * F.lit(query_weight)
+    second = F.col("_second") * F.lit(rescore_query_weight)
+    if score_mode == "total":
+        combined = first + F.coalesce(second, F.lit(0.0))
+    elif score_mode == "avg":
+        combined = F.when(
+            F.col("_second").isNull(), first
+        ).otherwise((first + second) / 2.0)
+    elif score_mode == "max":
+        combined = F.when(
+            F.col("_second").isNull(), first
+        ).otherwise(F.greatest(first, second))
+    elif score_mode == "min":
+        combined = F.when(
+            F.col("_second").isNull(), first
+        ).otherwise(F.least(first, second))
+    else:  # multiply
+        combined = F.when(
+            F.col("_second").isNull(), first
+        ).otherwise(first * second)
+    out = j.select("doc_id", combined.cast("double").alias("score"))
+    if k is not None:
+        out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        out.orderBy(F.desc("score"), F.asc("doc_id"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
 def track_total_hits(matched: DataFrame, up_to: int | None = 10000) -> dict:
     """(total_hits, relation): exact count when under the threshold, else
     (up_to, 'gte') without scanning further — the reference's

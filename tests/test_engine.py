@@ -202,3 +202,168 @@ def test_msearch_batches_match_specs(spark, eng):
 def test_msearch_empty_specs_raises(spark, eng):
     with pytest.raises(ValueError, match="at least one spec"):
         eng.msearch({})
+
+
+def test_post_filter_single_query(spark, eng):
+    """post_filter: scores identical to the unfiltered query; failing docs
+    simply never occupy a top-k slot (FilteredCollector semantics)."""
+    # corpus-scan baseline: the post_filter branch routes corpus-scan (the
+    # index kernel returns an already-truncated set), so compare
+    # like-for-like in f64
+    scan_eng = Engine(spark, corpus=eng.corpus)
+    base = scan_eng.search(
+        QuerySpec(query_type="match", query_text="the tool"), k=50
+    ).toPandas()
+    got = eng.search(
+        QuerySpec(
+            query_type="match", query_text="the tool",
+            post_filter="role = 'user'",
+        ),
+        k=5,
+    ).toPandas()
+    allowed = set(
+        r.doc_id
+        for r in eng.corpus.filter("role = 'user'").select("doc_id").collect()
+    )
+    assert all(d in allowed for d in got.doc_id)
+    # scores equal the unfiltered scores for the same docs
+    base_scores = dict(zip(base.doc_id, base.score))
+    for d, s in zip(got.doc_id, got.score):
+        if d in base_scores:
+            assert s == pytest.approx(base_scores[d], rel=0, abs=0)
+    # and equal the expected "filter the unfiltered ranking" prefix
+    want = [d for d in base.doc_id if d in allowed][:5]
+    assert got.doc_id.tolist() == want
+
+
+def test_post_filter_hybrid(spark, eng):
+    spec = HybridSpec(
+        sub_queries=[
+            QuerySpec(query_type="match", query_text="the tool"),
+            QuerySpec(query_type="match", query_text="w0001 w0250"),
+        ],
+        pagination_depth=30,
+        post_filter="role = 'user'",
+    )
+    got = eng.search(spec, k=5).toPandas()
+    allowed = set(
+        r.doc_id
+        for r in eng.corpus.filter("role = 'user'").select("doc_id").collect()
+    )
+    assert len(got) > 0 and all(d in allowed for d in got.doc_id)
+
+
+def test_rescore_window_total(spark, eng):
+    """rescore: top-W primary hits re-scored, combined qw·p + rqw·s;
+    docs missed by the rescore query keep qw·p."""
+    from neural_search_spark.query.neural import execute
+
+    primary = eng.search(
+        QuerySpec(query_type="match", query_text="the tool"), k=20
+    ).toPandas()
+    rq = QuerySpec(query_type="match", query_text="w0001")
+    sec = execute(rq, eng.corpus).toPandas()
+    sec_scores = dict(zip(sec.doc_id, sec.score))
+    got = eng.search(
+        QuerySpec(query_type="match", query_text="the tool"),
+        k=10,
+        rescore={
+            "window_size": 20,
+            "query": {"match": {"query_text": "w0001"}},
+            "query_weight": 0.7,
+            "rescore_query_weight": 2.0,
+        },
+    ).toPandas()
+    want = sorted(
+        (
+            (0.7 * s + 2.0 * sec_scores.get(d, 0.0), d)
+            for d, s in zip(primary.doc_id, primary.score)
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert got.doc_id.tolist() == [d for _, d in want]
+    for (ws, _), gs in zip(want, got.score):
+        assert gs == pytest.approx(ws, rel=1e-12)
+    assert got["rank"].tolist() == list(range(1, 11))
+
+
+def test_rescore_score_modes(spark, eng):
+    for mode in ("avg", "max", "min", "multiply"):
+        got = eng.search(
+            QuerySpec(query_type="match", query_text="the tool"),
+            k=5,
+            rescore={
+                "window_size": 10,
+                "query": {"match": {"query_text": "w0001"}},
+                "score_mode": mode,
+            },
+        ).toPandas()
+        assert len(got) == 5 and got["rank"].tolist() == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="score_mode"):
+        eng.search(
+            QuerySpec(query_type="match", query_text="the"),
+            k=5,
+            rescore={
+                "window_size": 10,
+                "query": {"match": {"query_text": "w0001"}},
+                "score_mode": "bogus",
+            },
+        )
+
+
+def test_engine_ann_routing(spark, eng):
+    """neural_knn delegates to an attached LSH ANN asset; result equals the
+    direct lsh_topk call on the same embeddings."""
+    from neural_search_spark.extras.similarity import LshAnnIndex, lsh_topk
+
+    emb = eng.corpus.select(
+        F.col("doc_id").alias("vec_id"), F.col("embedding")
+    )
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    eng2 = Engine(
+        spark,
+        corpus=eng.corpus,
+        ann_index=LshAnnIndex(emb, n_planes=6, probe_hamming=1),
+    )
+    got = eng2.search(
+        QuerySpec(query_type="neural_knn", field="embedding", vector=qv), k=5
+    ).toPandas()
+    want = lsh_topk(emb, qv, k=5, n_planes=6, probe_hamming=1).toPandas()
+    assert got.doc_id.tolist() == want.vec_id.tolist()
+    assert got.score.tolist() == pytest.approx(want.cosine.tolist())
+
+
+def test_inner_hits(spark, eng):
+    """Per-parent top child chunks attached to the top-k parent hits."""
+    from neural_search_spark.chunking import chunk_table
+    from neural_search_spark.query.hybrid import inner_hits
+    from neural_search_spark.tokenizer import tokenize_expr
+
+    parents = eng.search(
+        QuerySpec(query_type="match", query_text="the tool"), k=5
+    )
+    chunks = chunk_table(
+        eng.corpus.select("doc_id", "text"),
+        algorithm="fixed_char_length",
+        char_limit=80,
+        overlap_rate=0.0,
+        max_chunk_limit=-1,
+    )
+    scored = chunks.withColumn(
+        "chunk_score",
+        F.size(
+            F.filter(
+                tokenize_expr("chunk"), lambda t: t.isin("the", "tool")
+            )
+        ).cast("double"),
+    )
+    got = inner_hits(parents, scored, k_children=2).toPandas()
+    assert set(got.doc_id) <= set(
+        parents.toPandas().doc_id
+    ) and len(got) > 0
+    for _, grp in got.groupby("doc_id"):
+        assert sorted(grp.child_rank) == list(range(1, len(grp) + 1))
+        assert len(grp) <= 2
+        # children ordered by score desc within parent
+        sgrp = grp.sort_values("child_rank")
+        assert list(sgrp.chunk_score) == sorted(grp.chunk_score, reverse=True)
