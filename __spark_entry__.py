@@ -26,8 +26,11 @@ _ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return gate.q_hybrid_minmax_arith(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: hybrid end-to-end over the
+    on-disk BLOCK INDEX (build → depth-bounded bm25_topk branches →
+    normalize → combine → top-k) — the 100×-scale plan, not the corpus-scan
+    fallback."""
+    return gate.q_hybrid_index_minmax(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -48,8 +51,11 @@ def oracle_sql() -> dict[str, str]:
         oracles["lsh_ann_topk"] = gate.sql_lsh_ann_from_vec(
             [float(x) for x in qv]
         )
+        oracles["engine_ann_topk"] = gate.sql_engine_ann_from_vec(
+            [float(x) for x in qv]
+        )
     except Exception:
-        pass  # rows-only check for lsh_ann_topk if the probe fails
+        pass  # rows-only check for lsh/engine ANN if the probe fails
     try:
         # IVF oracle replays the driver-side centroid pick + probe choice
         # from the same parquet, then runs fully in DuckDB

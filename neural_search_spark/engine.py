@@ -30,6 +30,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .ranking import topk_rank_window
+
 from .query.neural import QuerySpec, execute, rewrite
 
 
@@ -316,7 +318,7 @@ class Engine:
         out = self._branch_topk(
             spec, k, allowed=self._allowed(spec.post_filter)
         )
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
         return (
             out.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..ranking import topk_rank_window
+
 from .hashing import H60_MAX, h60
 
 
@@ -67,7 +69,7 @@ def brute_force_topk(
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    w = topk_rank_window(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
@@ -131,7 +133,7 @@ def lsh_topk(
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    w = topk_rank_window(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
@@ -267,7 +269,7 @@ def ivf_topk(
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    w = topk_rank_window(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..ranking import topk_rank_window
+
 from .. import BLOCK_SIZE
 from .build import (
     N_TERM_BUCKETS,
@@ -531,7 +533,7 @@ def sparse_index_topk(
             _topk_pdf(ids, sc, k), schema="doc_id long, score double, rank int"
         )
     shard_topk = _distributed_scores(index, q_weights, sorted(live), k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
     return (
         shard_topk.withColumn("score", F.col("score").cast("double"))
         .orderBy(F.desc("score"), F.asc("doc_id"))

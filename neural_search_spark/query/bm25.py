@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..ranking import topk_rank_window
+
 from .. import BM25_B, BM25_K1
 from ..index.build import N_TERM_BUCKETS, doc_id_col, tid_py, tokenize_corpus
 from ..index.codec import decode_doc_ids, decode_varint
@@ -446,7 +448,7 @@ def bm25_topk(
 
     # TakeOrderedAndProject: per-partition top-k then a single merge on the
     # driver — the Catalyst-native equivalent of the treeAggregate heap merge
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
     return (
         shard_topk.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

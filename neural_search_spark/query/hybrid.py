@@ -52,6 +52,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..ranking import topk_rank_window
+
 MAX_NUMBER_OF_SUB_QUERIES = 5  # reference query/HybridQueryBuilder.java:67
 MIN_SCORE = 0.001
 SINGLE_RESULT_SCORE = 1.0
@@ -284,7 +286,7 @@ def hybrid_topk(
     combined = combine_scores(
         normed, len(branches), combination, weights=weights
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
     return (
         combined.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
@@ -391,7 +393,7 @@ def rerank_by_field(
     )
     if k is not None:
         out = out.limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
     return out.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
@@ -408,7 +410,7 @@ def collapse_top1(
     best = scored.withColumn("_rn", F.row_number().over(wg)).filter(
         F.col("_rn") == 1
     ).drop("_rn")
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
     return (
         best.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

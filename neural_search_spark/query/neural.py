@@ -23,6 +23,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..ranking import topk_rank_window
+
 
 @dataclass
 class QuerySpec:
@@ -175,7 +177,7 @@ def sort_topk(
     order = [
         F.desc(c) if d == "desc" else F.asc(c) for c, d in cols
     ]
-    w = Window.orderBy(*order)
+    w = topk_rank_window(*order)
     return (
         df.orderBy(*order).limit(k).withColumn("rank", F.row_number().over(w).cast("int"))
     )

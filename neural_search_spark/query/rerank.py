@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..ranking import topk_rank_window
+
 from ..tokenizer import tokenize_py
 
 
@@ -59,7 +61,7 @@ def ml_rerank(
     ).withColumn("score", _sim(F.col(text_col)))
     if not keep_previous_score:
         out = out.drop("_old")
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
     return out.drop("rank").orderBy(F.desc("score"), F.asc("doc_id")).withColumn(
         "rank", F.row_number().over(w).cast("int")
     )
@@ -127,7 +129,7 @@ def rescore_window(
     out = j.select("doc_id", combined.cast("double").alias("score"))
     if k is not None:
         out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
     return (
         out.orderBy(F.desc("score"), F.asc("doc_id"))
         .withColumn("rank", F.row_number().over(w).cast("int"))

@@ -66,6 +66,16 @@ def main():
             gate.q_embedding_near_dups(spark, sf),
         "cosine top-k (TakeOrderedAndProject)":
             gate.q_cosine_topk(spark, sf),
+        "hybrid rrf (depth-bounded rank windows)":
+            gate.q_hybrid_rrf(spark, sf),
+        "hybrid post_filter (semi-join between scoring and depth bound)":
+            gate.q_hybrid_post_filter(spark, sf),
+        "rescore window (TakeOrdered window + broadcast combine join)":
+            gate.q_rescore_window(spark, sf),
+        "inner hits (broadcast parents into child table)":
+            gate.q_inner_hits(spark, sf),
+        "engine ANN route (bucket filter ahead of scoring)":
+            gate.q_engine_ann_topk(spark, sf),
     }
     # bucketed dedup plans must not contain a cartesian/nested-loop join
     for name in (
@@ -100,6 +110,21 @@ def main():
         )
         assert "BroadcastHashJoin" in text, f"{tech}: stats join not broadcast"
     print("hybrid normalization: no WindowExec, stats broadcast — ok")
+
+    # hard assert: every hybrid gate entry bounds EACH branch to
+    # pagination_depth BEFORE normalization — the rrf rank window (the one
+    # legitimate per-subq Window) must never see a full matched set. Each
+    # branch bound plans as a TakeOrderedAndProject; with the final top-10
+    # that's ≥ 3 in every matrix entry's plan.
+    for name, fn, _sql in gate._NORM_MATRIX:
+        text = cap(fn(spark, sf))
+        n_tops = text.count("TakeOrderedAndProject")
+        assert n_tops >= 3, (
+            f"hybrid {name}: expected ≥3 TakeOrderedAndProject (2 branch "
+            f"depth bounds + final top-k), found {n_tops} — a branch feeds "
+            f"normalization unbounded"
+        )
+    print("hybrid gate entries: all branches depth-bounded — ok")
 
     # serving-cache contract: with cache() (pre-partitioned by shard_id),
     # the per-query batch plan must not add an Exchange ABOVE the cached
