@@ -129,25 +129,23 @@ def _encode_udfs():
     return enc_docs, enc_u64
 
 
-def build_blocks_jvm(
-    salted: DataFrame, avgdl: float, k1: float, b: float, block_size: int
-) -> DataFrame:
-    """Posting-block construction with Catalyst owning the heavy lifting:
+def posting_block_cells(
+    salted: DataFrame, payload_cols: list[str], block_size: int
+) -> tuple[DataFrame, "F.Column"]:
+    """Shared JVM block skeleton for BOTH the BM25 and sparse builders:
 
-      groupBy(tid, shard, salt) → sort_array(collect_list(struct)) (JVM sort)
-      → slice into block_size windows (JVM transform+slice) → posexplode
-      → per-block stats incl. max tf-norm (JVM zip_with/array_max)
-      → varint encode (scalar pandas UDF over ~1 row per block)
+      groupBy(tid, shard, salt) → sort_array(collect_list(struct)) (JVM
+      sort, doc_id-ordered) → slice into block_size windows (JVM
+      transform+slice) → posexplode.
 
-    vs the previous applyInPandas kernel this moves the 63M-row shuffle-to-
-    python transfer, the sort and the per-term loop into whole-stage
-    codegen; python sees only block-grained array cells. Group size is
-    bounded by the hot-term salt plan (≤ target postings per group).
-    """
-    enc_docs, enc_u64 = _encode_udfs()
+    Returns (exploded, block_seq_col): exploded carries one row per block
+    with the struct array in ``p``; block_seq = (salt << 20) + blk keeps a
+    hot term's salted sub-ranges globally doc-ordered on disk (long — see
+    build_blocks_jvm note). Group size is bounded by the hot-term salt
+    plan (≤ target postings per group)."""
     grouped = salted.groupBy("tid", "shard_id", "salt").agg(
         F.sort_array(
-            F.collect_list(F.struct("doc_id", "tf", "dl"))
+            F.collect_list(F.struct("doc_id", *payload_cols))
         ).alias("ps")
     )
     nblocks = F.ceil(F.size("ps") / F.lit(block_size)).cast("int")
@@ -162,6 +160,31 @@ def build_blocks_jvm(
             )
         ).alias("blk", "p"),
     )
+    # long, not int: a stopword with df > target*n_shards*2048 would
+    # need n_salts ≥ 2048 and (salt << 20) would wrap int32 — inside
+    # the 100 TB envelope. block_seq only orders the on-disk layout,
+    # so widening costs nothing on the query path (never read there).
+    seq = (F.shiftleft(F.col("salt").cast("long"), 20) + F.col("blk")).alias(
+        "block_seq"
+    )
+    return exploded, seq
+
+
+def build_blocks_jvm(
+    salted: DataFrame, avgdl: float, k1: float, b: float, block_size: int
+) -> DataFrame:
+    """Posting-block construction with Catalyst owning the heavy lifting:
+
+      posting_block_cells (JVM group/sort/slice — shared with the sparse
+      builder) → per-block stats incl. max tf-norm (JVM zip_with/array_max)
+      → varint encode (scalar pandas UDF over ~1 row per block)
+
+    vs the previous applyInPandas kernel this moves the 63M-row shuffle-to-
+    python transfer, the sort and the per-term loop into whole-stage
+    codegen; python sees only block-grained array cells.
+    """
+    enc_docs, enc_u64 = _encode_udfs()
+    exploded, block_seq = posting_block_cells(salted, ["tf", "dl"], block_size)
     doc_ids = F.transform("p", lambda x: x["doc_id"])
     tfs = F.transform("p", lambda x: x["tf"].cast("long"))
     dls = F.transform("p", lambda x: x["dl"].cast("long"))
@@ -177,12 +200,7 @@ def build_blocks_jvm(
     return exploded.select(
         "tid",
         F.col("shard_id").cast("int").alias("shard_id"),
-        # long, not int: a stopword with df > target*n_shards*2048 would
-        # need n_salts ≥ 2048 and (salt << 20) would wrap int32 — inside
-        # the 100 TB envelope. block_seq only orders the on-disk layout,
-        # so widening costs nothing on the query path (never read there).
-        (F.shiftleft(F.col("salt").cast("long"), 20) + F.col("blk"))
-        .alias("block_seq"),
+        block_seq,
         F.size("p").alias("n_docs"),
         F.element_at(doc_ids, 1).alias("min_doc_id"),
         F.element_at(doc_ids, -1).alias("max_doc_id"),

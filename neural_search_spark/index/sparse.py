@@ -199,34 +199,20 @@ class SparseIndexBuilder:
             .withColumn("salt", _range_salt(F.col("doc_id"), F.col("n_salts")))
         )
 
+        # same JVM block path as the BM25 builder (posting_block_cells:
+        # JVM group/sort/slice; python only varint-encodes block cells)
+        from .build import posting_block_cells
+
         enc_docs, enc_w = _encode_udfs()
-        grouped = salted.groupBy("tid", "shard_id", "salt").agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "weight"))).alias(
-                "ps"
-            )
-        )
-        bs = self.block_size
-        nblocks = F.ceil(F.size("ps") / F.lit(bs)).cast("int")
-        exploded = grouped.select(
-            "tid",
-            "shard_id",
-            "salt",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), nblocks - 1),
-                    lambda i: F.slice("ps", i * bs + 1, bs),
-                )
-            ).alias("blk", "p"),
+        exploded, block_seq = posting_block_cells(
+            salted, ["weight"], self.block_size
         )
         doc_ids = F.transform("p", lambda x: x["doc_id"])
         ws = F.transform("p", lambda x: x["weight"])
         blocks = exploded.select(
             "tid",
             F.col("shard_id").cast("int").alias("shard_id"),
-            # long (see build.py build_blocks_jvm): (salt << 20) wraps
-            # int32 once n_salts ≥ 2048 — reachable for 100 TB stopwords
-            (F.shiftleft(F.col("salt").cast("long"), 20) + F.col("blk"))
-            .alias("block_seq"),
+            block_seq,
             F.size("p").alias("n_docs"),
             F.element_at(doc_ids, 1).alias("min_doc_id"),
             F.element_at(doc_ids, -1).alias("max_doc_id"),
