@@ -198,8 +198,12 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
 def main():
     if "--scaling" in sys.argv:
         # run the identical workload at two parallelism levels, fresh JVMs
+        lo, hi = (
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
+        )
         results = {}
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
             env["SPARK_GRAFT_BENCH_MODE"] = "scaling"
             r = subprocess.run(
@@ -208,17 +212,26 @@ def main():
             )
             line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
             results[cpus] = json.loads(line)
-        t8, t32 = results[8]["value"], results[32]["value"]
-        b8, b32 = results[8]["build_turns_per_sec"], results[32]["build_turns_per_sec"]
-        q8, q32 = results[8]["bm25_batched_qps"], results[32]["bm25_batched_qps"]
+        ratio = hi / lo
+        tl, th = results[lo]["value"], results[hi]["value"]
+        bl, bh = results[lo]["build_turns_per_sec"], results[hi]["build_turns_per_sec"]
+        ql, qh = results[lo]["bm25_batched_qps"], results[hi]["bm25_batched_qps"]
         eff = {
-            # throughput scaling efficiency from N to 4N cores:
-            # (rate_4N / rate_N) / 4
-            "build": round(b32 / b8 / 4, 3),
-            "query": round(q32 / q8 / 4, 3),
-            "total": round(t8 / t32 / 4, 3),
+            # throughput scaling efficiency from N to (hi/lo)·N cores:
+            # (rate_hi / rate_lo) / (hi/lo)
+            "build": round(bh / bl / ratio, 3),
+            "query": round(qh / ql / ratio, 3),
+            "total": round(tl / th / ratio, 3),
         }
-        print(json.dumps({"local8": results[8], "local32": results[32], "efficiency": eff}))
+        print(
+            json.dumps(
+                {
+                    f"local{lo}": results[lo],
+                    f"local{hi}": results[hi],
+                    "efficiency": eff,
+                }
+            )
+        )
         return
 
     out = run_workload(CPUS, os.environ.get("SPARK_GRAFT_BENCH_MODE", "full"))

@@ -108,11 +108,14 @@ def cmd_search(args) -> None:
         ),
     )
     parsed = json.loads(spec)
+    rescore = json.loads(args.rescore_json) if args.rescore_json else None
     if args.batch:
         # {query_id: spec} → one msearch job (match specs batched together)
+        if rescore is not None:
+            raise SystemExit("search: --rescore-json not supported with --batch")
         out = eng.msearch(parsed, k=args.k)
     else:
-        out = eng.search(parsed, k=args.k)
+        out = eng.search(parsed, k=args.k, rescore=rescore)
     for row in out.collect():
         print(json.dumps(row.asDict()))
 
@@ -164,6 +167,12 @@ def main(argv=None) -> None:
         "neural, a MapType features column for neural_sparse fallback)",
     )
     s.add_argument("--k", type=int, default=10)
+    s.add_argument(
+        "--rescore-json",
+        help='rescore window, e.g. \'{"window_size": 50, "query": '
+        '{"match": {"query_text": "..."}}, "score_mode": "total"}\' '
+        "(needs --corpus for the second-pass scoring)",
+    )
     s.add_argument(
         "--batch",
         action="store_true",
