@@ -191,6 +191,10 @@ class Engine:
                 self.ann_index is not None
                 and spec.filter is None
                 and allowed is None
+                # radius constraints need the exact corpus-scan scorer —
+                # the ANN asset's top-k has no min_score/max_distance hook
+                and spec.min_score is None
+                and spec.max_distance is None
             ):
                 spec = rewrite(spec)
                 return self.ann_index.topk(spec.vector or [], k=k).select(

@@ -367,3 +367,35 @@ def test_inner_hits(spark, eng):
         # children ordered by score desc within parent
         sgrp = grp.sort_values("child_rank")
         assert list(sgrp.chunk_score) == sorted(grp.chunk_score, reverse=True)
+
+
+def test_ann_route_skipped_for_radius_queries(spark, eng):
+    """min_score/max_distance queries bypass the ANN asset (its top-k has
+    no radius hook) and use the exact corpus-scan scorer."""
+    from neural_search_spark.extras.similarity import LshAnnIndex
+
+    emb = eng.corpus.select(
+        F.col("doc_id").alias("vec_id"), F.col("embedding")
+    )
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    eng2 = Engine(
+        spark,
+        corpus=eng.corpus,
+        ann_index=LshAnnIndex(emb, n_planes=6, probe_hamming=0),
+    )
+    got = eng2.search(
+        QuerySpec(
+            query_type="neural", field="embedding", vector=qv, min_score=0.2
+        ),
+        k=1000,
+    ).toPandas()
+    # exact radius semantics: every returned score clears the bound, and
+    # the result is NOT truncated to the probed bucket
+    assert (got.score >= 0.2).all()
+    brute = Engine(spark, corpus=eng.corpus).search(
+        QuerySpec(
+            query_type="neural", field="embedding", vector=qv, min_score=0.2
+        ),
+        k=1000,
+    ).toPandas()
+    assert got.doc_id.tolist() == brute.doc_id.tolist()
