@@ -1051,10 +1051,34 @@ tall AS (
   SELECT * FROM ({_bounded_branch_sql(_BRANCH_SQL[1], 1)}))"""
 
 
-def _hybrid(spark, sf, normalization, combination, **kw) -> DataFrame:
-    from .query.hybrid import _tall_union, combine_scores, normalize_scores
+_TALL_CACHE: dict[tuple, DataFrame] = {}
 
-    tall = _tall_union(_branches(spark, sf), _HYBRID_DEPTH)
+
+def _bounded_tall(spark: SparkSession, sf: str) -> DataFrame:
+    """Depth-bounded tall (subq, doc_id, score) for the QUERY_A/QUERY_B
+    branch pair, PERSISTED and shared: the 4 normalization×combination
+    matrix combos + the lower-bounds entry all consume the identical
+    ≤ 2·depth-row table, so the two corpus-scan branches materialize once
+    per sf instead of once per combo (8 scans → 2)."""
+    key = (_sf_key(sf), "AB", _HYBRID_DEPTH)
+    if key in _TALL_CACHE:
+        return _TALL_CACHE[key]
+    from pyspark import StorageLevel
+
+    from .query.hybrid import _tall_union
+
+    tall = _tall_union(_branches(spark, sf), _HYBRID_DEPTH).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tall.count()  # eager: every consumer reads the materialized 400 rows
+    _TALL_CACHE[key] = tall
+    return tall
+
+
+def _hybrid(spark, sf, normalization, combination, **kw) -> DataFrame:
+    from .query.hybrid import combine_scores, normalize_scores
+
+    tall = _bounded_tall(spark, sf)
     normed = normalize_scores(tall, normalization, **kw)
     combined = combine_scores(normed, 2, combination)
     rounded = combined.withColumn("score", F.round("score", 4))
@@ -1847,14 +1871,9 @@ def q_minmax_lower_bounds(spark: SparkSession, sf: str) -> DataFrame:
     """min_max with per-sub-query lower_bounds (reference Mode enum,
     MinMaxScoreNormalizationTechnique.java:344-413): subq 0 'apply',
     subq 1 'clip'."""
-    from .query.hybrid import (
-        LowerBound,
-        _tall_union,
-        combine_scores,
-        normalize_scores,
-    )
+    from .query.hybrid import LowerBound, combine_scores, normalize_scores
 
-    tall = _tall_union(_branches(spark, sf), _HYBRID_DEPTH)
+    tall = _bounded_tall(spark, sf)
     normed = normalize_scores(
         tall,
         "min_max",
