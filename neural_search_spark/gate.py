@@ -148,6 +148,70 @@ def bm25_scored(
     return scored
 
 
+def bm25_scored_tall(
+    df: DataFrame,
+    keys: list[str],
+    queries: list[str],
+    ndp: int | None = 6,
+    stats_key: tuple | None = None,
+) -> DataFrame:
+    """Score N queries in ONE corpus tokenize pass → tall
+    (subq, *keys, score).
+
+    The per-branch form (`bm25_scored` × N) re-tokenizes and re-explodes
+    the corpus once per branch; at 100 TB the corpus scan dominates, so a
+    multi-branch hybrid must amortize it. The (subq, term) tag table is a
+    tiny broadcast; per-(subq, term) df/idf and per-doc sums are identical
+    values to the per-branch plan, so oracle parity holds at the rounded
+    precision every consumer uses."""
+    spark = df.sparkSession
+    toks = df.select(*keys, tokenize_expr("text").alias("toks")).withColumn(
+        "dl", F.size("toks")
+    )
+    if stats_key is not None and stats_key in _CORPUS_STATS:
+        n_docs, avgdl = _CORPUS_STATS[stats_key]
+    else:
+        srow = toks.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
+        if stats_key is not None:
+            _CORPUS_STATS[stats_key] = (n_docs, avgdl)
+    tags = [
+        (j, t)
+        for j, q in enumerate(queries)
+        for t in sorted(set(tokenize_py(q)))
+    ]
+    qdf = spark.createDataFrame(pd.DataFrame(tags, columns=["subq", "term"]))
+    tf = (
+        toks.select(*keys, "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("subq", *keys, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("subq", "term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), ["subq", "term"])
+        .withColumn(
+            "contrib",
+            F.log(
+                1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("subq", *keys)
+        .agg(F.sum("contrib").alias("score"))
+    )
+    if ndp is not None:
+        scored = scored.withColumn("score", F.round("score", ndp))
+    return scored
+
+
 def bm25_scored_sql(rel: str, keys: list[str], query_text: str, ndp: int | None = 4) -> str:
     keylist = ", ".join(keys)
     terms = sorted(set(tokenize_py(query_text)))
@@ -1063,15 +1127,51 @@ def _bounded_tall(spark: SparkSession, sf: str) -> DataFrame:
     key = (_sf_key(sf), "AB", _HYBRID_DEPTH)
     if key in _TALL_CACHE:
         return _TALL_CACHE[key]
+    tall = _bounded_tall_for(
+        spark, _docs(spark, sf), [QUERY_A, QUERY_B],
+        stats_key=(_sf_key(sf), "docs"),
+    )
+    _TALL_CACHE[key] = tall
+    return tall
+
+
+def _bounded_tall_for(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: list[str],
+    stats_key: tuple | None = None,
+    allowed: DataFrame | None = None,
+    depth: int = _HYBRID_DEPTH,
+) -> DataFrame:
+    """ONE-corpus-scan tall scoring (bm25_scored_tall) → optional
+    post_filter semi-join → per-subq TakeOrdered depth bound → persisted
+    ≤ n·depth-row table. The per-subq bound reads the cached full scored
+    set (one scan total vs one scan PER branch)."""
     from pyspark import StorageLevel
 
-    from .query.hybrid import _tall_union
-
-    tall = _tall_union(_branches(spark, sf), _HYBRID_DEPTH).persist(
-        StorageLevel.MEMORY_AND_DISK
+    scored = bm25_scored_tall(
+        corpus, ["doc_id"], queries, ndp=6, stats_key=stats_key
     )
-    tall.count()  # eager: every consumer reads the materialized 400 rows
-    _TALL_CACHE[key] = tall
+    if allowed is not None:
+        scored = scored.join(allowed, "doc_id", "left_semi")
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    parts = [
+        scored.filter(F.col("subq") == j)
+        .select(
+            F.col("subq").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(depth)
+        for j in range(len(queries))
+    ]
+    tall = parts[0]
+    for p in parts[1:]:
+        tall = tall.unionAll(p)
+    tall = tall.persist(StorageLevel.MEMORY_AND_DISK)
+    tall.count()  # materialize the ≤ n·depth rows, then free the big set
+    scored.unpersist()
     return tall
 
 
@@ -1540,14 +1640,10 @@ FROM f ORDER BY event_type, value DESC, event_id LIMIT 20"""
 def q_hybrid_filtered(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid with a shared filter pushed into EVERY sub-query before
     scoring (reference query/HybridQueryBuilder.java:111-122)."""
-    from .query.hybrid import _tall_union, combine_scores, normalize_scores
+    from .query.hybrid import combine_scores, normalize_scores
 
     d = _docs(spark, sf).filter(F.col("source").isin("src1", "src2", "src3"))
-    branches = [
-        bm25_scored(d, ["doc_id"], QUERY_A, ndp=6),
-        bm25_scored(d, ["doc_id"], QUERY_B, ndp=6),
-    ]
-    tall = _tall_union(branches, _HYBRID_DEPTH)
+    tall = _bounded_tall_for(spark, d, [QUERY_A, QUERY_B])
     combined = combine_scores(normalize_scores(tall, "min_max"), 2, "arithmetic_mean")
     return _ranked(combined.withColumn("score", F.round("score", 4)), ["doc_id"], 10)
 
@@ -1972,14 +2068,12 @@ _W3 = [0.5, 0.3, 0.2]
 def q_hybrid_weighted(spark: SparkSession, sf: str) -> DataFrame:
     """3-sub-query hybrid with non-uniform weights
     (ScoreCombinationUtil.java:142 weighted arithmetic mean)."""
-    from .query.hybrid import _tall_union, combine_scores, normalize_scores
+    from .query.hybrid import combine_scores, normalize_scores
 
-    d = _docs(spark, sf)
-    branches = [
-        bm25_scored(d, ["doc_id"], q, ndp=6, stats_key=(_sf_key(sf), "docs"))
-        for q in (QUERY_A, QUERY_B, QUERY_C)
-    ]
-    tall = _tall_union(branches, _HYBRID_DEPTH)
+    tall = _bounded_tall_for(
+        spark, _docs(spark, sf), [QUERY_A, QUERY_B, QUERY_C],
+        stats_key=(_sf_key(sf), "docs"),
+    )
     combined = combine_scores(
         normalize_scores(tall, "min_max"), 3, "arithmetic_mean", weights=_W3
     )
@@ -2060,17 +2154,14 @@ def q_hybrid_post_filter(spark: SparkSession, sf: str) -> DataFrame:
     Same numeric pipeline as Engine.search(HybridSpec(post_filter=...))
     (engine.py _branch_topk allowed semi-join), with 6dp-rounded branch
     scores so the oracle's double ordering picks identical rows."""
-    from .query.hybrid import _tall_union, combine_scores, normalize_scores
+    from .query.hybrid import combine_scores, normalize_scores
 
     d = _docs(spark, sf)
     allowed = d.filter(F.col("source").isin(*_PF_SOURCES)).select("doc_id")
-    branches = [
-        bm25_scored(
-            d, ["doc_id"], q, ndp=6, stats_key=(_sf_key(sf), "docs")
-        ).join(allowed, "doc_id", "left_semi")
-        for q in (QUERY_A, QUERY_B)
-    ]
-    tall = _tall_union(branches, _HYBRID_DEPTH)
+    tall = _bounded_tall_for(
+        spark, d, [QUERY_A, QUERY_B],
+        stats_key=(_sf_key(sf), "docs"), allowed=allowed,
+    )
     combined = combine_scores(
         normalize_scores(tall, "min_max"), 2, "arithmetic_mean"
     )

