@@ -177,6 +177,23 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         gate.q_engine_ann_topk(spark, SF_DIR).collect()
         q["engine_ann_topk"] = round(time.time() - t1, 3)
 
+        # on-disk bucket-partitioned LSH store: build once, then probe
+        # queries read ONLY their probed partitions (PartitionFilters) —
+        # reported outside the headline total like the sparse index
+        from neural_search_spark.extras.similarity import LshAnnIndex
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        store = "/tmp/nss_bench_lsh_store"
+        t1 = time.time()
+        LshAnnIndex.write(emb, store, n_planes=8)
+        out["ann_store_build_sec"] = round(time.time() - t1, 3)
+        disk = LshAnnIndex.load(spark, store, probe_hamming=1)
+        qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+        disk.topk(qv, k=10).collect()  # warm (codegen)
+        t1 = time.time()
+        disk.topk(qv, k=10).collect()
+        out["ann_disk_query_sec"] = round(time.time() - t1, 3)
+
     if mode == "scaling":
         # control: the DRIVER serving path (pyarrow pruned read + numpy
         # kernel, zero Spark jobs) is single-threaded by design — its qps

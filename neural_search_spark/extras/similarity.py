@@ -144,11 +144,38 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 # attachable ANN assets (the Engine's k-NN-index analog)
 # ---------------------------------------------------------------------------
+def _probe_buckets(qbucket: int, n_planes: int, probe_hamming: int) -> list[int]:
+    """All sign-buckets within Hamming distance ``probe_hamming`` of the
+    query bucket — enumerated driver-side so an on-disk bucket-partitioned
+    store serves probes via pure partition pruning."""
+    from itertools import combinations
+
+    out = []
+    for h in range(probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            b = qbucket
+            for p in bits:
+                b ^= 1 << p
+            out.append(b)
+    return sorted(set(out))
+
+
 class LshAnnIndex:
     """Attachable LSH ANN asset: binds an embedding table + hyperplane
     config so the Engine can delegate neural/knn queries to the bucketed
     scan (the reference's NeuralKNNQueryBuilder delegation to the k-NN
-    plugin's index, query/NeuralKNNQueryBuilder.java:52-120)."""
+    plugin's index, query/NeuralKNNQueryBuilder.java:52-120).
+
+    Two physical forms:
+
+    * in-memory (``LshAnnIndex(emb, ...)``): bucket computed on the fly —
+      every query still scans the table (the filter prunes arithmetic, not
+      IO). Fine for attached DataFrames already in cluster memory.
+    * on-disk (``LshAnnIndex.write(...)`` + ``LshAnnIndex.load(...)``):
+      vectors stored PARTITIONED BY bucket; a query enumerates its
+      ≤ Σ C(n_planes, h) probe buckets driver-side and the scan prunes to
+      those partitions (PartitionFilters — the 100 TB serving shape: IO
+      scales with the probed buckets, not the corpus)."""
 
     def __init__(
         self,
@@ -157,27 +184,103 @@ class LshAnnIndex:
         probe_hamming: int = 1,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        bucketed: bool = False,
     ):
         self.emb = emb
         self.n_planes = n_planes
         self.probe_hamming = probe_hamming
         self.id_col = id_col
         self.vec_col = vec_col
+        self.bucketed = bucketed  # emb carries a materialized 'bucket' col
+
+    @staticmethod
+    def write(
+        emb: DataFrame,
+        path: str,
+        n_planes: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Materialize the bucket-partitioned vector store (one map-side
+        pass; 2^n_planes hive partitions)."""
+        import json
+        import os
+
+        dim = len(emb.select(vec_col).first()[0])
+        planes = hyperplanes(n_planes, dim)
+        (
+            emb.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "vectors"))
+        )
+        with open(os.path.join(path, "lsh_config.json"), "w") as f:
+            json.dump(
+                {
+                    "n_planes": n_planes,
+                    "dim": dim,
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str, probe_hamming: int = 1) -> "LshAnnIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "lsh_config.json")) as f:
+            cfg = json.load(f)
+        emb = spark.read.parquet(os.path.join(path, "vectors"))
+        return cls(
+            emb,
+            n_planes=cfg["n_planes"],
+            probe_hamming=probe_hamming,
+            id_col=cfg["id_col"],
+            vec_col=cfg["vec_col"],
+            bucketed=True,
+        )
 
     def topk(self, query_vec: list[float], k: int) -> DataFrame:
-        return lsh_topk(
-            self.emb,
-            query_vec,
-            k=k,
-            n_planes=self.n_planes,
-            probe_hamming=self.probe_hamming,
-            id_col=self.id_col,
-            vec_col=self.vec_col,
+        if not self.bucketed:
+            return lsh_topk(
+                self.emb,
+                query_vec,
+                k=k,
+                n_planes=self.n_planes,
+                probe_hamming=self.probe_hamming,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+            )
+        planes = hyperplanes(self.n_planes, len(query_vec))
+        qv = np.asarray(query_vec, dtype=np.float64)
+        qbucket = int(
+            sum((1 << p) for p in range(self.n_planes) if planes[p] @ qv > 0)
+        )
+        probes = _probe_buckets(qbucket, self.n_planes, self.probe_hamming)
+        q = _qvec_col(query_vec)
+        scored = self.emb.filter(F.col("bucket").isin(probes)).select(
+            F.col(self.id_col).alias("vec_id"),
+            cosine_expr(F.col(self.vec_col), q).alias("cosine"),
+        )
+        from ..ranking import topk_rank_window
+
+        w = topk_rank_window(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
         )
 
 
 class IvfAnnIndex:
-    """Attachable IVF-flat asset: pre-assigned lists + centroids."""
+    """Attachable IVF-flat asset: pre-assigned lists + centroids.
+
+    ``IvfAnnIndex.write`` materializes the assignment PARTITIONED BY
+    list_id (+ a centroids table); ``load`` restores it so probe queries
+    prune to nprobe partitions (PartitionFilters) instead of re-assigning
+    the corpus per query."""
 
     def __init__(
         self,
@@ -192,6 +295,41 @@ class IvfAnnIndex:
         self.nprobe = nprobe
         self.id_col = id_col
         self.vec_col = vec_col
+
+    @staticmethod
+    def write(
+        emb: DataFrame,
+        path: str,
+        n_lists: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        import os
+
+        assigned, cents = ivf_assign(
+            emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+        )
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+            os.path.join(path, "lists")
+        )
+        cents.to_parquet(os.path.join(path, "centroids.parquet"), index=False)
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        path: str,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfAnnIndex":
+        import os
+
+        assigned = spark.read.parquet(os.path.join(path, "lists"))
+        cents = pd.read_parquet(os.path.join(path, "centroids.parquet"))
+        return cls(
+            assigned, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        )
 
     def topk(self, query_vec: list[float], k: int) -> DataFrame:
         return ivf_topk(

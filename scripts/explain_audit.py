@@ -77,6 +77,16 @@ def main():
         "engine ANN route (bucket filter ahead of scoring)":
             gate.q_engine_ann_topk(spark, sf),
     }
+    # on-disk LSH store: the probe scan must be PARTITION-pruned
+    from neural_search_spark.extras.similarity import LshAnnIndex
+
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    LshAnnIndex.write(emb, "/tmp/nss_audit_lsh", n_planes=8)
+    disk = LshAnnIndex.load(spark, "/tmp/nss_audit_lsh", probe_hamming=1)
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    plans["on-disk LSH ANN probe (bucket partition pruning)"] = disk.topk(
+        qv, k=10
+    )
     # bucketed dedup plans must not contain a cartesian/nested-loop join
     for name in (
         "MinHash LSH candidate pairs (bucket-keyed self-join)",

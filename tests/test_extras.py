@@ -282,3 +282,43 @@ def test_deterministic_sample(docs_df):
     assert s02 <= set(a.doc_id)
     with pytest.raises(ValueError, match="rate"):
         textstats.deterministic_sample(docs_df, 1.5)
+
+
+def test_lsh_ann_index_disk_matches_inmemory(emb_df, spark, tmp_path):
+    """On-disk bucket-partitioned LSH store: identical results to the
+    on-the-fly asset, and the probe scan is PARTITION-pruned."""
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[3]]
+    mem = similarity.LshAnnIndex(df, n_planes=6, probe_hamming=1)
+    path = str(tmp_path / "lsh_store")
+    similarity.LshAnnIndex.write(df, path, n_planes=6)
+    disk = similarity.LshAnnIndex.load(spark, path, probe_hamming=1)
+    got_m = mem.topk(q, k=10).toPandas()
+    got_d = disk.topk(q, k=10).toPandas()
+    assert list(got_d.vec_id) == list(got_m.vec_id)
+    np.testing.assert_allclose(got_d.cosine, got_m.cosine, rtol=0, atol=0)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        disk.topk(q, k=10).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_probe_bucket_enumeration():
+    got = similarity._probe_buckets(0b101, 4, 1)
+    assert got == sorted({0b101, 0b100, 0b111, 0b001, 0b1101})
+    assert similarity._probe_buckets(0, 4, 0) == [0]
+
+
+def test_ivf_ann_index_disk_roundtrip(emb_df, spark, tmp_path):
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[5]]
+    path = str(tmp_path / "ivf_store")
+    similarity.IvfAnnIndex.write(df, path, n_lists=8)
+    disk = similarity.IvfAnnIndex.load(spark, path, nprobe=8)
+    got = disk.topk(q, k=5).toPandas()
+    exact, _ = _np_topk(vecs, q, 5)
+    assert list(got.vec_id) == exact
