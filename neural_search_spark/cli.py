@@ -99,6 +99,11 @@ def cmd_search(args) -> None:
     else:
         with open(args.spec) as f:
             spec = f.read()
+    ann = None
+    if args.ann_index:
+        from .extras.similarity import LshAnnIndex
+
+        ann = LshAnnIndex.load(spark, args.ann_index)
     eng = Engine(
         spark,
         corpus=spark.read.parquet(args.corpus) if args.corpus else None,
@@ -106,6 +111,7 @@ def cmd_search(args) -> None:
         sparse_index=(
             SparseIndex(spark, args.sparse_index) if args.sparse_index else None
         ),
+        ann_index=ann,
     )
     parsed = json.loads(spec)
     rescore = json.loads(args.rescore_json) if args.rescore_json else None
@@ -160,6 +166,11 @@ def main(argv=None) -> None:
     s.add_argument("--spec-json", help="inline JSON query spec")
     s.add_argument("--index", help="BM25 block index dir (match queries)")
     s.add_argument("--sparse-index", help="sparse postings index dir")
+    s.add_argument(
+        "--ann-index",
+        help="on-disk bucket-partitioned LSH ANN store "
+        "(LshAnnIndex.write output) for neural/neural_knn queries",
+    )
     s.add_argument(
         "--corpus",
         help="corpus parquet for the no-index routes; must carry doc_id "
