@@ -52,7 +52,13 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
     from neural_search_spark.session import get_spark
     from neural_search_spark.transcripts import generate_queries
 
-    spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8), app_name="nss-bench")
+    # shuffle-partition policy (measured, 1M-turn build, interleaved runs):
+    # at ≤8 cores 1 task/core wins (10.4k vs 9.6k turns/s at local[8] with
+    # 2×); at 32 cores 2 tasks/core smooths stragglers (+11-15%: 17.7-18.0k
+    # vs 15.2-16.1k). Matches cluster practice: oversubscribe reduce tasks
+    # once scheduler variance dominates.
+    sp = max(cpus, 8) if cpus <= 16 else 2 * cpus
+    spark = get_spark(cpus=cpus, shuffle_partitions=sp, app_name="nss-bench")
     n_convs = SCALING_CONVS if mode == "scaling" else BENCH_CONVS
     tpath = _transcripts_path(n_convs)
     tr = spark.read.parquet(tpath)
