@@ -195,6 +195,9 @@ class Engine:
                 # the ANN asset's top-k has no min_score/max_distance hook
                 and spec.min_score is None
                 and spec.max_distance is None
+                # the asset answers for ITS embedding column only; a query
+                # against a different vector field must corpus-scan
+                and spec.field == getattr(self.ann_index, "vec_col", spec.field)
             ):
                 spec = rewrite(spec)
                 return self.ann_index.topk(spec.vector or [], k=k).select(
@@ -261,6 +264,14 @@ class Engine:
 
             if not 1 <= len(spec.sub_queries) <= 5:
                 raise ValueError("hybrid query accepts 1..5 sub-queries")
+            if any(s.post_filter is not None for s in spec.sub_queries):
+                # the reference's post_filter is a search-REQUEST field;
+                # silently ignoring a sub-query-level one would return
+                # unfiltered docs with no error
+                raise ValueError(
+                    "post_filter belongs on the hybrid spec, not on a "
+                    "sub-query"
+                )
             depth = spec.pagination_depth or k
             allowed = self._allowed(spec.post_filter)
             branches = [
@@ -349,6 +360,7 @@ class Engine:
             if isinstance(s, QuerySpec)
             and s.query_type == "match"
             and s.filter is None
+            and s.post_filter is None  # collect-time filter needs search()
             and self.bm25_index is not None
         }
         parts: list[DataFrame] = []

@@ -1124,15 +1124,10 @@ def _bounded_tall(spark: SparkSession, sf: str) -> DataFrame:
     matrix combos + the lower-bounds entry all consume the identical
     ≤ 2·depth-row table, so the two corpus-scan branches materialize once
     per sf instead of once per combo (8 scans → 2)."""
-    key = (_sf_key(sf), "AB", _HYBRID_DEPTH)
-    if key in _TALL_CACHE:
-        return _TALL_CACHE[key]
-    tall = _bounded_tall_for(
+    return _bounded_tall_for(
         spark, _docs(spark, sf), [QUERY_A, QUERY_B],
-        stats_key=(_sf_key(sf), "docs"),
+        stats_key=(_sf_key(sf), "docs"), cache_tag=("AB", _sf_key(sf)),
     )
-    _TALL_CACHE[key] = tall
-    return tall
 
 
 def _bounded_tall_for(
@@ -1142,13 +1137,24 @@ def _bounded_tall_for(
     stats_key: tuple | None = None,
     allowed: DataFrame | None = None,
     depth: int = _HYBRID_DEPTH,
+    cache_tag: tuple | None = None,
 ) -> DataFrame:
     """ONE-corpus-scan tall scoring (bm25_scored_tall) → optional
     post_filter semi-join → per-subq TakeOrdered depth bound → persisted
     ≤ n·depth-row table. The per-subq bound reads the cached full scored
-    set (one scan total vs one scan PER branch)."""
+    set (one scan total vs one scan PER branch).
+
+    cache_tag: memoize the persisted result per (SparkSession, tag, depth)
+    so repeat invocations reuse one pinned table instead of persisting a
+    new copy each call. Keyed by applicationId — persisted DataFrames are
+    session-bound, so an entry from a stopped session must never be served
+    to a new one (the other gate caches store only scalars/paths)."""
     from pyspark import StorageLevel
 
+    if cache_tag is not None:
+        key = (spark.sparkContext.applicationId, cache_tag, depth)
+        if key in _TALL_CACHE:
+            return _TALL_CACHE[key]
     scored = bm25_scored_tall(
         corpus, ["doc_id"], queries, ndp=6, stats_key=stats_key
     )
@@ -1172,6 +1178,8 @@ def _bounded_tall_for(
     tall = tall.persist(StorageLevel.MEMORY_AND_DISK)
     tall.count()  # materialize the ≤ n·depth rows, then free the big set
     scored.unpersist()
+    if cache_tag is not None:
+        _TALL_CACHE[key] = tall
     return tall
 
 
@@ -1643,7 +1651,9 @@ def q_hybrid_filtered(spark: SparkSession, sf: str) -> DataFrame:
     from .query.hybrid import combine_scores, normalize_scores
 
     d = _docs(spark, sf).filter(F.col("source").isin("src1", "src2", "src3"))
-    tall = _bounded_tall_for(spark, d, [QUERY_A, QUERY_B])
+    tall = _bounded_tall_for(
+        spark, d, [QUERY_A, QUERY_B], cache_tag=("AB-filtered", _sf_key(sf))
+    )
     combined = combine_scores(normalize_scores(tall, "min_max"), 2, "arithmetic_mean")
     return _ranked(combined.withColumn("score", F.round("score", 4)), ["doc_id"], 10)
 
@@ -2072,7 +2082,7 @@ def q_hybrid_weighted(spark: SparkSession, sf: str) -> DataFrame:
 
     tall = _bounded_tall_for(
         spark, _docs(spark, sf), [QUERY_A, QUERY_B, QUERY_C],
-        stats_key=(_sf_key(sf), "docs"),
+        stats_key=(_sf_key(sf), "docs"), cache_tag=("ABC", _sf_key(sf)),
     )
     combined = combine_scores(
         normalize_scores(tall, "min_max"), 3, "arithmetic_mean", weights=_W3
@@ -2161,6 +2171,7 @@ def q_hybrid_post_filter(spark: SparkSession, sf: str) -> DataFrame:
     tall = _bounded_tall_for(
         spark, d, [QUERY_A, QUERY_B],
         stats_key=(_sf_key(sf), "docs"), allowed=allowed,
+        cache_tag=("AB-pf", _sf_key(sf)),
     )
     combined = combine_scores(
         normalize_scores(tall, "min_max"), 2, "arithmetic_mean"

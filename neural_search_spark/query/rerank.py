@@ -89,6 +89,12 @@ def rescore_window(
                window docs matter; missing docs combine as "second pass did
                not match": final = qw·primary, the QueryRescorer contract).
 
+    Hits in ``primary`` BEYOND the window keep their original score and
+    order and rank strictly below the rescored block — the Lucene
+    QueryRescorer.rescore contract (only the top-topN slice is re-sorted;
+    the tail is left in place), so window_size < k never truncates the
+    result set.
+
     Scale shape: the window bound is a TakeOrderedAndProject (no full sort);
     the combine join is window_size rows broadcast against the secondary
     branch, so the second query's corpus-side work is Catalyst-prunable."""
@@ -99,11 +105,8 @@ def rescore_window(
         )
     if window_size < 1:
         raise ValueError("rescore window_size must be >= 1")
-    win = (
-        primary.select("doc_id", F.col("score").alias("_first"))
-        .orderBy(F.desc("_first"), F.asc("doc_id"))
-        .limit(window_size)
-    )
+    prim = primary.select("doc_id", F.col("score").alias("_first"))
+    win = prim.orderBy(F.desc("_first"), F.asc("doc_id")).limit(window_size)
     sec = secondary.select("doc_id", F.col("score").alias("_second"))
     j = win.join(sec, "doc_id", "left")
     first = F.col("_first") * F.lit(query_weight)
@@ -126,13 +129,30 @@ def rescore_window(
         combined = F.when(
             F.col("_second").isNull(), first
         ).otherwise(first * second)
-    out = j.select("doc_id", combined.cast("double").alias("score"))
+    win_out = j.select(
+        "doc_id",
+        combined.cast("double").alias("score"),
+        F.lit(0).alias("_blk"),
+    )
+    # tail: primary hits beyond the window — original score, original
+    # order, strictly below the rescored block
+    tail = (
+        prim.join(win.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("_first").cast("double").alias("score"),
+            F.lit(1).alias("_blk"),
+        )
+    )
+    out = win_out.unionAll(tail)
+    order = [F.asc("_blk"), F.desc("score"), F.asc("doc_id")]
     if k is not None:
-        out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
+        out = out.orderBy(*order).limit(k)
+    w = topk_rank_window(*order)
     return (
-        out.orderBy(F.desc("score"), F.asc("doc_id"))
+        out.orderBy(*order)
         .withColumn("rank", F.row_number().over(w).cast("int"))
+        .drop("_blk")
     )
 
 

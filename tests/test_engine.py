@@ -399,3 +399,90 @@ def test_ann_route_skipped_for_radius_queries(spark, eng):
         k=1000,
     ).toPandas()
     assert got.doc_id.tolist() == brute.doc_id.tolist()
+
+
+def test_msearch_respects_post_filter(spark, eng):
+    """A match spec carrying post_filter must NOT take the batched
+    fast path (which has no collect-time filter hook)."""
+    res = eng.msearch(
+        {
+            "qf": QuerySpec(
+                query_type="match", query_text="the tool",
+                post_filter="role = 'user'",
+            ),
+            "q0": {"match": {"query_text": "the tool"}},
+        },
+        k=5,
+    ).toPandas()
+    allowed = set(
+        r.doc_id
+        for r in eng.corpus.filter("role = 'user'").select("doc_id").collect()
+    )
+    got = res[res.query_id == "qf"]
+    assert len(got) == 5 and all(d in allowed for d in got.doc_id)
+
+
+def test_rescore_small_window_keeps_tail(spark, eng):
+    """window_size < k: hits beyond the window keep their ORIGINAL score
+    and order, ranked strictly below the rescored block (Lucene
+    QueryRescorer contract) — never truncated."""
+    scan_eng = Engine(spark, corpus=eng.corpus)
+    primary = scan_eng.search(
+        QuerySpec(query_type="match", query_text="the tool"), k=10
+    ).toPandas()
+    got = eng.search(
+        QuerySpec(query_type="match", query_text="the tool"),
+        k=10,
+        rescore={
+            "window_size": 4,
+            "query": {"match": {"query_text": "w0001"}},
+            "rescore_query_weight": 5.0,
+        },
+    ).toPandas()
+    assert len(got) == 10 and got["rank"].tolist() == list(range(1, 11))
+    # rows 5..10 are the primary tail in original order with original score
+    # NOTE: primary here is the corpus-scan engine for f64 comparison; the
+    # rescore path also fetched via the index — doc order identical
+    tail_docs = got.doc_id.tolist()[4:]
+    prim_order = primary.doc_id.tolist()
+    assert tail_docs == [d for d in prim_order if d not in got.doc_id.tolist()[:4]][:6]
+
+
+def test_hybrid_leaf_post_filter_rejected(spark, eng):
+    with pytest.raises(ValueError, match="belongs on the hybrid spec"):
+        eng.search(
+            {
+                "hybrid": {
+                    "queries": [
+                        {"match": {"query_text": "x", "post_filter": "1=1"}}
+                    ]
+                }
+            },
+            k=3,
+        )
+
+
+def test_ann_route_requires_matching_field(spark, eng):
+    """A neural query against a DIFFERENT vector field than the attached
+    asset's must corpus-scan that field, not answer from the asset."""
+    from neural_search_spark.extras.similarity import LshAnnIndex
+
+    emb = eng.corpus.select(
+        F.col("doc_id").alias("vec_id"), F.col("embedding")
+    )
+    corpus2 = eng.corpus.withColumn(
+        "embedding2", F.reverse(F.col("embedding"))
+    )
+    qv = [float(x) for x in corpus2.limit(1).collect()[0]["embedding2"]]
+    eng2 = Engine(
+        spark,
+        corpus=corpus2,
+        ann_index=LshAnnIndex(emb, n_planes=6),  # built over 'embedding'
+    )
+    got = eng2.search(
+        QuerySpec(query_type="neural_knn", field="embedding2", vector=qv), k=5
+    ).toPandas()
+    brute = Engine(spark, corpus=corpus2).search(
+        QuerySpec(query_type="neural_knn", field="embedding2", vector=qv), k=5
+    ).toPandas()
+    assert got.doc_id.tolist() == brute.doc_id.tolist()
