@@ -162,6 +162,10 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         q[name] = round(time.time() - t1, 3)
 
     if mode == "full":
+        # round-3 measures — reported as separate fields (NOT inside the
+        # headline `queries` total) so the headline stays round-over-round
+        # comparable, like the sparse-index lines.
+
         # hybrid over the SERVING block index — the flagship plan (depth-
         # bounded bm25_topk branches → broadcast-stats normalize → combine)
         from neural_search_spark.query.hybrid import hybrid_topk
@@ -175,13 +179,13 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
             ],
             k=10,
         ).collect()
-        q["hybrid_index"] = round(time.time() - t1, 3)
+        out["hybrid_index_sec"] = round(time.time() - t1, 3)
 
         # Engine ANN route: serving cost tracks the probed LSH buckets,
         # not corpus rows (sf0.1 embeddings table)
         t1 = time.time()
         gate.q_engine_ann_topk(spark, SF_DIR).collect()
-        q["engine_ann_topk"] = round(time.time() - t1, 3)
+        out["engine_ann_topk_sec"] = round(time.time() - t1, 3)
 
         # on-disk bucket-partitioned LSH store: build once, then probe
         # queries read ONLY their probed partitions (PartitionFilters) —
