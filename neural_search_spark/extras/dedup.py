@@ -92,12 +92,22 @@ def minhash_signatures(
     sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
     """(doc_id, mh0..mh{H-1}) — one aggregation pass: per doc, the min of
-    each seeded h60 over its shingle set. Single shuffle keyed by doc_id."""
+    each hash over its shingle set. Single shuffle keyed by doc_id.
+
+    ONE md5 per shingle feeds the whole family via affine derivation
+    (hashing.minhash_affine: g_i = (a_i·h + b_i) mod 2^61-1 — the classic
+    MinHash permutation family); a seeded md5 per function was
+    ``num_hashes``× the per-row hashing cost, the dominant term of the
+    signature stage at corpus scale."""
+    from .hashing import minhash_affine, minhash_base
+
+    base = minhash_base(F.col("shingle"))
+    tall = sh.select("doc_id", base.alias("_h"))
     aggs = [
-        F.min(h60(F.col("shingle"), seed=i)).alias(f"mh{i}")
+        F.min(minhash_affine(F.col("_h"), i)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return tall.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -457,11 +457,30 @@ def q_minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_signatures(sh, num_hashes=_NUM_HASHES)
 
 
-def sql_minhash_sigs() -> str:
-    mins = ", ".join(
-        f"min({h60_sql('shingle', i)}) AS mh{i}" for i in range(_NUM_HASHES)
+def _minhash_mins_sql() -> str:
+    from .extras.hashing import minhash_affine_sql
+
+    return ", ".join(
+        f"min({minhash_affine_sql('h', i)}) AS mh{i}"
+        for i in range(_NUM_HASHES)
     )
-    return f"WITH {_SHINGLE_SQL} SELECT doc_id, {mins} FROM shing GROUP BY doc_id"
+
+
+def _sh2_sql() -> str:
+    """One md5 per shingle → 30-bit base (mirrors hashing.minhash_base)."""
+    from .extras.hashing import minhash_base_sql
+
+    return (
+        f"sh2 AS (SELECT doc_id, {minhash_base_sql('shingle')} AS h "
+        "FROM shing)"
+    )
+
+
+def sql_minhash_sigs() -> str:
+    return (
+        f"WITH {_SHINGLE_SQL}, {_sh2_sql()} "
+        f"SELECT doc_id, {_minhash_mins_sql()} FROM sh2 GROUP BY doc_id"
+    )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -486,12 +505,10 @@ def _sql_lsh_jaccard(threshold: float) -> str:
         + " AS band_key FROM sigs"
         for b in range(_BANDS)
     )
-    mins = ", ".join(
-        f"min({h60_sql('shingle', i)}) AS mh{i}" for i in range(_NUM_HASHES)
-    )
     return f"""
 WITH {_SHINGLE_SQL},
-sigs AS (SELECT doc_id, {mins} FROM shing GROUP BY doc_id),
+{_sh2_sql()},
+sigs AS (SELECT doc_id, {_minhash_mins_sql()} FROM sh2 GROUP BY doc_id),
 bands AS ({unions}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -74,12 +74,18 @@ def test_shingles_and_jaccard(docs_df):
 
 
 def test_minhash_signature_matches_oracle(docs_df):
+    """Signatures equal the python replay of the affine family: ONE md5
+    per shingle, g_i = (a_i*h + b_i) mod 2^61-1."""
+    from neural_search_spark.extras.hashing import MERSENNE61, affine_coeffs
+
     sigs = dedup.minhash_signatures(dedup.shingles(docs_df, n=3), num_hashes=8)
     row = sigs.filter(F.col("doc_id") == 0).collect()[0]
     toks = tokenize_py("the quick brown fox jumps over the lazy dog")
     shset = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    bases = [_h60_py(s) % (1 << 30) for s in shset]
     for i in range(8):
-        assert row[f"mh{i}"] == min(_h60_py(s, i) for s in shset)
+        a, b = affine_coeffs(i)
+        assert row[f"mh{i}"] == min((a * h + b) % MERSENNE61 for h in bases)
 
 
 def test_minhash_lsh_finds_near_dups(docs_df):
