@@ -66,7 +66,13 @@ def shingles(
     id_col: str = "doc_id",
     n: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle). Built with
+    """Distinct word n-gram shingles per doc: (doc_id, shingle) where
+    ``shingle`` is the gram's int64 h60 HASH, not its text. Every consumer
+    (MinHash, band keys, Jaccard intersection) needs only shingle
+    IDENTITY, so the distinct and all downstream joins shuffle 8-byte
+    longs instead of ~25-byte gram strings — at 10^12-turn scale the
+    shingle stream is the pipeline's biggest shuffle. Cross-engine exact:
+    the oracle hashes the same gram text with the same h60. Built with
     pure Catalyst array ops (sequence + transform + slice)."""
     toks = tokenize_expr(text_col)
     grams = F.when(
@@ -80,7 +86,10 @@ def shingles(
         F.array(F.array_join(toks, " "))
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.transform(grams, lambda g: h60(g))).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -94,15 +103,17 @@ def minhash_signatures(
     """(doc_id, mh0..mh{H-1}) — one aggregation pass: per doc, the min of
     each hash over its shingle set. Single shuffle keyed by doc_id.
 
-    ONE md5 per shingle feeds the whole family via affine derivation
+    ONE md5 per shingle (already paid inside ``shingles`` — the shingle
+    column IS the h60) feeds the whole family via affine derivation
     (hashing.minhash_affine: g_i = (a_i·h + b_i) mod 2^61-1 — the classic
     MinHash permutation family); a seeded md5 per function was
     ``num_hashes``× the per-row hashing cost, the dominant term of the
     signature stage at corpus scale."""
-    from .hashing import minhash_affine, minhash_base
+    from .hashing import _BASE_MOD, minhash_affine
 
-    base = minhash_base(F.col("shingle"))
-    tall = sh.select("doc_id", base.alias("_h"))
+    tall = sh.select(
+        "doc_id", F.pmod(F.col("shingle"), F.lit(_BASE_MOD)).alias("_h")
+    )
     aggs = [
         F.min(minhash_affine(F.col("_h"), i)).alias(f"mh{i}")
         for i in range(num_hashes)

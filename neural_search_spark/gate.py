@@ -441,11 +441,11 @@ SELECT doc_id, rep_id, group_size FROM keyed JOIN grp USING (ckey)"""
 
 _SHINGLE_SQL = f"""
 shing AS (
-  SELECT DISTINCT doc_id, shingle FROM (
+  SELECT DISTINCT doc_id, {h60_sql('gram')} AS shingle FROM (
     SELECT doc_id, unnest(
       CASE WHEN len(toks) >= 3
         THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-        ELSE [array_to_string(toks, ' ')] END) AS shingle
+        ELSE [array_to_string(toks, ' ')] END) AS gram
     FROM (SELECT doc_id, {TOK} AS toks FROM documents)))"""
 
 _NUM_HASHES = 8
@@ -467,13 +467,11 @@ def _minhash_mins_sql() -> str:
 
 
 def _sh2_sql() -> str:
-    """One md5 per shingle → 30-bit base (mirrors hashing.minhash_base)."""
-    from .extras.hashing import minhash_base_sql
+    """30-bit affine base from the already-hashed shingle column (the one
+    md5 per gram is paid inside the shing CTE)."""
+    from .extras.hashing import _BASE_MOD
 
-    return (
-        f"sh2 AS (SELECT doc_id, {minhash_base_sql('shingle')} AS h "
-        "FROM shing)"
-    )
+    return f"sh2 AS (SELECT doc_id, (shingle % {_BASE_MOD}) AS h FROM shing)"
 
 
 def sql_minhash_sigs() -> str:
