@@ -17,6 +17,12 @@ continuously, so the engine provides the Spark-native ingest path:
 * ``dedup_stream`` — exact-dedup on the fly via dropDuplicates on the
   content fingerprint within the watermark horizon (streaming state-store
   backed), the streaming form of extras.dedup.exact_dedup.
+* ``sessionize_stream`` — custom stateful operator
+  (``applyInPandasWithState`` + event-time timeout): assembles turns into
+  per-conversation session records, emitted once the conversation has
+  been quiet for ``gap_s`` seconds of event time. State per key is a
+  fixed-width counter row (never the turn texts), so state-store size is
+  O(active conversations), not O(turns).
 """
 
 from __future__ import annotations
@@ -109,4 +115,105 @@ def dedup_stream(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_user", T.LongType()),
+        T.StructField("n_assistant", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+# state is one fixed-width row per live conversation; timestamps as epoch
+# millis keep it Arrow-friendly and 48 bytes regardless of turn count
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_user", T.LongType()),
+        T.StructField("n_assistant", T.LongType()),
+        T.StructField("first_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    stream: DataFrame, gap_s: int = 1800, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stateful conversation sessionization via ``applyInPandasWithState``.
+
+    Turns are grouped by ``conv_id``; per-key state accumulates turn/char/
+    role counters and the event-time span. When the stream's watermark
+    passes ``last turn + gap_s`` (event-time timeout — NOT wall clock), the
+    assembled session record is emitted and the key's state is dropped.
+    Sessions still quiet when the stream ends flush on the next batch that
+    advances the watermark past their timeout (standard state-store
+    semantics; production deployments pair this with a low-rate heartbeat
+    source so terminal sessions drain).
+
+    Semantics follow Spark's session-window pattern, but as a custom
+    operator so the emitted record can carry arbitrary per-role counters
+    (and, at 100 TB, per-key sketches) that ``session_window`` aggs can't
+    express. Shuffle is one hash partitioning by conv_id; state size is
+    one fixed-width row per live conversation.
+    """
+    import pandas as pd  # local: executors import lazily
+
+    gap_ms = int(gap_s) * 1000
+
+    def assemble(key, pdfs, state):
+        if state.hasTimedOut:
+            n_turns, n_chars, n_user, n_asst, first_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n_turns],
+                    "n_chars": [n_chars],
+                    "n_user": [n_user],
+                    "n_assistant": [n_asst],
+                    "first_ts": [pd.Timestamp(first_ms, unit="ms")],
+                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                    "duration_s": [(last_ms - first_ms) / 1000.0],
+                }
+            )
+            return
+        n_turns = n_chars = n_user = n_asst = 0
+        first_ms, last_ms = None, None
+        if state.exists:
+            n_turns, n_chars, n_user, n_asst, first_ms, last_ms = state.get
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].str.len().sum())
+            n_user += int((pdf["role"] == "user").sum())
+            n_asst += int((pdf["role"] == "assistant").sum())
+            ms = (pdf["ts"].astype("int64") // 1_000_000)
+            lo, hi = int(ms.min()), int(ms.max())
+            first_ms = lo if first_ms is None else min(first_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+        state.update((n_turns, n_chars, n_user, n_asst, first_ms, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        return
+        yield  # pragma: no cover — generator contract
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

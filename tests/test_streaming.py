@@ -96,6 +96,60 @@ def test_turn_rollup_stream(spark, stream_dirs):
     assert (got.win_start.astype("int64") // 10**9 % 300 == 0).all()
 
 
+def test_sessionize_stream(spark, stream_dirs):
+    """applyInPandasWithState sessionization: a conversation's session
+    record is emitted once the watermark passes its last turn + gap."""
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def turns(conv, base, n, role0="user"):
+        roles = ["user", "assistant"]
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * n,
+                "turn_idx": pd.array(range(n), dtype="int32"),
+                "role": [roles[(i + (role0 == "assistant")) % 2] for i in range(n)],
+                "text": [f"{conv} turn {i} text body" for i in range(n)],
+                "tool": ["none"] * n,
+                "ts": pd.Series(
+                    [base + pd.Timedelta(seconds=30 * i) for i in range(n)]
+                ).astype("datetime64[us]"),
+            }
+        )
+
+    # conv A: 4 turns spanning 90 s; then files whose event times advance
+    # the watermark (10 min delay) past A's last turn + 30 min gap
+    _drop_file(stream_dirs["src"], turns("A", t0, 4), "a.parquet")
+    _drop_file(
+        stream_dirs["src"], turns("B", t0 + pd.Timedelta(hours=2), 2), "b.parquet"
+    )
+    _drop_file(
+        stream_dirs["src"], turns("C", t0 + pd.Timedelta(hours=4), 1), "c.parquet"
+    )
+    st = ingest.stream_transcripts(
+        spark, stream_dirs["src"], max_files_per_trigger=1
+    )
+    sessions = ingest.sessionize_stream(st, gap_s=1800, watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM session_test").toPandas()
+    # files sort a<b<c; with one file per trigger the batch-3 watermark
+    # (B's max ts - 10 min) passes A's timeout, so A must have flushed.
+    # B/C flush only on a later watermark advance — stream ended first.
+    assert "A" in set(got.conv_id)
+    a = got[got.conv_id == "A"].iloc[0]
+    assert a.n_turns == 4
+    assert a.n_user == 2 and a.n_assistant == 2
+    assert a.duration_s == 90.0
+    assert a.n_chars == sum(len(f"A turn {i} text body") for i in range(4))
+    assert a.first_ts == t0 and a.last_ts == t0 + pd.Timedelta(seconds=90)
+
+
 def test_dedup_stream(spark, stream_dirs):
     pdf = generate_transcripts(30, seed=4)
     dup = pd.concat([pdf, pdf.iloc[:20]], ignore_index=True)
