@@ -204,6 +204,25 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         disk.topk(qv, k=10).collect()
         out["ann_disk_query_sec"] = round(time.time() - t1, 3)
 
+        # per-partition HNSW graphs (the Lucene-segment model): build is
+        # one applyInPandas task per graph; the 8-query batch amortizes
+        # the graph scan the way the segment searcher amortizes it
+        from neural_search_spark.extras.hnsw import build_graphs, hnsw_topk_batch
+
+        t1 = time.time()
+        g = build_graphs(emb, n_graphs=8, M=16, ef_construction=64).persist()
+        g.count()
+        out["hnsw_build_sec"] = round(time.time() - t1, 3)
+        qbatch = {
+            str(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.limit(8).collect()
+        }
+        hnsw_topk_batch(g, dict(list(qbatch.items())[:1]), k=10).collect()  # warm
+        t1 = time.time()
+        hnsw_topk_batch(g, qbatch, k=10, ef_search=64).collect()
+        out["hnsw_batch8_sec"] = round(time.time() - t1, 3)
+        g.unpersist()
+
     if mode == "scaling":
         # control: the DRIVER serving path (pyarrow pruned read + numpy
         # kernel, zero Spark jobs) is single-threaded by design — its qps

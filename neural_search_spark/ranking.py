@@ -26,6 +26,12 @@ def _const_zero() -> Column:
     return (F.rand(42) * 0).cast("int")
 
 
-def topk_rank_window(*order: Column) -> WindowSpec:
-    """Window for ranking an already-k-bounded result set."""
+def topk_rank_window(
+    *order: Column, partition_cols: list[str] | None = None
+) -> WindowSpec:
+    """Window for ranking an already-k-bounded result set. With
+    ``partition_cols`` (e.g. a batch's query_id) the rank restarts per
+    group and the real keys distribute the window normally."""
+    if partition_cols:
+        return Window.partitionBy(*partition_cols).orderBy(*order)
     return Window.partitionBy(_const_zero()).orderBy(*order)
