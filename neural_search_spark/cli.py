@@ -84,6 +84,28 @@ def cmd_query_batch(args) -> None:
     print(json.dumps({"queries": len(pairs), "output": args.output}))
 
 
+def _load_ann_store(spark, path: str):
+    """Open an on-disk ANN store, dispatching on its marker file."""
+    import os
+
+    if os.path.exists(os.path.join(path, "lsh_config.json")):
+        from .extras.similarity import LshAnnIndex
+
+        return LshAnnIndex.load(spark, path)
+    if os.path.exists(os.path.join(path, "hnsw_config.json")):
+        from .extras.hnsw import HnswAnnIndex
+
+        return HnswAnnIndex.load(spark, path)
+    if os.path.exists(os.path.join(path, "centroids.parquet")):
+        from .extras.similarity import IvfAnnIndex
+
+        return IvfAnnIndex.load(spark, path)
+    raise SystemExit(
+        f"--ann-index {path}: no lsh_config.json / hnsw_config.json / "
+        "centroids.parquet marker — not an ANN store"
+    )
+
+
 def cmd_search(args) -> None:
     """Engine.search() front door: routes a JSON QuerySpec/HybridSpec tree
     to the attached indexes / corpus (HybridQueryPhaseSearcher analog)."""
@@ -101,9 +123,7 @@ def cmd_search(args) -> None:
             spec = f.read()
     ann = None
     if args.ann_index:
-        from .extras.similarity import LshAnnIndex
-
-        ann = LshAnnIndex.load(spark, args.ann_index)
+        ann = _load_ann_store(spark, args.ann_index)
     eng = Engine(
         spark,
         corpus=spark.read.parquet(args.corpus) if args.corpus else None,
@@ -168,8 +188,10 @@ def main(argv=None) -> None:
     s.add_argument("--sparse-index", help="sparse postings index dir")
     s.add_argument(
         "--ann-index",
-        help="on-disk bucket-partitioned LSH ANN store "
-        "(LshAnnIndex.write output) for neural/neural_knn queries",
+        help="on-disk ANN store for neural/neural_knn queries; the kind is "
+        "auto-detected from the store's marker (lsh_config.json → LSH "
+        "bucket store, hnsw_config.json → per-partition HNSW graphs, "
+        "centroids.parquet → IVF lists)",
     )
     s.add_argument(
         "--corpus",

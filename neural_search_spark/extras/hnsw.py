@@ -225,7 +225,8 @@ def _search_graph(pdf: pd.DataFrame, queries, k: int, ef_search: int):
             cur = _greedy_descend(V, nbrs, q, cur, lev)
         found = _beam_search(V, nbrs, q, [cur], max(ef_search, k), 0)
         for s, e in found[:k]:
-            out.append((qid, int(ids[e]), float(s)))
+            # normalized-dot can round a hair past ±1 for identical vectors
+            out.append((qid, int(ids[e]), float(np.clip(s, -1.0, 1.0))))
     return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
 
 
