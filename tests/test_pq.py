@@ -1,0 +1,118 @@
+"""Product quantization (extras/pq.py): codebook determinism, the single
+encode kernel, ADC recall, and refine-path exactness.
+
+Reference parity: the k-NN plugin's faiss PQ tier (IVF_PQ / PQ encoders)
+is the memory-bound serving path; here the contract under test is the
+Spark-native analog — bounded driver-side training, map-side encode,
+LUT-scan top-k with optional exact refine."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from neural_search_spark.extras import pq
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(240, 32)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(240), "embedding": list(map(list, vecs))})
+    return spark.createDataFrame(pdf), vecs
+
+
+def _exact_topk(vecs, q, k):
+    q = np.asarray(q, dtype=np.float64)
+    v = vecs.astype(np.float64)
+    cos = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    return list(np.lexsort((np.arange(len(v)), -cos))[:k]), cos
+
+
+def test_train_deterministic_and_shaped(emb_df):
+    df, _ = emb_df
+    b1 = pq.train_codebooks(df, m=4, ksub=16, n_sample=128, n_iter=5)
+    b2 = pq.train_codebooks(df, m=4, ksub=16, n_sample=128, n_iter=5)
+    assert b1.shape == (4, 16, 8)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_train_validates_shapes(emb_df):
+    df, _ = emb_df
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.train_codebooks(df, m=5, ksub=16, n_sample=128)
+    with pytest.raises(ValueError, match="smaller than ksub"):
+        pq.train_codebooks(df, m=4, ksub=64, n_sample=32)
+
+
+def test_spark_encode_matches_numpy_kernel(emb_df):
+    """Distributed encode == one local encode_np call: per-row arithmetic
+    means Arrow batch boundaries can't change codes or norms."""
+    df, vecs = emb_df
+    books = pq.train_codebooks(df, m=4, ksub=16, n_sample=128, n_iter=5)
+    got = pq.pq_encode(df, books).toPandas().sort_values("vec_id")
+    codes, norms = pq.encode_np(vecs.astype(np.float64), books)
+    assert [c for c in got.pq_code] == [c.tobytes() for c in codes]
+    np.testing.assert_array_equal(got.pq_norm.to_numpy(), norms)
+    assert all(len(c) == 4 for c in got.pq_code)  # m bytes per vector
+
+
+def test_adc_topk_recall(emb_df):
+    df, vecs = emb_df
+    books = pq.train_codebooks(df, m=8, ksub=32, n_sample=240, n_iter=8)
+    codes = pq.pq_encode(df, books)
+    q = [float(x) for x in vecs[7]]
+    got = pq.pq_topk(codes, books, q, k=10).toPandas()
+    exact, _ = _exact_topk(vecs, q, 10)
+    # 8×32 codebooks on 32-dim data: coarse by design, but the self vector
+    # and most true neighbours must surface
+    assert got.vec_id.iloc[0] == 7
+    assert len(set(got.vec_id) & set(exact)) >= 5
+    assert list(got["rank"]) == list(range(1, 11))
+
+
+def test_refine_recovers_exact_topk(emb_df):
+    """refine == corpus size → candidate set is everything → the refine
+    pass IS exact brute force: ids and scores must match numpy exactly."""
+    df, vecs = emb_df
+    books = pq.train_codebooks(df, m=4, ksub=16, n_sample=128, n_iter=5)
+    codes = pq.pq_encode(df, books)
+    q = [float(x) for x in vecs[3]]
+    got = pq.pq_topk(codes, books, q, k=5, refine=240, emb=df).toPandas()
+    exact, cos = _exact_topk(vecs, q, 5)
+    assert list(got.vec_id) == exact
+    np.testing.assert_allclose(got.cosine, cos[exact], rtol=1e-6)
+
+
+def test_refine_requires_emb(emb_df):
+    df, vecs = emb_df
+    books = pq.train_codebooks(df, m=4, ksub=16, n_sample=128, n_iter=5)
+    codes = pq.pq_encode(df, books)
+    with pytest.raises(ValueError, match="refine"):
+        pq.pq_topk(codes, books, [0.0] * 32, k=5, refine=20).count()
+
+
+def test_adc_replay_matches_spark_scores(emb_df):
+    """The oracle foundation: driver-side replay (encode_np + adc_scores_np)
+    reproduces the distributed ADC scores bit-for-bit."""
+    df, vecs = emb_df
+    books = pq.train_codebooks(df, m=4, ksub=16, n_sample=128, n_iter=5)
+    spark_codes = pq.pq_encode(df, books)
+    q = [float(x) for x in vecs[0]]
+    got = (
+        pq.pq_topk(spark_codes, books, q, k=240)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    codes, norms = pq.encode_np(vecs.astype(np.float64), books)
+    lut = pq.adc_lut(books, q)
+    local = pq.adc_scores_np(codes, norms, lut, float(np.linalg.norm(q)))
+    np.testing.assert_array_equal(got.cosine.to_numpy(), local)
+
+
+def test_compression_ratio_docstringed(emb_df):
+    df, _ = emb_df
+    books = pq.train_codebooks(df, m=4, ksub=16, n_sample=128, n_iter=5)
+    row = pq.pq_encode(df, books).first()
+    # 32-dim float32 vector (128 B) → 4 B code + 4 B norm
+    assert len(row.pq_code) + 4 == 8
