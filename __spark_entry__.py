@@ -41,25 +41,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     _, oracles = gate.build_registry()
     try:
-        # the LSH-ANN oracle embeds the query vector's bucket (computed with
-        # the same python as the engine) — derived from the oracle-sf data
+        # the engine-ANN oracle embeds the query vector's bucket (computed
+        # with the same python as the engine) — derived from the oracle-sf
+        # data
         import duckdb
 
         qv = duckdb.sql(
             f"SELECT embedding FROM '{_ORACLE_SF}/embeddings.parquet' WHERE vec_id = 0"
         ).fetchone()[0]
-        oracles["lsh_ann_topk"] = gate.sql_lsh_ann_from_vec(
-            [float(x) for x in qv]
-        )
         oracles["engine_ann_topk"] = gate.sql_engine_ann_from_vec(
             [float(x) for x in qv]
         )
     except Exception:
-        pass  # rows-only check for lsh/engine ANN if the probe fails
+        pass  # rows-only check for engine ANN if the probe fails
     try:
-        # IVF oracle replays the driver-side centroid pick + probe choice
-        # from the same parquet, then runs fully in DuckDB
-        oracles["ivf_ann_topk"] = gate.sql_ivf_ann_for_sf(_ORACLE_SF)
+        # ANN-matrix oracle: brute-force SQL + LSH bucket literal + IVF
+        # centroid replay, derived from the same parquet
+        oracles["ann_matrix"] = gate.sql_ann_matrix_for_sf(_ORACLE_SF)
+    except Exception:
+        pass  # rows-only check if the probe fails
+    try:
+        # PQ oracle replays sample -> k-means -> encode -> ADC candidates
+        # with the engine's own numpy kernels, then refines in DuckDB
+        oracles["pq_ann_topk"] = gate.sql_pq_ann_for_sf(_ORACLE_SF)
     except Exception:
         pass  # rows-only check if the probe fails
     return oracles

@@ -816,6 +816,157 @@ SELECT vec_id, round(c, 6) AS cosine FROM raw"""
     return _topk_sql(inner, ["vec_id"], 10, score_col="cosine")
 
 
+_ANN_MATRIX = (
+    ("cosine", q_cosine_topk),
+    ("lsh", q_lsh_ann_topk),
+    ("ivf", q_ivf_ann_topk),
+)
+
+
+def q_ann_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force / LSH-bucketed / IVF-probed top-10 over the same query
+    vector in one union entry, tagged by method — the three serving tiers
+    of the k-NN family (exact script_score, bucketed approximate, cluster-
+    probed approximate) hash-verified together."""
+    out = None
+    for name, fn in _ANN_MATRIX:
+        part = fn(spark, sf).select(
+            F.lit(name).alias("method"), "vec_id", "cosine", "rank"
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+def sql_ann_matrix_for_sf(sf_dir: str) -> str:
+    """Union of the three per-method oracles; lsh/ivf need driver-side
+    constants (query bucket / centroid literals) derived from the oracle
+    scale's parquet, so this is resolved lazily like sql_ivf_ann_for_sf."""
+    import duckdb
+
+    qv = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = 0"
+    ).fetchone()[0]
+    parts = (
+        ("cosine", sql_cosine_topk()),
+        ("lsh", sql_lsh_ann_from_vec([float(x) for x in qv])),
+        ("ivf", sql_ivf_ann_for_sf(sf_dir)),
+    )
+    return " UNION ALL ".join(
+        f"SELECT '{name}' AS method, * FROM ({sql})" for name, sql in parts
+    )
+
+
+# PQ serving tier: codebook/encode params shared by the gate entry and the
+# oracle replay. ksub=64 needs only a 500-row sample at the oracle scale;
+# refine=50 is the standard PQ+refine shape (candidates from 8-byte codes,
+# exact cosine for 50 rows only).
+_PQ_M, _PQ_KSUB, _PQ_SAMPLE, _PQ_ITER, _PQ_REFINE = 8, 64, 512, 10, 50
+
+
+def q_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized ANN (reference: the k-NN plugin's faiss PQ tier,
+    IVF_PQ/PQ method families): train per-subspace codebooks on a bounded
+    deterministic sample, encode the corpus to 8-byte codes map-side, ADC
+    top-50 candidate scan, exact re-rank of the candidates to top-10."""
+    from .extras import pq as pqmod
+
+    emb = _emb(spark, sf)
+    qv = _query_vec(spark, sf)
+    books = pqmod.train_codebooks(
+        emb, m=_PQ_M, ksub=_PQ_KSUB, n_sample=_PQ_SAMPLE, n_iter=_PQ_ITER
+    )
+    codes = pqmod.pq_encode(emb, books)
+    out = pqmod.pq_topk(
+        codes, books, qv, k=10, refine=_PQ_REFINE, emb=emb
+    ).drop("rank")
+    scored = out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    return _ranked(scored, ["vec_id"], 10, score_col="cosine")
+
+
+def sql_pq_ann_for_sf(sf_dir: str) -> str:
+    """Oracle for q_pq_ann_topk: replays the driver-side PQ pipeline
+    (h60-smallest sample → k-means → encode → ADC top-R) in numpy over the
+    SAME parquet with the SAME kernels the executors run (pq.kmeans_codebooks
+    / encode_np / adc_scores_np are pure per-row arithmetic, so the replay
+    is bit-identical to the distributed pass), then embeds the candidate id
+    list so the exact refine scoring, ordering and limit run entirely in
+    DuckDB."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from .extras import pq as pqmod
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    sample = sorted(rows, key=lambda r: (h(r[0]), r[0]))[:_PQ_SAMPLE]
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in sample])
+    books = pqmod.kmeans_codebooks(X, _PQ_M, _PQ_KSUB, _PQ_ITER)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    codes, norms = pqmod.encode_np(V, books)
+    qv = V[np.flatnonzero(ids == 0)[0]]
+    lut = pqmod.adc_lut(books, qv)
+    sc = pqmod.adc_scores_np(codes, norms, lut, float(np.linalg.norm(qv)))
+    order = np.lexsort((ids, -sc))[:_PQ_REFINE]
+    cand = ", ".join(str(int(i)) for i in ids[order])
+    inner = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id IN ({cand})),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+raw AS (
+  SELECT vec_id,
+    list_dot_product(v, q.qv) /
+      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM e CROSS JOIN q
+  ORDER BY c DESC, vec_id LIMIT 10)
+SELECT vec_id, round(c, 6) AS cosine FROM raw"""
+    return _topk_sql(inner, ["vec_id"], 10, score_col="cosine")
+
+
+# ---------------------------------------------------------------------------
+# sessionization (batch twin of streaming/ingest.sessionize_stream)
+# ---------------------------------------------------------------------------
+def q_conversation_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation session records over the input_hint transcripts table
+    — the batch twin of the stateful streaming sessionizer (identical
+    record schema/counters; tests/test_streaming.py asserts stream==batch
+    on the same input). Timestamps projected to epoch millis for the
+    cross-engine hash (same technique as events_rollup)."""
+    from .streaming.ingest import sessionize_batch
+
+    s = sessionize_batch(derived_transcripts(spark, sf))
+    return s.select(
+        "conv_id",
+        "n_turns",
+        "n_chars",
+        "n_user",
+        "n_assistant",
+        F.unix_millis("first_ts").alias("first_ms"),
+        F.unix_millis("last_ts").alias("last_ms"),
+        "duration_s",
+    )
+
+
+def sql_conversation_sessions() -> str:
+    return """
+SELECT concat('c', lpad((doc_id % 50)::VARCHAR, 4, '0')) AS conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(length(text))::BIGINT AS n_chars,
+       sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+       (min(1735689600 + doc_id * 60) * 1000)::BIGINT AS first_ms,
+       (max(1735689600 + doc_id * 60) * 1000)::BIGINT AS last_ms,
+       ((max(doc_id * 60) - min(doc_id * 60)))::DOUBLE AS duration_s
+FROM documents GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -2606,9 +2757,12 @@ def build_registry():
         "neural_dense_topk": q_neural_dense_topk,
         "neural_radius": q_neural_radius,
         "engine_ann_topk": q_engine_ann_topk,
-        "cosine_topk": q_cosine_topk,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
+        # cosine/lsh/ivf merged into one union entry (round 3) to stay
+        # within the 50-entry cap while opening slots for the PQ tier and
+        # the sessionization batch twin — every method stays hash-checked
+        "ann_matrix": q_ann_matrix,
+        "pq_ann_topk": q_pq_ann_topk,
+        "conversation_sessions": q_conversation_sessions,
         # --- ingest processors ------------------------------------------
         "embedding_processors": q_embedding_processors,
         "semantic_chunks": q_semantic_chunks,
@@ -2660,7 +2814,7 @@ def build_registry():
         "prune_modes": sql_prune_modes(),
         "neural_dense_topk": sql_neural_dense_topk(),
         "neural_radius": sql_neural_radius(),
-        "cosine_topk": sql_cosine_topk(),
+        "conversation_sessions": sql_conversation_sessions(),
         "embedding_processors": sql_embedding_processors(),
         "semantic_chunks": sql_semantic_chunks(),
         "chunking_all": sql_chunking_all(),
@@ -2677,9 +2831,9 @@ def build_registry():
         "sample_documents": sql_sample_documents(),
         "events_rollup": sql_events_rollup(),
         "multimodal_features": sql_multimodal_features(),
-        # lsh_ann_topk / ivf_ann_topk / engine_ann_topk need driver-side
-        # constants (query bucket / centroid picks) -> resolved lazily in
-        # __spark_entry__.oracle_sql(); index_lineage has no possible
-        # oracle (build metadata).
+        # ann_matrix / pq_ann_topk / engine_ann_topk need driver-side
+        # constants (query bucket / centroid / codebook replays) ->
+        # resolved lazily in __spark_entry__.oracle_sql(); index_lineage
+        # has no possible oracle (build metadata).
     }
     return queries, oracles

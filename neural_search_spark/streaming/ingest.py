@@ -217,3 +217,34 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_batch(turns: DataFrame) -> DataFrame:
+    """Batch twin of ``sessionize_stream``: the same session record
+    (schema ``SESSION_SCHEMA``), assembled with one hash aggregation —
+    used by backfills over a static transcript corpus and by the
+    correctness gate (the stateful stream operator can't run under a SQL
+    oracle; ``tests/test_streaming.py`` asserts stream output equals this
+    on the same input, and this form is oracle-checked against DuckDB).
+
+    Counter semantics match the stream's ``assemble`` exactly: per-turn
+    char counts, user/assistant role counters (other roles counted in
+    n_turns only), event-time span truncated to millisecond precision
+    (the stream's state carries epoch millis).
+    """
+    # sources may carry TIMESTAMP_NTZ (pandas-written parquet); the session
+    # timezone is pinned UTC (session.py), so the cast is identity — same
+    # face-value micros the stream's state reads via .astype("int64")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+            F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+            F.timestamp_millis(F.min(ms)).alias("first_ts"),
+            F.timestamp_millis(F.max(ms)).alias("last_ts"),
+            ((F.max(ms) - F.min(ms)) / F.lit(1000.0)).alias("duration_s"),
+        )
+    )

@@ -149,6 +149,38 @@ def test_sessionize_stream(spark, stream_dirs):
     assert a.n_chars == sum(len(f"A turn {i} text body") for i in range(4))
     assert a.first_ts == t0 and a.last_ts == t0 + pd.Timedelta(seconds=90)
 
+    # batch twin: identical record for every conversation the stream
+    # flushed (same counters, same ms-truncated span)
+    src = spark.read.parquet(stream_dirs["src"])
+    batch = (
+        ingest.sessionize_batch(src.filter(src.conv_id == "A"))
+        .toPandas()
+        .iloc[0]
+    )
+    for c in SESSION_COLS:
+        assert batch[c] == a[c], c
+
+
+SESSION_COLS = [
+    "conv_id", "n_turns", "n_chars", "n_user", "n_assistant",
+    "first_ts", "last_ts", "duration_s",
+]
+
+
+def test_sessionize_batch_roles_and_span(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["x"] * 3,
+            "role": ["user", "assistant", "tool"],
+            "text": ["ab", "cde", "f"],
+            "ts": pd.Series(pd.date_range("2026-01-01", periods=3, freq="45s")),
+        }
+    )
+    got = ingest.sessionize_batch(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert got.n_turns == 3 and got.n_chars == 6
+    assert got.n_user == 1 and got.n_assistant == 1  # tool in n_turns only
+    assert got.duration_s == 90.0
+
 
 def test_dedup_stream(spark, stream_dirs):
     pdf = generate_transcripts(30, seed=4)
