@@ -223,6 +223,22 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         out["hnsw_batch8_sec"] = round(time.time() - t1, 3)
         g.unpersist()
 
+        # PQ tier: train + encode once (the ~21× compressed serving table),
+        # then an ADC+refine query — the memory-bound path whose scan cost
+        # tracks 8-byte codes, not raw vectors
+        from neural_search_spark.extras import pq as pqmod
+
+        t1 = time.time()
+        books = pqmod.train_codebooks(emb, m=8, ksub=64, n_sample=512, n_iter=10)
+        pcodes = pqmod.pq_encode(emb, books).persist()
+        pcodes.count()
+        out["pq_encode_sec"] = round(time.time() - t1, 3)
+        pqmod.pq_topk(pcodes, books, qv, k=10, refine=50, emb=emb).collect()  # warm
+        t1 = time.time()
+        pqmod.pq_topk(pcodes, books, qv, k=10, refine=50, emb=emb).collect()
+        out["pq_query_sec"] = round(time.time() - t1, 3)
+        pcodes.unpersist()
+
     if mode == "scaling":
         # control: the DRIVER serving path (pyarrow pruned read + numpy
         # kernel, zero Spark jobs) is single-threaded by design — its qps

@@ -234,8 +234,10 @@ def pq_topk(
         if emb is None:
             raise ValueError("refine needs the raw `emb` table")
         qcol = _qvec_col([float(x) for x in query_vec])
+        # candidate side is <= refine rows by construction — pin the
+        # broadcast so the exact re-rank never shuffles the raw vectors
         top = (
-            top.select("vec_id")
+            F.broadcast(top.select("vec_id"))
             .join(
                 emb.select(
                     F.col(id_col).cast("long").alias("vec_id"),
@@ -251,3 +253,58 @@ def pq_topk(
         )
     w = topk_rank_window(F.desc("cosine"), F.asc("vec_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def ivf_pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, pd.DataFrame]:
+    """IVF-PQ layout: nearest-centroid list assignment (one map-side pass,
+    centroids are broadcast literals) then PQ encode, keeping ``list_id``
+    — the canonical billion-scale serving shape. Written partitioned by
+    list_id, a query scans nprobe partitions of 8-byte codes: partition
+    pruning × ~21× code compression compose multiplicatively."""
+    from .similarity import ivf_assign
+
+    assigned, cents = ivf_assign(
+        emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col,
+        keep_cols=["list_id"],
+    )
+    return codes, cents
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    centroids: pd.DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int | None = None,
+    emb: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest centroid lists (driver-side pick, same rule
+    as similarity.ivf_topk), ADC-scan only their codes, optionally exact-
+    refine the survivors against the raw vectors."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    cents = np.array(
+        [np.asarray(v, dtype=np.float64) for v in centroids[vec_col]]
+    )
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probe_lists = [
+        int(i) for i in np.argsort(-(cents @ qn), kind="stable")[:nprobe]
+    ]
+    probed = codes.filter(F.col("list_id").isin(probe_lists))
+    return pq_topk(
+        probed, codebooks, list(query_vec), k=k, refine=refine, emb=emb,
+        id_col=id_col, vec_col=vec_col,
+    )

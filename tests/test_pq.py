@@ -116,3 +116,22 @@ def test_compression_ratio_docstringed(emb_df):
     row = pq.pq_encode(df, books).first()
     # 32-dim float32 vector (128 B) → 4 B code + 4 B norm
     assert len(row.pq_code) + 4 == 8
+
+
+def test_ivf_pq_topk(emb_df):
+    """IVF-PQ composition: nprobe = n_lists + full refine → exact top-k
+    (probe everything, ADC candidates cover the corpus, refine is brute
+    force); small nprobe still surfaces the self vector."""
+    df, vecs = emb_df
+    books = pq.train_codebooks(df, m=4, ksub=16, n_sample=128, n_iter=5)
+    codes, cents = pq.ivf_pq_encode(df, books, n_lists=8)
+    assert "list_id" in codes.columns
+    q = [float(x) for x in vecs[9]]
+    got = pq.ivf_pq_topk(
+        codes, cents, books, q, k=5, nprobe=8, refine=240, emb=df
+    ).toPandas()
+    exact, _ = _exact_topk(vecs, q, 5)
+    assert list(got.vec_id) == exact
+
+    narrow = pq.ivf_pq_topk(codes, cents, books, q, k=5, nprobe=2).toPandas()
+    assert 9 in set(narrow.vec_id)
