@@ -87,6 +87,20 @@ def main():
     plans["on-disk LSH ANN probe (bucket partition pruning)"] = disk.topk(
         qv, k=10
     )
+    # PQ serving: candidate generation must be TakeOrdered (never a full
+    # sort) and the exact refine must broadcast the <=refine candidate side
+    from neural_search_spark.extras import pq as pqmod
+
+    books = pqmod.train_codebooks(emb, m=8, ksub=64, n_sample=512, n_iter=10)
+    pq_plan = pqmod.pq_topk(
+        pqmod.pq_encode(emb, books), books, qv, k=10, refine=50, emb=emb
+    )
+    plans["PQ ADC top-k + exact refine (broadcast candidate join)"] = pq_plan
+    pq_text = cap(pq_plan)
+    assert "TakeOrderedAndProject" in pq_text, "PQ candidate gen plans a full sort"
+    assert "BroadcastHashJoin" in pq_text, "PQ refine join not broadcast"
+    assert "CartesianProduct" not in pq_text and "BroadcastNestedLoop" not in pq_text
+    print("PQ refine: TakeOrdered candidates, broadcast refine join — ok")
     # bucketed dedup plans must not contain a cartesian/nested-loop join
     for name in (
         "MinHash LSH candidate pairs (bucket-keyed self-join)",
