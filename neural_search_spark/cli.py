@@ -96,13 +96,19 @@ def _load_ann_store(spark, path: str):
         from .extras.hnsw import HnswAnnIndex
 
         return HnswAnnIndex.load(spark, path)
+    # pq_config.json must win over centroids.parquet: the IVF-PQ store
+    # carries centroids too
+    if os.path.exists(os.path.join(path, "pq_config.json")):
+        from .extras.pq import PqAnnIndex
+
+        return PqAnnIndex.load(spark, path)
     if os.path.exists(os.path.join(path, "centroids.parquet")):
         from .extras.similarity import IvfAnnIndex
 
         return IvfAnnIndex.load(spark, path)
     raise SystemExit(
         f"--ann-index {path}: no lsh_config.json / hnsw_config.json / "
-        "centroids.parquet marker — not an ANN store"
+        "pq_config.json / centroids.parquet marker — not an ANN store"
     )
 
 
@@ -191,7 +197,7 @@ def main(argv=None) -> None:
         help="on-disk ANN store for neural/neural_knn queries; the kind is "
         "auto-detected from the store's marker (lsh_config.json → LSH "
         "bucket store, hnsw_config.json → per-partition HNSW graphs, "
-        "centroids.parquet → IVF lists)",
+        "pq_config.json → IVF-PQ codes, centroids.parquet → IVF lists)",
     )
     s.add_argument(
         "--corpus",

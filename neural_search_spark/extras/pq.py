@@ -308,3 +308,116 @@ def ivf_pq_topk(
         probed, codebooks, list(query_vec), k=k, refine=refine, emb=emb,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+class PqAnnIndex:
+    """Attachable IVF-PQ asset: a list_id-partitioned code table plus
+    centroids and codebooks — the 100 TB vector-serving store. The codes
+    directory holds ~12 B/vector instead of the raw float32 array, probe
+    queries prune to nprobe list partitions, and exact refine (optional)
+    joins the raw corpus only for the top-R candidates.
+
+    Same attach surface as LshAnnIndex / IvfAnnIndex / HnswAnnIndex
+    (``topk(query_vec, k)``), so ``Engine`` can route neural/knn queries
+    through it and the CLI auto-detects it from ``pq_config.json``.
+    """
+
+    def __init__(
+        self,
+        codes: DataFrame,
+        centroids: pd.DataFrame,
+        codebooks: np.ndarray,
+        nprobe: int = 4,
+        refine: int | None = None,
+        raw: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.codes = codes
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.nprobe = nprobe
+        self.refine = refine
+        self.raw = raw
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @staticmethod
+    def write(
+        emb: DataFrame,
+        path: str,
+        m: int = 8,
+        ksub: int = 256,
+        n_lists: int = 16,
+        n_sample: int = 4096,
+        n_iter: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        import json
+        import os
+
+        books = train_codebooks(
+            emb, m=m, ksub=ksub, n_sample=n_sample, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+        codes, cents = ivf_pq_encode(
+            emb, books, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+        )
+        codes.write.mode("overwrite").partitionBy("list_id").parquet(
+            os.path.join(path, "codes")
+        )
+        cents.to_parquet(os.path.join(path, "centroids.parquet"), index=False)
+        mm, kk, dsub = books.shape
+        pd.DataFrame(
+            {
+                "subspace": np.repeat(np.arange(mm), kk),
+                "centroid": np.tile(np.arange(kk), mm),
+                "values": list(books.reshape(mm * kk, dsub)),
+            }
+        ).to_parquet(os.path.join(path, "codebooks.parquet"), index=False)
+        with open(os.path.join(path, "pq_config.json"), "w") as f:
+            json.dump(
+                {"m": mm, "ksub": kk, "dsub": dsub, "n_lists": n_lists}, f
+            )
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        path: str,
+        nprobe: int = 4,
+        refine: int | None = None,
+        raw: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "PqAnnIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "pq_config.json")) as f:
+            cfg = json.load(f)
+        bpdf = pd.read_parquet(os.path.join(path, "codebooks.parquet"))
+        bpdf = bpdf.sort_values(["subspace", "centroid"])
+        books = np.stack([np.asarray(v, dtype=np.float64) for v in bpdf["values"]])
+        books = books.reshape(cfg["m"], cfg["ksub"], cfg["dsub"])
+        codes = spark.read.parquet(os.path.join(path, "codes"))
+        cents = pd.read_parquet(os.path.join(path, "centroids.parquet"))
+        return cls(
+            codes, cents, books, nprobe=nprobe, refine=refine, raw=raw,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    def topk(self, query_vec: list[float], k: int) -> DataFrame:
+        return ivf_pq_topk(
+            self.codes,
+            self.centroids,
+            self.codebooks,
+            query_vec,
+            k=k,
+            nprobe=self.nprobe,
+            refine=self.refine,
+            emb=self.raw,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )

@@ -135,3 +135,43 @@ def test_ivf_pq_topk(emb_df):
 
     narrow = pq.ivf_pq_topk(codes, cents, books, q, k=5, nprobe=2).toPandas()
     assert 9 in set(narrow.vec_id)
+
+
+def test_pq_ann_index_disk_roundtrip(emb_df, spark, tmp_path):
+    """On-disk IVF-PQ store: identical results to the in-memory pipeline,
+    list-partitioned code scan, CLI marker detection, Engine attach."""
+    df, vecs = emb_df
+    path = str(tmp_path / "pq_store")
+    pq.PqAnnIndex.write(df, path, m=4, ksub=16, n_lists=8, n_sample=128, n_iter=5)
+
+    disk = pq.PqAnnIndex.load(spark, path, nprobe=8, refine=240, raw=df)
+    q = [float(x) for x in vecs[5]]
+    got = disk.topk(q, k=5).toPandas()
+    exact, _ = _exact_topk(vecs, q, 5)
+    assert list(got.vec_id) == exact  # nprobe=all + full refine = exact
+
+    # codebooks survive the parquet roundtrip bit-for-bit
+    books = pq.train_codebooks(df, m=4, ksub=16, n_sample=128, n_iter=5)
+    np.testing.assert_array_equal(disk.codebooks, books)
+
+    # the probe scan is partition-pruned on list_id
+    import contextlib
+    import io
+
+    narrow = pq.PqAnnIndex.load(spark, path, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        narrow.topk(q, k=5).explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+
+    # CLI auto-detect: pq_config.json wins over the centroids marker
+    from neural_search_spark.cli import _load_ann_store
+
+    assert isinstance(_load_ann_store(spark, path), pq.PqAnnIndex)
+
+    # Engine routes neural_knn through the attached PQ asset
+    from neural_search_spark.engine import Engine
+
+    eng = Engine(spark, ann_index=disk)
+    hits = eng.search({"neural_knn": {"field": "embedding", "vector": q}}, k=5)
+    assert list(hits.toPandas().doc_id) == exact
