@@ -196,8 +196,11 @@ class Engine:
                 and spec.min_score is None
                 and spec.max_distance is None
                 # the asset answers for ITS embedding column only; a query
-                # against a different vector field must corpus-scan
-                and spec.field == getattr(self.ann_index, "vec_col", spec.field)
+                # against a different vector field must corpus-scan. Fail
+                # CLOSED: an asset that doesn't declare vec_col never
+                # matches (delegating on a vacuous guard would silently
+                # answer from a graph built over a different column)
+                and spec.field == getattr(self.ann_index, "vec_col", None)
             ):
                 spec = rewrite(spec)
                 return self.ann_index.topk(spec.vector or [], k=k).select(
@@ -219,13 +222,23 @@ class Engine:
         """Top-k for any spec → (doc_id, score, rank).
 
         rescore: optional generic rescore window applied AFTER the primary
-        pipeline (reference HybridCollectorManager.java:241-268 applies
-        rescorers to the hybrid result): {"window_size": W, "query":
-        <sub-spec json/QuerySpec>, "query_weight": 1.0,
-        "rescore_query_weight": 1.0, "score_mode": "total"}. The top-W
-        primary hits are re-scored by the rescore query (corpus-scan exact
-        scores) and combined; hits the rescore query misses keep
-        query_weight·primary."""
+        pipeline: {"window_size": W, "query": <sub-spec json/QuerySpec>,
+        "query_weight": 1.0, "rescore_query_weight": 1.0, "score_mode":
+        "total"}. The top-W primary hits are re-scored by the rescore
+        query (corpus-scan exact scores) and combined; hits the rescore
+        query misses keep query_weight·primary.
+
+        INTENTIONAL semantic difference from the reference for hybrid
+        specs: HybridCollectorManager.java:241-268 applies rescorers to
+        each sub-query's TopDocs BEFORE the normalization processor runs,
+        while this engine rescores the already-normalized/combined hybrid
+        result (post-combination rescore). Pre-normalization rescoring
+        would change the min/max statistics and therefore every hit's
+        normalized score, coupling the rescore window to the
+        normalization pass; the post-combination form keeps rescore an
+        independent pipeline stage (and matches the non-hybrid
+        QueryRescorer semantics exactly). Hybrid+rescore scores can
+        therefore differ from the reference for the same request."""
         if rescore is not None:
             from .query.rerank import rescore_window
 

@@ -262,9 +262,19 @@ class HnswAnnIndex:
     adjacency table partitioned by graph_id (a serving executor maps
     graph partitions 1:1 onto tasks)."""
 
-    def __init__(self, graphs: DataFrame, ef_search: int = 64):
+    def __init__(
+        self,
+        graphs: DataFrame,
+        ef_search: int = 64,
+        vec_col: str = "embedding",
+    ):
         self.graphs = graphs
         self.ef_search = ef_search
+        # the source column the graphs were built over — Engine's ANN-
+        # delegation guard compares it to the query spec's field so a query
+        # against a different vector column falls back to the corpus scan
+        # instead of being silently answered from the wrong graph
+        self.vec_col = vec_col
 
     @staticmethod
     def write(
@@ -289,14 +299,23 @@ class HnswAnnIndex:
         )
         with open(os.path.join(path, "hnsw_config.json"), "w") as f:
             json.dump(
-                {"n_graphs": n_graphs, "M": M, "ef_construction": ef_construction},
+                {
+                    "n_graphs": n_graphs,
+                    "M": M,
+                    "ef_construction": ef_construction,
+                    "vec_col": vec_col,
+                },
                 f,
             )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, ef_search: int = 64) -> "HnswAnnIndex":
+        with open(os.path.join(path, "hnsw_config.json")) as f:
+            cfg = json.load(f)
         graphs = spark.read.parquet(os.path.join(path, "graphs"))
-        return cls(graphs, ef_search=ef_search)
+        return cls(
+            graphs, ef_search=ef_search, vec_col=cfg.get("vec_col", "embedding")
+        )
 
     def topk(self, query_vec: list[float], k: int) -> DataFrame:
         hits = hnsw_topk_batch(

@@ -294,14 +294,18 @@ def ivf_pq_topk(
     """Probe the nprobe nearest centroid lists (driver-side pick, same rule
     as similarity.ivf_topk), ADC-scan only their codes, optionally exact-
     refine the survivors against the raw vectors."""
+    from .similarity import _centroid_list_ids
+
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = qv / np.linalg.norm(qv)
+    centroids, list_ids = _centroid_list_ids(centroids)
     cents = np.array(
         [np.asarray(v, dtype=np.float64) for v in centroids[vec_col]]
     )
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     probe_lists = [
-        int(i) for i in np.argsort(-(cents @ qn), kind="stable")[:nprobe]
+        int(list_ids[i])
+        for i in np.argsort(-(cents @ qn), kind="stable")[:nprobe]
     ]
     probed = codes.filter(F.col("list_id").isin(probe_lists))
     return pq_topk(
@@ -401,8 +405,12 @@ class PqAnnIndex:
         bpdf = bpdf.sort_values(["subspace", "centroid"])
         books = np.stack([np.asarray(v, dtype=np.float64) for v in bpdf["values"]])
         books = books.reshape(cfg["m"], cfg["ksub"], cfg["dsub"])
+        from .similarity import _centroid_list_ids
+
         codes = spark.read.parquet(os.path.join(path, "codes"))
-        cents = pd.read_parquet(os.path.join(path, "centroids.parquet"))
+        cents, _ = _centroid_list_ids(
+            pd.read_parquet(os.path.join(path, "centroids.parquet"))
+        )
         return cls(
             codes, cents, books, nprobe=nprobe, refine=refine, raw=raw,
             id_col=id_col, vec_col=vec_col,

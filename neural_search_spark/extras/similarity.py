@@ -185,6 +185,7 @@ class LshAnnIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         bucketed: bool = False,
+        dim: int | None = None,
     ):
         self.emb = emb
         self.n_planes = n_planes
@@ -192,6 +193,10 @@ class LshAnnIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.bucketed = bucketed  # emb carries a materialized 'bucket' col
+        # dimensionality the store's hyperplane family was derived from; a
+        # query vector of a different length would silently bucket under a
+        # DIFFERENT family and probe wrong partitions — topk() fails fast
+        self.dim = dim
 
     @staticmethod
     def write(
@@ -240,9 +245,16 @@ class LshAnnIndex:
             id_col=cfg["id_col"],
             vec_col=cfg["vec_col"],
             bucketed=True,
+            dim=cfg.get("dim"),
         )
 
     def topk(self, query_vec: list[float], k: int) -> DataFrame:
+        if self.dim is not None and len(query_vec) != self.dim:
+            raise ValueError(
+                f"query vector has dim {len(query_vec)}, but this LSH store "
+                f"was built over dim-{self.dim} vectors (lsh_config.json): "
+                "bucketing would use a different hyperplane family"
+            )
         if not self.bucketed:
             return lsh_topk(
                 self.emb,
@@ -326,7 +338,9 @@ class IvfAnnIndex:
         import os
 
         assigned = spark.read.parquet(os.path.join(path, "lists"))
-        cents = pd.read_parquet(os.path.join(path, "centroids.parquet"))
+        cents, _ = _centroid_list_ids(
+            pd.read_parquet(os.path.join(path, "centroids.parquet"))
+        )
         return cls(
             assigned, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col
         )
@@ -346,6 +360,16 @@ class IvfAnnIndex:
 # ---------------------------------------------------------------------------
 # IVF-flat
 # ---------------------------------------------------------------------------
+def _centroid_list_ids(centroids: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
+    """Normalize a centroids table to (sorted-by-list_id frame, list_id
+    array aligned with its rows). Tables written before the explicit
+    ``list_id`` column fall back to row order (the old invariant)."""
+    if "list_id" in centroids.columns:
+        centroids = centroids.sort_values("list_id").reset_index(drop=True)
+        return centroids, centroids["list_id"].to_numpy()
+    return centroids.reset_index(drop=True), np.arange(len(centroids))
+
+
 def ivf_assign(
     emb: DataFrame,
     n_lists: int = 16,
@@ -379,6 +403,11 @@ def ivf_assign(
         F.struct(sims[i].alias("s"), F.lit(-i).alias("negi")) for i in range(len(cents))
     ])
     assigned = emb.withColumn("list_id", (-best["negi"]).cast("int"))
+    # explicit key, not an implicit row-order invariant: probe code maps
+    # centroid i → list_id via this column, so a reordered centroids table
+    # (sorted read, partial rewrite) can't silently mis-map probed lists
+    cent_rows = cent_rows.reset_index(drop=True)
+    cent_rows["list_id"] = np.arange(len(cent_rows), dtype="int32")
     return assigned, cent_rows
 
 
@@ -394,12 +423,13 @@ def ivf_topk(
     """Probe the nprobe nearest centroid lists, exact-score within them."""
     qv = np.asarray(query_vec, dtype=np.float64)
     qv = qv / np.linalg.norm(qv)
+    centroids, list_ids = _centroid_list_ids(centroids)
     cents = np.array(
         [np.asarray(v, dtype=np.float64) for v in centroids[vec_col]]
     )
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     order = np.argsort(-(cents @ qv), kind="stable")[:nprobe]
-    probe_lists = [int(i) for i in order]
+    probe_lists = [int(list_ids[i]) for i in order]
     q = _qvec_col(list(query_vec))
     scored = assigned.filter(F.col("list_id").isin(probe_lists)).select(
         F.col(id_col).alias("vec_id"),

@@ -1318,9 +1318,16 @@ def _bounded_tall_for(
     from pyspark import StorageLevel
 
     if cache_tag is not None:
-        key = (spark.sparkContext.applicationId, cache_tag, depth)
+        app_id = spark.sparkContext.applicationId
+        key = (app_id, cache_tag, depth)
         if key in _TALL_CACHE:
             return _TALL_CACHE[key]
+        # evict entries from other (stopped) sessions: the applicationId
+        # key already prevents cross-session reuse, but a long-lived
+        # process cycling SparkSessions would otherwise accumulate dead
+        # persisted-DataFrame references indefinitely
+        for stale in [k for k in _TALL_CACHE if k[0] != app_id]:
+            del _TALL_CACHE[stale]
     scored = bm25_scored_tall(
         corpus, ["doc_id"], queries, ndp=6, stats_key=stats_key
     )

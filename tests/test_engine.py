@@ -486,3 +486,58 @@ def test_ann_route_requires_matching_field(spark, eng):
         QuerySpec(query_type="neural_knn", field="embedding2", vector=qv), k=5
     ).toPandas()
     assert got.doc_id.tolist() == brute.doc_id.tolist()
+
+
+def test_ann_route_field_guard_hnsw(spark, eng):
+    """HnswAnnIndex now declares vec_col (persisted in hnsw_config.json),
+    so the Engine guard is exercised for graphs too: a query against a
+    different vector field corpus-scans instead of being answered from a
+    graph built over 'embedding'. Also: an asset with NO vec_col fails
+    CLOSED (never delegated)."""
+    from neural_search_spark.extras.hnsw import HnswAnnIndex, build_graphs
+
+    emb = eng.corpus.select(
+        F.col("doc_id").alias("vec_id"), F.col("embedding")
+    )
+    corpus2 = eng.corpus.withColumn(
+        "embedding2", F.reverse(F.col("embedding"))
+    )
+    qv = [float(x) for x in corpus2.limit(1).collect()[0]["embedding2"]]
+    graphs = build_graphs(emb, n_graphs=2, M=8, ef_construction=32)
+    eng2 = Engine(
+        spark,
+        corpus=corpus2,
+        ann_index=HnswAnnIndex(graphs),  # vec_col='embedding'
+    )
+    assert eng2.ann_index.vec_col == "embedding"
+    got = eng2.search(
+        QuerySpec(query_type="neural_knn", field="embedding2", vector=qv), k=5
+    ).toPandas()
+    brute = Engine(spark, corpus=corpus2).search(
+        QuerySpec(query_type="neural_knn", field="embedding2", vector=qv), k=5
+    ).toPandas()
+    assert got.doc_id.tolist() == brute.doc_id.tolist()
+
+    class NoVecCol:
+        def topk(self, q, k):  # pragma: no cover — must never be called
+            raise AssertionError("fail-closed guard delegated to a "
+                                 "vec_col-less asset")
+
+    eng3 = Engine(spark, corpus=eng.corpus, ann_index=NoVecCol())
+    qv2 = [float(x) for x in eng.corpus.limit(1).collect()[0]["embedding"]]
+    out = eng3.search(
+        QuerySpec(query_type="neural_knn", field="embedding", vector=qv2), k=5
+    ).toPandas()
+    assert len(out) == 5  # served by the corpus scan
+
+
+def test_hnsw_store_persists_vec_col(spark, eng, tmp_path):
+    from neural_search_spark.extras.hnsw import HnswAnnIndex
+
+    emb = eng.corpus.select(
+        F.col("doc_id").alias("vec_id"), F.col("embedding")
+    )
+    path = str(tmp_path / "hnsw_store")
+    HnswAnnIndex.write(emb, path, n_graphs=2, M=8, ef_construction=32)
+    loaded = HnswAnnIndex.load(spark, path)
+    assert loaded.vec_col == "embedding"

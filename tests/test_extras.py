@@ -3,6 +3,7 @@ analysis, multimodal plumbing. Oracles are plain numpy/python re-derivations
 of each operator's contract."""
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -328,3 +329,72 @@ def test_ivf_ann_index_disk_roundtrip(emb_df, spark, tmp_path):
     got = disk.topk(q, k=5).toPandas()
     exact, _ = _np_topk(vecs, q, 5)
     assert list(got.vec_id) == exact
+
+
+def test_lsh_store_rejects_wrong_dim(emb_df, spark, tmp_path):
+    """A query vector of the wrong dimensionality would bucket under a
+    DIFFERENT hyperplane family and silently probe wrong partitions — the
+    store must fail fast instead (lsh_config.json records dim)."""
+    df, vecs = emb_df
+    path = str(tmp_path / "lsh_dim_store")
+    similarity.LshAnnIndex.write(df, path, n_planes=6)
+    disk = similarity.LshAnnIndex.load(spark, path, probe_hamming=1)
+    with pytest.raises(ValueError, match="dim"):
+        disk.topk([1.0] * 8, k=5)
+    # the right dim still serves
+    assert len(disk.topk([float(x) for x in vecs[0]], k=5).toPandas()) == 5
+
+
+def test_ivf_centroids_reorder_safe(emb_df, spark, tmp_path):
+    """centroids.parquet carries an explicit list_id key: shuffling the
+    file's row order must not change which lists a query probes."""
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[11]]
+    path = str(tmp_path / "ivf_reorder")
+    similarity.IvfAnnIndex.write(df, path, n_lists=8)
+    before = similarity.IvfAnnIndex.load(spark, path, nprobe=3).topk(q, k=5).toPandas()
+    cpath = os.path.join(path, "centroids.parquet")
+    cents = pd.read_parquet(cpath)
+    assert "list_id" in cents.columns
+    cents.sample(frac=1.0, random_state=3).to_parquet(cpath, index=False)
+    after = similarity.IvfAnnIndex.load(spark, path, nprobe=3).topk(q, k=5).toPandas()
+    assert list(after.vec_id) == list(before.vec_id)
+    np.testing.assert_allclose(after.cosine, before.cosine, rtol=0, atol=0)
+
+
+def test_ann_store_rebuild_determinism(emb_df, spark, tmp_path):
+    """Rebuilding a store from the same corpus is bit-identical (the
+    determinism contract in the store docstrings): hash-of-files equality
+    for LSH and IVF, and identical centroid/assignment content."""
+    df, vecs = emb_df
+
+    def tree_hash(root: str) -> str:
+        # Spark part-file NAMES embed a per-job UUID; the determinism
+        # contract is about CONTENT — hash (partition-dir, file bytes)
+        # pairs, order-normalized
+        entries = []
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.startswith(("_", ".")) or fn.endswith(".crc"):
+                    continue  # _SUCCESS markers / checksums
+                p = os.path.join(dirpath, fn)
+                entries.append(
+                    os.path.relpath(dirpath, root)
+                    + ":"
+                    + hashlib.sha256(open(p, "rb").read()).hexdigest()
+                )
+        return hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()
+
+    a, b = str(tmp_path / "lsh_a"), str(tmp_path / "lsh_b")
+    # one partition per write → stable file layout; parquet bytes are
+    # deterministic given identical rows per partition
+    one = df.coalesce(1)
+    similarity.LshAnnIndex.write(one, a, n_planes=6)
+    similarity.LshAnnIndex.write(one, b, n_planes=6)
+    assert tree_hash(a) == tree_hash(b)
+
+    ia, ib = str(tmp_path / "ivf_a"), str(tmp_path / "ivf_b")
+    similarity.IvfAnnIndex.write(one, ia, n_lists=8)
+    similarity.IvfAnnIndex.write(one, ib, n_lists=8)
+    assert tree_hash(ia) == tree_hash(ib)

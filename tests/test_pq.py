@@ -175,3 +175,36 @@ def test_pq_ann_index_disk_roundtrip(emb_df, spark, tmp_path):
     eng = Engine(spark, ann_index=disk)
     hits = eng.search({"neural_knn": {"field": "embedding", "vector": q}}, k=5)
     assert list(hits.toPandas().doc_id) == exact
+
+
+def test_pq_store_rebuild_determinism(emb_df, spark, tmp_path):
+    """PqAnnIndex rebuilt from the same corpus is content-identical —
+    codebooks, centroids and per-list code files all match (the
+    determinism claim in the module docstring: hash-sampled kmeans seeds,
+    no RNG)."""
+    import hashlib
+    import os
+
+    df, _ = emb_df
+    one = df.coalesce(1)  # stable file layout → content comparison is exact
+
+    def tree_hash(root):
+        entries = []
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.startswith(("_", ".")) or fn.endswith(".crc"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                entries.append(
+                    os.path.relpath(dirpath, root)
+                    + ":"
+                    + hashlib.sha256(open(p, "rb").read()).hexdigest()
+                )
+        return hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()
+
+    a, b = str(tmp_path / "pq_a"), str(tmp_path / "pq_b")
+    kw = dict(m=4, ksub=16, n_lists=8, n_sample=128, n_iter=5)
+    pq.PqAnnIndex.write(one, a, **kw)
+    pq.PqAnnIndex.write(one, b, **kw)
+    assert tree_hash(a) == tree_hash(b)
