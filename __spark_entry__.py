@@ -9,8 +9,8 @@
 ``oracle_sql`` — value-identical DuckDB SQL for every SQL-expressible
               entry (hashes via the cross-engine md5-prefix h60 family;
               float outputs rounded identically in both engines).
-              Entries without SQL (IVF ANN with driver-side centroids,
-              index lineage, multimodal stubs) get rows-only checks.
+              Driver-side-constant entries (ANN bucket/centroid/codebook
+              replays, index lineage re-aggregation) resolve lazily below.
 """
 
 from __future__ import annotations
@@ -66,4 +66,8 @@ def oracle_sql() -> dict[str, str]:
         oracles["pq_ann_topk"] = gate.sql_pq_ann_for_sf(_ORACLE_SF)
     except Exception:
         pass  # rows-only check if the probe fails
+    # lineage oracle re-aggregates the gate index's own postings/terms
+    # parquet (the Spark entry builds that index before the oracle runs —
+    # registry order puts bm25_index_topk first)
+    oracles["index_lineage"] = gate.sql_index_lineage_for_sf(_ORACLE_SF)
     return oracles

@@ -360,13 +360,54 @@ def sql_bm25_index_topk(query: str) -> str:
 
 def q_index_lineage(spark: SparkSession, sf: str) -> DataFrame:
     """Per-partition build lineage (shard count, term range, doc count,
-    bytes) — the north rule's resumability surface. Rows-only check."""
+    bytes) — the north rule's resumability surface. Value-checked
+    (round-4): every projected column is independently re-derivable from
+    the postings + terms parquet the build wrote, so the oracle
+    re-aggregates those files in DuckDB (``sql_index_lineage_for_sf``)
+    and the lineage table must match it exactly; only run_id/status/
+    timestamps are projected away (not derivable from data)."""
     path = _gate_index(spark, sf)
     return (
         spark.read.parquet(os.path.join(path, "lineage"))
-        .select("term_bucket", "n_shards", "term_lo", "term_hi", "doc_count", "bytes", "n_blocks")
+        .select(
+            F.col("term_bucket").cast("long"),
+            "n_shards", "term_lo", "term_hi", "doc_count", "bytes", "n_blocks",
+        )
         .orderBy("term_bucket")
     )
+
+
+def sql_index_lineage_for_sf(sf: str) -> str:
+    """DuckDB oracle for ``q_index_lineage``: re-derive each lineage row
+    from the gate index's OWN postings/terms parquet (same /tmp path the
+    Spark entry builds — tag computed with the identical ``_sf_key``).
+    This checks the lineage stage's aggregation, not just row counts: a
+    lineage row whose doc_count/bytes/term range disagreed with the
+    written postings would hash-mismatch."""
+    tag = hashlib.md5(repr(_sf_key(sf)).encode()).hexdigest()[:8]
+    path = f"/tmp/nss_gate_index_{tag}"
+    return f"""
+WITH p AS (
+  SELECT term_bucket::BIGINT AS term_bucket, tid, shard_id, n_docs,
+         octet_length(docs) + octet_length(tfs) + octet_length(dls) AS blen
+  FROM read_parquet('{path}/postings/*/*.parquet', hive_partitioning = true)),
+agg AS (
+  SELECT term_bucket,
+         count(DISTINCT shard_id)::BIGINT AS n_shards,
+         min(tid) AS tid_lo, max(tid) AS tid_hi,
+         sum(n_docs)::BIGINT AS doc_count,
+         sum(blen)::BIGINT AS bytes,
+         count(*)::BIGINT AS n_blocks
+  FROM p GROUP BY 1),
+tmap AS (
+  SELECT tid, min(term) AS term
+  FROM read_parquet('{path}/terms/*.parquet') GROUP BY 1)
+SELECT a.term_bucket, a.n_shards, lo.term AS term_lo, hi.term AS term_hi,
+       a.doc_count, a.bytes, a.n_blocks
+FROM agg a
+LEFT JOIN tmap lo ON a.tid_lo = lo.tid
+LEFT JOIN tmap hi ON a.tid_hi = hi.tid
+ORDER BY a.term_bucket"""
 
 
 # ---------------------------------------------------------------------------
@@ -937,11 +978,23 @@ def q_conversation_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Conversation session records over the input_hint transcripts table
     — the batch twin of the stateful streaming sessionizer (identical
     record schema/counters; tests/test_streaming.py asserts stream==batch
-    on the same input). Timestamps projected to epoch millis for the
+    on the same input). GAP-AWARE (round-4): a deterministic day-long
+    pause is injected every 4 turns of each conversation, so every
+    conversation splits into multiple sessions and the lag-diff → cumsum
+    session assignment is value-checked against the same SQL in DuckDB —
+    the derived table's uniform 3000 s spacing would otherwise never
+    exercise a split. Timestamps projected to epoch millis for the
     cross-engine hash (same technique as events_rollup)."""
     from .streaming.ingest import sessionize_batch
 
-    s = sessionize_batch(derived_transcripts(spark, sf))
+    t = derived_transcripts(spark, sf).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.unix_seconds("ts")
+            + F.floor(F.col("turn_idx") / 4).cast("long") * 86400
+        ),
+    )
+    s = sessionize_batch(t, gap_s=3600)
     return s.select(
         "conv_id",
         "n_turns",
@@ -955,16 +1008,35 @@ def q_conversation_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def sql_conversation_sessions() -> str:
+    # same lag-diff → cumsum session assignment as sessionize_batch (gap
+    # strictly greater than gap_s starts a new session), over the derived
+    # transcripts with the injected every-4-turns day pause
     return """
-SELECT concat('c', lpad((doc_id % 50)::VARCHAR, 4, '0')) AS conv_id,
+WITH t AS (
+  SELECT concat('c', lpad((doc_id % 50)::VARCHAR, 4, '0')) AS conv_id,
+         (doc_id // 50)::BIGINT AS turn_idx,
+         doc_id % 3 AS rmod,
+         text,
+         (1735689600 + doc_id * 60 + ((doc_id // 50) // 4) * 86400)::BIGINT AS ts_s
+  FROM documents),
+b AS (
+  SELECT *, CASE WHEN ts_s - lag(ts_s) OVER (
+      PARTITION BY conv_id ORDER BY ts_s, turn_idx) > 3600
+    THEN 1 ELSE 0 END AS brk
+  FROM t),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY ts_s, turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM b)
+SELECT conv_id,
        count(*)::BIGINT AS n_turns,
        sum(length(text))::BIGINT AS n_chars,
-       sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_user,
-       sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
-       (min(1735689600 + doc_id * 60) * 1000)::BIGINT AS first_ms,
-       (max(1735689600 + doc_id * 60) * 1000)::BIGINT AS last_ms,
-       ((max(doc_id * 60) - min(doc_id * 60)))::DOUBLE AS duration_s
-FROM documents GROUP BY 1"""
+       sum(CASE WHEN rmod = 0 THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN rmod = 1 THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+       (min(ts_s) * 1000)::BIGINT AS first_ms,
+       (max(ts_s) * 1000)::BIGINT AS last_ms,
+       (max(ts_s) - min(ts_s))::DOUBLE AS duration_s
+FROM s GROUP BY conv_id, sess"""
 
 
 # ---------------------------------------------------------------------------

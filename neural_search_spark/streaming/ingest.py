@@ -131,16 +131,18 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
-# state is one fixed-width row per live conversation; timestamps as epoch
-# millis keep it Arrow-friendly and 48 bytes regardless of turn count
+# state is a LIST of pending session accumulators per live conversation
+# (parallel arrays — Arrow-friendly, ~48 B per pending session). Usually
+# one entry; more only while an already-split earlier session waits for
+# the watermark to pass its quiet-period before it may be finalized.
 _SESSION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("n_turns", T.LongType()),
-        T.StructField("n_chars", T.LongType()),
-        T.StructField("n_user", T.LongType()),
-        T.StructField("n_assistant", T.LongType()),
-        T.StructField("first_ms", T.LongType()),
-        T.StructField("last_ms", T.LongType()),
+        T.StructField("n_turns", T.ArrayType(T.LongType())),
+        T.StructField("n_chars", T.ArrayType(T.LongType())),
+        T.StructField("n_user", T.ArrayType(T.LongType())),
+        T.StructField("n_assistant", T.ArrayType(T.LongType())),
+        T.StructField("first_ms", T.ArrayType(T.LongType())),
+        T.StructField("last_ms", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -150,57 +152,109 @@ def sessionize_stream(
 ) -> DataFrame:
     """Stateful conversation sessionization via ``applyInPandasWithState``.
 
-    Turns are grouped by ``conv_id``; per-key state accumulates turn/char/
-    role counters and the event-time span. When the stream's watermark
-    passes ``last turn + gap_s`` (event-time timeout — NOT wall clock), the
-    assembled session record is emitted and the key's state is dropped.
-    Sessions still quiet when the stream ends flush on the next batch that
-    advances the watermark past their timeout (standard state-store
-    semantics; production deployments pair this with a low-rate heartbeat
-    source so terminal sessions drain).
+    GAP-AWARE: turns are grouped by ``conv_id`` and split into sessions on
+    EVENT-TIME gaps greater than ``gap_s`` — including gaps interior to a
+    single micro-batch and gaps between bursts that arrive before any
+    timeout fires (a burst landing after a quiet period starts a NEW
+    accumulator; the previous one stays pending until the watermark passes
+    its quiet-period, then is emitted — so a record is final only once no
+    allowed-late turn could still extend it). A session record is emitted
+    when the watermark passes ``its last turn + gap_s``, either inline
+    (key received newer data) or via event-time timeout (key was quiet).
+    Sessions still pending when the stream ends flush on the next batch
+    that advances the watermark past their quiet-period (standard
+    state-store semantics; production deployments pair this with a
+    low-rate heartbeat source so terminal sessions drain).
 
     Semantics follow Spark's session-window pattern, but as a custom
     operator so the emitted record can carry arbitrary per-role counters
     (and, at 100 TB, per-key sketches) that ``session_window`` aggs can't
     express. Shuffle is one hash partitioning by conv_id; state size is
-    one fixed-width row per live conversation.
+    ~48 B per PENDING session of a live conversation (normally one).
+    ``sessionize_batch`` is the equivalent batch form (same lag-diff gap
+    rule); ``tests/test_streaming.py`` asserts stream==batch on corpora
+    with and without >gap_s internal pauses.
     """
     import pandas as pd  # local: executors import lazily
 
     gap_ms = int(gap_s) * 1000
 
-    def assemble(key, pdfs, state):
-        if state.hasTimedOut:
-            n_turns, n_chars, n_user, n_asst, first_ms, last_ms = state.get
+    def _records(conv_id, accs):
+        return pd.DataFrame(
+            {
+                "conv_id": [conv_id] * len(accs),
+                "n_turns": [a[0] for a in accs],
+                "n_chars": [a[1] for a in accs],
+                "n_user": [a[2] for a in accs],
+                "n_assistant": [a[3] for a in accs],
+                "first_ts": [pd.Timestamp(a[4], unit="ms") for a in accs],
+                "last_ts": [pd.Timestamp(a[5], unit="ms") for a in accs],
+                "duration_s": [(a[5] - a[4]) / 1000.0 for a in accs],
+            }
+        )
+
+    def _flush(state, accs, wm):
+        """Split accs into (emitted-now, kept); update state/timeout."""
+        ready = [a for a in accs if a[5] + gap_ms < wm]
+        rest = [a for a in accs if a[5] + gap_ms >= wm]
+        if rest:
+            state.update(tuple([a[i] for a in rest] for i in range(6)))
+            # earliest pending quiet-period (timeouts must sit above the
+            # current watermark — a boundary-equal one fires next advance)
+            state.setTimeoutTimestamp(max(rest[0][5] + gap_ms, wm + 1))
+        elif state.exists:
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "conv_id": [key[0]],
-                    "n_turns": [n_turns],
-                    "n_chars": [n_chars],
-                    "n_user": [n_user],
-                    "n_assistant": [n_asst],
-                    "first_ts": [pd.Timestamp(first_ms, unit="ms")],
-                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
-                    "duration_s": [(last_ms - first_ms) / 1000.0],
-                }
-            )
-            return
-        n_turns = n_chars = n_user = n_asst = 0
-        first_ms, last_ms = None, None
+        return ready
+
+    def assemble(key, pdfs, state):
+        wm = state.getCurrentWatermarkMs()
+        accs: list[list[int]] = []
         if state.exists:
-            n_turns, n_chars, n_user, n_asst, first_ms, last_ms = state.get
-        for pdf in pdfs:
-            n_turns += len(pdf)
-            n_chars += int(pdf["text"].str.len().sum())
-            n_user += int((pdf["role"] == "user").sum())
-            n_asst += int((pdf["role"] == "assistant").sum())
-            ms = (pdf["ts"].astype("int64") // 1_000_000)
-            lo, hi = int(ms.min()), int(ms.max())
-            first_ms = lo if first_ms is None else min(first_ms, lo)
-            last_ms = hi if last_ms is None else max(last_ms, hi)
-        state.update((n_turns, n_chars, n_user, n_asst, first_ms, last_ms))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+            cols = state.get
+            accs = [list(t) for t in zip(*cols)]
+        if state.hasTimedOut:
+            ready = _flush(state, accs, wm)
+            if ready:
+                yield _records(key[0], ready)
+            return
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            allr = pd.concat(parts) if len(parts) > 1 else parts[0]
+            ms = (allr["ts"].astype("int64") // 1_000_000).to_numpy()
+            order = ms.argsort(kind="stable")
+            ms = ms[order]
+            chars = allr["text"].str.len().to_numpy()[order]
+            roles = allr["role"].to_numpy()[order]
+            # vectorized gap split: group id = cumsum of >gap breaks, with
+            # the first row's break judged against the pending accumulator
+            prev = ms.copy()
+            prev[1:] = ms[:-1]
+            brk = (ms - prev) > gap_ms
+            brk[0] = not accs or (ms[0] - accs[-1][5]) > gap_ms
+            gids = brk.cumsum()  # first group is 0 iff it extends accs[-1]
+            for g in range(int(gids[0]), int(gids[-1]) + 1):
+                sel = gids == g
+                grp = [
+                    int(sel.sum()),
+                    int(chars[sel].sum()),
+                    int((roles[sel] == "user").sum()),
+                    int((roles[sel] == "assistant").sum()),
+                    int(ms[sel].min()),
+                    int(ms[sel].max()),
+                ]
+                if g == 0:  # extends the pending accumulator
+                    a = accs[-1]
+                    a[0] += grp[0]
+                    a[1] += grp[1]
+                    a[2] += grp[2]
+                    a[3] += grp[3]
+                    a[4] = min(a[4], grp[4])
+                    a[5] = max(a[5], grp[5])
+                else:
+                    accs.append(grp)
+        ready = _flush(state, accs, wm)
+        if ready:
+            yield _records(key[0], ready)
         return
         yield  # pragma: no cover — generator contract
 
@@ -219,32 +273,69 @@ def sessionize_stream(
     )
 
 
-def sessionize_batch(turns: DataFrame) -> DataFrame:
+def sessionize_batch(turns: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Batch twin of ``sessionize_stream``: the same session record
-    (schema ``SESSION_SCHEMA``), assembled with one hash aggregation —
-    used by backfills over a static transcript corpus and by the
-    correctness gate (the stateful stream operator can't run under a SQL
-    oracle; ``tests/test_streaming.py`` asserts stream output equals this
-    on the same input, and this form is oracle-checked against DuckDB).
+    (schema ``SESSION_SCHEMA``), GAP-AWARE like the stream — a
+    conversation whose turns pause for more than ``gap_s`` yields one
+    record per quiet-period, exactly as the stream's event-time timeout
+    emits one record per quiet-period. Used by backfills over a static
+    transcript corpus and by the correctness gate (the stateful stream
+    operator can't run under a SQL oracle; ``tests/test_streaming.py``
+    asserts stream output equals this on corpora WITH AND WITHOUT
+    >gap_s internal pauses, and this form is oracle-checked against
+    DuckDB with the same lag-diff → cumsum in SQL).
+
+    Session boundary rule (matching the stream's timeout semantics): a
+    turn whose event-time gap from the previous turn in its conversation
+    is STRICTLY greater than ``gap_s`` starts a new session — the stream
+    times out only when the watermark passes ``last_ts + gap_s``, so a
+    turn landing exactly on the boundary still joins. The equivalence
+    holds for per-conversation in-order delivery; a late turn whose ts
+    predates the stream's current session start would join that session
+    in the stream but sort into an earlier one here (the stream's state
+    has no time machine — standard watermark caveat).
 
     Counter semantics match the stream's ``assemble`` exactly: per-turn
     char counts, user/assistant role counters (other roles counted in
     n_turns only), event-time span truncated to millisecond precision
     (the stream's state carries epoch millis).
+
+    Scale shape: one shuffle keyed by conv_id serves both the lag window
+    and the (conv_id, session) aggregation — the session id is computed
+    within the conversation's sorted run, no second repartition.
     """
+    from pyspark.sql import Window
+
     # sources may carry TIMESTAMP_NTZ (pandas-written parquet); the session
     # timezone is pinned UTC (session.py), so the cast is identity — same
     # face-value micros the stream's state reads via .astype("int64")
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    order = ["_ms"] + (["turn_idx"] if "turn_idx" in turns.columns else [])
+    w = Window.partitionBy("conv_id").orderBy(*order)
+    run = Window.partitionBy("conv_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        turns.withColumn("_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+        .withColumn(
+            "_brk",
+            (
+                F.col("_ms") - F.lag("_ms").over(w) > F.lit(int(gap_s) * 1000)
+            ).cast("int"),
+        )
+        .withColumn(
+            "_sess", F.sum(F.coalesce(F.col("_brk"), F.lit(0))).over(run)
+        )
+    )
     return (
-        turns.groupBy("conv_id")
+        sess.groupBy("conv_id", "_sess")
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
             F.sum(F.length("text")).alias("n_chars"),
             F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
             F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
-            F.timestamp_millis(F.min(ms)).alias("first_ts"),
-            F.timestamp_millis(F.max(ms)).alias("last_ts"),
-            ((F.max(ms) - F.min(ms)) / F.lit(1000.0)).alias("duration_s"),
+            F.timestamp_millis(F.min("_ms")).alias("first_ts"),
+            F.timestamp_millis(F.max("_ms")).alias("last_ts"),
+            ((F.max("_ms") - F.min("_ms")) / F.lit(1000.0)).alias("duration_s"),
         )
+        .drop("_sess")
     )

@@ -201,3 +201,122 @@ def test_dedup_stream(spark, stream_dirs):
     assert len(got) == pdf.text.map(
         lambda t: " ".join(t.lower().split())
     ).nunique()
+
+
+def test_sessionize_batch_gap_aware(spark):
+    """A conversation that pauses for more than gap_s yields ONE RECORD
+    PER QUIET-PERIOD (round-3 verdict: the old conv_id-only groupBy could
+    not represent multi-session conversations)."""
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    # conv x: 3 turns, 60s apart → 1 session; then a 2h pause; 2 more
+    # turns → 2nd session. conv y: no internal gap → 1 session.
+    for i in range(3):
+        rows.append(("x", i, "user", "aa", t0 + pd.Timedelta(seconds=60 * i)))
+    for i in range(2):
+        rows.append(
+            ("x", 3 + i, "assistant", "bbb",
+             t0 + pd.Timedelta(hours=2, seconds=60 * i))
+        )
+    for i in range(4):
+        rows.append(("y", i, "tool", "c", t0 + pd.Timedelta(seconds=30 * i)))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    got = (
+        ingest.sessionize_batch(spark.createDataFrame(pdf), gap_s=1800)
+        .toPandas()
+        .sort_values(["conv_id", "first_ts"])
+        .reset_index(drop=True)
+    )
+    assert list(got.conv_id) == ["x", "x", "y"]
+    assert list(got.n_turns) == [3, 2, 4]
+    assert got.iloc[0].duration_s == 120.0
+    assert got.iloc[1].duration_s == 60.0
+    assert got.iloc[1].n_assistant == 2 and got.iloc[1].n_user == 0
+    # boundary rule: a gap of EXACTLY gap_s still joins (stream timeout
+    # fires only when the watermark passes last + gap strictly)
+    b = pd.DataFrame(
+        {
+            "conv_id": ["z", "z"],
+            "role": ["user", "user"],
+            "text": ["q", "r"],
+            "ts": [t0, t0 + pd.Timedelta(seconds=1800)],
+        }
+    )
+    gb = ingest.sessionize_batch(spark.createDataFrame(b), gap_s=1800).toPandas()
+    assert len(gb) == 1 and gb.iloc[0].n_turns == 2
+
+
+def test_sessionize_stream_matches_batch_with_gaps(spark, stream_dirs):
+    """stream==batch equivalence on a corpus WITH a >gap_s internal pause:
+    the stream emits two records for the split conversation and the batch
+    twin now reproduces both (previously it silently depended on the
+    corpus having no internal gaps)."""
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def turns(conv, base, n, start_idx=0):
+        roles = ["user", "assistant"]
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * n,
+                "turn_idx": pd.array(
+                    range(start_idx, start_idx + n), dtype="int32"
+                ),
+                "role": [roles[i % 2] for i in range(start_idx, start_idx + n)],
+                "text": [f"{conv} turn {i}" for i in range(start_idx, start_idx + n)],
+                "tool": ["none"] * n,
+                "ts": pd.Series(
+                    [base + pd.Timedelta(seconds=30 * i) for i in range(n)]
+                ).astype("datetime64[us]"),
+            }
+        )
+
+    # conv A session 1 (3 turns), then a 1h in-conversation pause (> 30min
+    # gap) → session 2 (2 turns); conv B much later so its watermark
+    # advance flushes BOTH of A's sessions
+    _drop_file(stream_dirs["src"], turns("A", t0, 3), "a.parquet")
+    _drop_file(
+        stream_dirs["src"],
+        turns("A", t0 + pd.Timedelta(hours=1), 2, start_idx=3),
+        "b.parquet",
+    )
+    _drop_file(
+        stream_dirs["src"], turns("B", t0 + pd.Timedelta(hours=6), 1), "c.parquet"
+    )
+    # a second watermark advance flushes A's SECOND session too (the
+    # first flushed on c's advance)
+    _drop_file(
+        stream_dirs["src"], turns("D", t0 + pd.Timedelta(hours=12), 1), "d.parquet"
+    )
+    st = ingest.stream_transcripts(
+        spark, stream_dirs["src"], max_files_per_trigger=1
+    )
+    sessions = ingest.sessionize_stream(st, gap_s=1800, watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("session_gap_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("SELECT * FROM session_gap_test WHERE conv_id = 'A'")
+        .toPandas()
+        .sort_values("first_ts")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2, "stream must emit one record per quiet-period"
+    src = spark.read.parquet(stream_dirs["src"])
+    batch = (
+        ingest.sessionize_batch(src.filter(src.conv_id == "A"), gap_s=1800)
+        .toPandas()
+        .sort_values("first_ts")
+        .reset_index(drop=True)
+    )
+    assert len(batch) == 2
+    for i in range(2):
+        for c in SESSION_COLS:
+            assert batch.iloc[i][c] == got.iloc[i][c], (i, c)
