@@ -43,6 +43,60 @@ def _transcripts_path(n_convs: int) -> str:
     return path
 
 
+# measured sweet spot for the 1M-turn build at 2 tasks/core: ~16k shuffled
+# rows per reduce task. The synthetic corpus averages ~16 turns/conv.
+_ROWS_PER_TASK = 16_000
+_TURNS_PER_CONV = 16
+
+
+def shuffle_partition_policy(cpus: int, est_rows: int) -> int:
+    """INPUT-SIZE-AWARE shuffle-partition policy (round-4 fix).
+
+    Round 3 applied 2 tasks/core at >16 cores unconditionally — measured
+    on the 1M-turn scaling corpus (+11-15% there: straggler smoothing once
+    tasks carry ≥~16k rows each) but it regressed every shuffle-bound line
+    of the 190k-turn headline 20-70% (BENCH_r03 vs r02; paired runs in
+    BENCH.md confirm sp=32 restores parity). Oversubscription only pays
+    when the extra tasks still carry enough rows, so the policy now
+    targets rows-per-task with a floor of 1 task/core and a cap of 2:
+
+        sp = clamp(est_rows / 16k, cpus, 2*cpus)        (cpus > 8)
+
+    At ≤8 cores 1 task/core always won (10.4k vs 9.6k turns/s at local[8]
+    with 2×) — scheduler variance is too small to need smoothing there.
+    """
+    if cpus <= 8:
+        return max(cpus, 8)
+    return max(cpus, min(2 * cpus, est_rows // _ROWS_PER_TASK))
+
+
+def noise_controls() -> dict:
+    """Machine-speed probes (best-of-3 each) recorded IN the bench JSON so
+    a round-over-round delta can be split into sandbox-speed vs code:
+    BENCH_r03 shipped a 39% apparent regression that took paired reruns to
+    adjudicate as ~half co-tenant noise. sha256 over a fixed 64 MiB buffer
+    tracks single-core integer speed; a fixed 1024² float64 matmul tracks
+    the BLAS/FP path the numpy kernels ride on."""
+    import hashlib
+
+    import numpy as np
+
+    buf = b"\xab" * (64 << 20)
+    sha, mm = [], []
+    a = np.linspace(0.0, 1.0, 1024 * 1024, dtype=np.float64).reshape(1024, 1024)
+    for _ in range(3):
+        t0 = time.time()
+        hashlib.sha256(buf).digest()
+        sha.append(time.time() - t0)
+        t0 = time.time()
+        a @ a
+        mm.append(time.time() - t0)
+    return {
+        "control_sha256_ms": round(1000 * min(sha), 1),
+        "control_matmul_ms": round(1000 * min(mm), 1),
+    }
+
+
 def run_workload(cpus: int, mode: str = "full") -> dict:
     from pyspark.sql import functions as F
 
@@ -52,19 +106,17 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
     from neural_search_spark.session import get_spark
     from neural_search_spark.transcripts import generate_queries
 
-    # shuffle-partition policy (measured, 1M-turn build, interleaved runs):
-    # at ≤8 cores 1 task/core wins (10.4k vs 9.6k turns/s at local[8] with
-    # 2×); at 32 cores 2 tasks/core smooths stragglers (+11-15%: 17.7-18.0k
-    # vs 15.2-16.1k). Matches cluster practice: oversubscribe reduce tasks
-    # once scheduler variance dominates.
-    sp = max(cpus, 8) if cpus <= 16 else 2 * cpus
-    spark = get_spark(cpus=cpus, shuffle_partitions=sp, app_name="nss-bench")
     n_convs = SCALING_CONVS if mode == "scaling" else BENCH_CONVS
+    # override for paired policy experiments (BENCH.md): 0/unset = policy
+    sp = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    ) or shuffle_partition_policy(cpus, n_convs * _TURNS_PER_CONV)
+    spark = get_spark(cpus=cpus, shuffle_partitions=sp, app_name="nss-bench")
     tpath = _transcripts_path(n_convs)
     tr = spark.read.parquet(tpath)
     n_turns = tr.count()
 
-    out: dict = {"queries": {}}
+    out: dict = {"queries": {}, "shuffle_partitions": sp, **noise_controls()}
     q = out["queries"]
 
     # --- index build -------------------------------------------------------
@@ -190,19 +242,77 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         # on-disk bucket-partitioned LSH store: build once, then probe
         # queries read ONLY their probed partitions (PartitionFilters) —
         # reported outside the headline total like the sparse index
-        from neural_search_spark.extras.similarity import LshAnnIndex
+        from neural_search_spark.extras.similarity import (
+            LshAnnIndex,
+            brute_force_topk,
+            ivf_assign,
+            ivf_topk,
+        )
 
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+        # recall probe set: 4 corpus vectors + their EXACT cosine top-10.
+        # Every approximate tier below reports recall@10 against these —
+        # the tier-choice guidance in BENCH.md is evidence-backed, like the
+        # reference k-NN plugin's published recall/latency tradeoffs.
+        qrows = emb.orderBy("vec_id").limit(4).collect()
+        qvecs = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows
+        }
+        exact_ids = {
+            qid: {r["vec_id"] for r in brute_force_topk(emb, v, k=10).collect()}
+            for qid, v in qvecs.items()
+        }
+
+        def _recall(topk_ids_by_q: dict[int, set]) -> float:
+            return round(
+                sum(
+                    len(ids & exact_ids[qid]) / 10.0
+                    for qid, ids in topk_ids_by_q.items()
+                )
+                / len(topk_ids_by_q),
+                3,
+            )
+
+        recall: dict[str, float] = {}
+        out["recall_at_10"] = recall
+
         store = "/tmp/nss_bench_lsh_store"
         t1 = time.time()
         LshAnnIndex.write(emb, store, n_planes=8)
         out["ann_store_build_sec"] = round(time.time() - t1, 3)
         disk = LshAnnIndex.load(spark, store, probe_hamming=1)
-        qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+        qv = qvecs[min(qvecs)]
         disk.topk(qv, k=10).collect()  # warm (codegen)
         t1 = time.time()
         disk.topk(qv, k=10).collect()
         out["ann_disk_query_sec"] = round(time.time() - t1, 3)
+        # cheap default AND a tuned config per tier — the synthetic
+        # embeddings are uniform random (no cluster structure), which is
+        # the worst case for locality pruning, so these are recall FLOORS
+        disk2 = LshAnnIndex.load(spark, store, probe_hamming=2)
+        for tag, d in (("lsh_probe1", disk), ("lsh_probe2", disk2)):
+            recall[tag] = _recall(
+                {
+                    qid: {r["vec_id"] for r in d.topk(v, k=10).collect()}
+                    for qid, v in qvecs.items()
+                }
+            )
+
+        # IVF-flat recall at the gate default (nprobe 4) and tuned (8)
+        assigned, cents = ivf_assign(emb, n_lists=16)
+        for tag, nprobe in (("ivf_nprobe4", 4), ("ivf_nprobe8", 8)):
+            recall[tag] = _recall(
+                {
+                    qid: {
+                        r["vec_id"]
+                        for r in ivf_topk(
+                            assigned, cents, v, k=10, nprobe=nprobe
+                        ).collect()
+                    }
+                    for qid, v in qvecs.items()
+                }
+            )
 
         # per-partition HNSW graphs (the Lucene-segment model): build is
         # one applyInPandas task per graph; the 8-query batch amortizes
@@ -221,6 +331,13 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         t1 = time.time()
         hnsw_topk_batch(g, qbatch, k=10, ef_search=64).collect()
         out["hnsw_batch8_sec"] = round(time.time() - t1, 3)
+        hrows = hnsw_topk_batch(
+            g, {str(qid): v for qid, v in qvecs.items()}, k=10, ef_search=64
+        ).collect()
+        hids: dict[int, set] = {qid: set() for qid in qvecs}
+        for r in hrows:
+            hids[int(r["query_id"])].add(r["vec_id"])
+        recall["hnsw_ef64"] = _recall(hids)
         g.unpersist()
 
         # PQ tier: train + encode once (the ~21× compressed serving table),
@@ -237,7 +354,59 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         t1 = time.time()
         pqmod.pq_topk(pcodes, books, qv, k=10, refine=50, emb=emb).collect()
         out["pq_query_sec"] = round(time.time() - t1, 3)
+        for tag, rf in (
+            ("pq_refine0", None),
+            ("pq_refine50", 50),
+            ("pq_refine200", 200),
+        ):
+            recall[tag] = _recall(
+                {
+                    qid: {
+                        r["vec_id"]
+                        for r in pqmod.pq_topk(
+                            pcodes, books, v, k=10, refine=rf, emb=emb
+                        ).collect()
+                    }
+                    for qid, v in qvecs.items()
+                }
+            )
         pcodes.unpersist()
+
+        # --- hot-term split demo: the salt plan firing on REAL skew ------
+        # The north rule names hot-term splitting; at headline scale the
+        # production threshold (target·n_shards postings) never trips, so
+        # this demo lowers the per-task target over a 3k-conv corpus until
+        # real terms split, then asserts rank identity vs the unsalted
+        # build (salting relocates postings; scores must not move).
+        demo_tr = spark.read.parquet(_transcripts_path(3000))
+        base = IndexBuilder(
+            spark, "/tmp/nss_bench_hot_base", n_shards=8, block_size=1024
+        ).build(demo_tr)
+        t1 = time.time()
+        info_s = IndexBuilder(
+            spark,
+            "/tmp/nss_bench_hot_salted",
+            n_shards=8,
+            block_size=1024,
+            target_postings_per_task=400,
+        ).build(demo_tr)
+        out["hot_split_build_sec"] = round(time.time() - t1, 3)
+        out["hot_terms_split_demo"] = info_s["hot_terms_split"]
+        bidx = BM25Index(spark, "/tmp/nss_bench_hot_base")
+        sidx = BM25Index(spark, "/tmp/nss_bench_hot_salted")
+        identical = True
+        for rec in queries[:5]:
+            a = [
+                (r["doc_id"], r["rank"])
+                for r in bm25_topk(bidx, rec["query_text"], k=10).collect()
+            ]
+            b = [
+                (r["doc_id"], r["rank"])
+                for r in bm25_topk(sidx, rec["query_text"], k=10).collect()
+            ]
+            identical = identical and a == b
+        out["hot_split_rank_identical"] = identical
+        assert base["hot_terms_split"] == 0  # the demo contrast is real
 
     if mode == "scaling":
         # control: the DRIVER serving path (pyarrow pruned read + numpy

@@ -205,7 +205,16 @@ def pq_topk(
     (|q|·pq_norm). With ``refine`` R (and the raw ``emb`` table), the top
     R ADC candidates are exactly re-scored and re-ranked — candidate
     generation reads only the 12-byte code rows; the raw vectors are
-    touched for R rows, not the corpus."""
+    touched for R rows, not the corpus.
+
+    Recall caveat (measured, bench.py ``recall_at_10``, uniform-random
+    synthetic embeddings, m=8/ksub=64 over dim 64): ADC-only ≈ 0.35,
+    refine=50 ≈ 0.6-0.8, refine=100 ≈ 0.8, refine=200 ≈ 0.95 @10; m=16
+    codes reach 0.9 at refine=50. Uniform vectors maximize quantization
+    distortion relative to neighbor gaps, so these are floors. Size the
+    refine window (absolute rows, independent of corpus size) or m to the
+    recall target — the scan-state saving (m bytes vs 4·dim) is the
+    knob's cost axis."""
     m, ksub, dsub = codebooks.shape
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(q))

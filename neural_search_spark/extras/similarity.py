@@ -175,7 +175,16 @@ class LshAnnIndex:
       vectors stored PARTITIONED BY bucket; a query enumerates its
       ≤ Σ C(n_planes, h) probe buckets driver-side and the scan prunes to
       those partitions (PartitionFilters — the 100 TB serving shape: IO
-      scales with the probed buckets, not the corpus)."""
+      scales with the probed buckets, not the corpus).
+
+    Recall caveat (measured, bench.py ``recall_at_10``): sign-LSH recall
+    is bounded by the fraction of buckets probed — on the synthetic
+    UNIFORM-RANDOM embeddings (no cluster structure, the worst case for
+    locality pruning) probe_hamming=1 ≈ 0.2, =2 ≈ 0.45, =3 ≈ 0.68 @10.
+    Use this tier for candidate generation / near-dup blocking where a
+    verify step follows, or raise probe_hamming toward n_planes for
+    recall at the cost of probed IO; for ≥0.9 standalone recall prefer
+    the HNSW tier (measured 1.0 @10) or PQ with a refine window."""
 
     def __init__(
         self,
@@ -420,7 +429,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Probe the nprobe nearest centroid lists, exact-score within them."""
+    """Probe the nprobe nearest centroid lists, exact-score within them.
+
+    Recall caveat (measured, bench.py ``recall_at_10``, uniform-random
+    synthetic embeddings, 16 lists): nprobe=4 ≈ 0.6, nprobe=8 ≈ 0.83 @10
+    — uniform vectors spread true neighbors across many lists, so treat
+    these as floors; clustered real embeddings concentrate neighbors and
+    recall rises sharply with list affinity. Scale nprobe with the recall
+    target (IO tracks nprobe/n_lists of the corpus)."""
     qv = np.asarray(query_vec, dtype=np.float64)
     qv = qv / np.linalg.norm(qv)
     centroids, list_ids = _centroid_list_ids(centroids)

@@ -22,8 +22,12 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # SPARK_GRAFT_MASTER overrides the single-JVM local[N] default — used
+    # by the multi-JVM scaling experiment (local-cluster[W,C,MB]: separate
+    # executor JVMs, each with its own heap + GC, on this one machine)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -41,6 +45,20 @@ def get_spark(
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local-cluster"):
+        import sys
+
+        # executors are separate JVMs whose python workers don't inherit
+        # the driver's sys.path — point them at this repo + interpreter
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+            .config("spark.pyspark.python", sys.executable)
+            .config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_EXECUTOR_MEM", "3g"),
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
