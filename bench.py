@@ -408,6 +408,37 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         out["hot_split_rank_identical"] = identical
         assert base["hot_terms_split"] == 0  # the demo contrast is real
 
+        # --- segment merge: two disjoint half-builds recombined WITHOUT
+        # re-tokenizing; must be rank-identical to the full build above
+        from neural_search_spark.index.build import doc_id_col
+        from neural_search_spark.index.merge import merge_indexes
+
+        half = F.pmod(doc_id_col(), F.lit(2))
+        for i in (0, 1):
+            IndexBuilder(
+                spark, f"/tmp/nss_bench_half{i}", n_shards=8, block_size=1024
+            ).build(demo_tr.filter(half == i))
+        t1 = time.time()
+        merge_indexes(
+            spark,
+            ["/tmp/nss_bench_half0", "/tmp/nss_bench_half1"],
+            "/tmp/nss_bench_merged",
+        )
+        out["index_merge_sec"] = round(time.time() - t1, 3)
+        midx = BM25Index(spark, "/tmp/nss_bench_merged")
+        m_ident = True
+        for rec in queries[:3]:
+            a = [
+                (r["doc_id"], r["rank"])
+                for r in bm25_topk(bidx, rec["query_text"], k=10).collect()
+            ]
+            b = [
+                (r["doc_id"], r["rank"])
+                for r in bm25_topk(midx, rec["query_text"], k=10).collect()
+            ]
+            m_ident = m_ident and a == b
+        out["merge_rank_identical"] = m_ident
+
     if mode == "scaling":
         # control: the DRIVER serving path (pyarrow pruned read + numpy
         # kernel, zero Spark jobs) is single-threaded by design — its qps

@@ -62,6 +62,19 @@ def cmd_build(args) -> None:
     print(json.dumps(info))
 
 
+def cmd_merge(args) -> None:
+    from .index.merge import merge_indexes
+
+    spark = _get_session(args)
+    info = merge_indexes(
+        spark,
+        args.inputs,
+        args.output,
+        target_postings_per_task=args.target_postings_per_task,
+    )
+    print(json.dumps(info))
+
+
 def cmd_query(args) -> None:
     from .query.bm25 import BM25Index, bm25_topk
 
@@ -168,6 +181,17 @@ def main(argv=None) -> None:
     b.add_argument("--snapshot-id", type=int, default=None,
                    help="Iceberg snapshot id to pin (iceberg: sources)")
     b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser(
+        "merge",
+        help="merge built indexes over disjoint doc sets (segment-merge "
+        "analog: no re-tokenize; avgdl/max_tfnorm recomputed)",
+    )
+    m.add_argument("--inputs", nargs="+", required=True,
+                   help="two or more source index dirs")
+    m.add_argument("--output", required=True)
+    m.add_argument("--target-postings-per-task", type=int, default=500_000)
+    m.set_defaults(fn=cmd_merge)
 
     q = sub.add_parser("query", help="top-k BM25 query")
     q.add_argument("--index", required=True)

@@ -273,6 +273,7 @@ def sql_bm25_topk_transcripts() -> str:
 # BM25 via the real index (block-max MaxScore + treeAggregate merge)
 # ---------------------------------------------------------------------------
 _INDEX_CACHE: dict[tuple, str] = {}
+_MERGED_INDEX_CACHE: dict[tuple, str] = {}
 _SPARSE_INDEX_CACHE: dict[tuple, str] = {}
 
 
@@ -326,11 +327,41 @@ def _gate_sparse_index(spark: SparkSession, sf: str) -> str:
     return out
 
 
-def _index_topk(spark: SparkSession, sf: str, query: str, merge: str) -> DataFrame:
+def _gate_merged_index(spark: SparkSession, sf: str) -> str:
+    """Build (once per sf_dir snapshot) a SEGMENT-MERGED index: the
+    derived transcripts split into disjoint halves by doc-id parity, each
+    half built separately, then ``merge_indexes`` recombined — the
+    incremental-ingest lifecycle path. Entries querying this index are
+    oracle-checked against the same full-corpus SQL as the single-shot
+    build, so a merge defect (stale avgdl/max_tfnorm, broken doc order,
+    lost postings) hash-mismatches in the driver's correctness gate."""
+    key = _sf_key(sf)
+    if key in _MERGED_INDEX_CACHE:
+        return _MERGED_INDEX_CACHE[key]
+    from .index.build import IndexBuilder, doc_id_col
+    from .index.merge import merge_indexes
+
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:8]
+    out = f"/tmp/nss_gate_merged_{tag}"
+    tr = derived_transcripts(spark, sf)
+    half = F.pmod(doc_id_col(), F.lit(2))
+    for i in (0, 1):
+        IndexBuilder(
+            spark, f"{out}_src{i}", n_shards=8, block_size=256
+        ).build(tr.filter(half == i))
+    merge_indexes(spark, [f"{out}_src0", f"{out}_src1"], out)
+    _MERGED_INDEX_CACHE[key] = out
+    return out
+
+
+def _index_topk(
+    spark: SparkSession, sf: str, query: str, merge: str, merged: bool = False
+) -> DataFrame:
     from .index.build import doc_id_col
     from .query.bm25 import BM25Index, bm25_topk
 
-    idx = BM25Index(spark, _gate_index(spark, sf))
+    path = _gate_merged_index(spark, sf) if merged else _gate_index(spark, sf)
+    idx = BM25Index(spark, path)
     # over-fetch (k'=50) on the engine's float32 ordering, then re-rank on
     # the rounded score with the natural-key tiebreak so the oracle's
     # double-precision ordering selects the identical 20 rows
@@ -347,7 +378,10 @@ def q_bm25_index_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_bm25_index_treeagg(spark: SparkSession, sf: str) -> DataFrame:
-    return _index_topk(spark, sf, QUERY_B, merge="treeAggregate")
+    """treeAggregate top-k merge, served from the MERGED-halves index
+    (round-4): one entry gates both the north-rule merge form and the
+    segment-merge lifecycle path against the full-corpus SQL oracle."""
+    return _index_topk(spark, sf, QUERY_B, merge="treeAggregate", merged=True)
 
 
 def sql_bm25_index_topk(query: str) -> str:

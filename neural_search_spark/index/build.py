@@ -272,6 +272,48 @@ def compute_doc_stats(transcripts: DataFrame) -> tuple[int, float]:
     return int(row["n"]), float(row["avgdl"] or 0.0)
 
 
+def lineage_frame(
+    written: DataFrame, term_stats: DataFrame, run_id: str
+) -> DataFrame:
+    """Per-term_bucket lineage rows (shard ids, term range, doc count,
+    bytes, block count) derived from the WRITTEN postings — shared by the
+    builder's stage 4 and by ``merge.merge_indexes`` so a merged index
+    carries the same resumability surface as a built one."""
+    lin0 = written.groupBy("term_bucket").agg(
+        F.lit(run_id).alias("run_id"),
+        F.countDistinct("shard_id").alias("n_shards"),
+        F.min("tid").alias("tid_lo"),
+        F.max("tid").alias("tid_hi"),
+        F.sum("n_docs").alias("doc_count"),
+        F.sum(
+            F.length("docs") + F.length("tfs") + F.length("dls")
+        ).alias("bytes"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.lit("complete").alias("status"),
+        F.current_timestamp().alias("completed_ts"),
+    )
+    # human-readable term range per bucket: two tiny joins against the
+    # dictionary (lin0 is N_TERM_BUCKETS rows — broadcast side)
+    tmap = term_stats.groupBy("tid").agg(F.min("term").alias("term"))
+    return (
+        lin0.join(
+            tmap.withColumnRenamed("tid", "tid_lo").withColumnRenamed(
+                "term", "term_lo"
+            ),
+            "tid_lo",
+            "left",
+        )
+        .join(
+            tmap.withColumnRenamed("tid", "tid_hi").withColumnRenamed(
+                "term", "term_hi"
+            ),
+            "tid_hi",
+            "left",
+        )
+        .drop("tid_lo", "tid_hi")
+    )
+
+
 def compute_term_stats(postings: DataFrame, n_stat_salts: int = 16) -> DataFrame:
     """(tid, df, cf) via explicit two-stage salted aggregation so the hot
     terms never concentrate in one reducer even at 10^12 postings."""
@@ -506,39 +548,7 @@ class IndexBuilder:
         written = self.spark.read.parquet(self._p("postings"))
         if done:
             written = written.filter(~F.col("term_bucket").isin(list(done)))
-        lin0 = written.groupBy("term_bucket").agg(
-            F.lit(run_id).alias("run_id"),
-            F.countDistinct("shard_id").alias("n_shards"),
-            F.min("tid").alias("tid_lo"),
-            F.max("tid").alias("tid_hi"),
-            F.sum("n_docs").alias("doc_count"),
-            F.sum(
-                F.length("docs") + F.length("tfs") + F.length("dls")
-            ).alias("bytes"),
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.lit("complete").alias("status"),
-            F.current_timestamp().alias("completed_ts"),
-        )
-        # human-readable term range per bucket: two tiny joins against the
-        # dictionary (lin0 is N_TERM_BUCKETS rows — broadcast side)
-        tmap = term_stats.groupBy("tid").agg(F.min("term").alias("term"))
-        lineage = (
-            lin0.join(
-                tmap.withColumnRenamed("tid", "tid_lo").withColumnRenamed(
-                    "term", "term_lo"
-                ),
-                "tid_lo",
-                "left",
-            )
-            .join(
-                tmap.withColumnRenamed("tid", "tid_hi").withColumnRenamed(
-                    "term", "term_hi"
-                ),
-                "tid_hi",
-                "left",
-            )
-            .drop("tid_lo", "tid_hi")
-        )
+        lineage = lineage_frame(written, term_stats, run_id)
         lineage.write.mode("append").parquet(self._p("lineage"))
         _mark("lineage")
 

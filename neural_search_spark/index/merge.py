@@ -1,0 +1,252 @@
+"""Segment-style index merge: combine built indexes WITHOUT re-tokenizing.
+
+The Lucene-lifecycle piece the reference gets for free from its host
+(OpenSearch segment merges / force-merge compact many small Lucene
+segments into one; the plugin's queries then run over the merged
+segments). This engine's analog takes N on-disk block indexes produced by
+``IndexBuilder`` over DISJOINT document sets — e.g. daily incremental
+builds of an append-only transcript corpus — and produces one index that
+is query-identical to a from-scratch build over the union corpus.
+
+Why not just concatenate posting files? Two index-wide invariants break:
+
+* ``avgdl`` changes when corpora combine, and every block's
+  ``max_tfnorm`` pruning bound (the advanceShallow analog) depends on it
+  — stale bounds would under- OR over-prune block-max scoring;
+* posting blocks must stay doc_id-ordered per (tid, shard) for the
+  block-range candidate windows (two-phase, driver cache) — source
+  indexes interleave across the whole doc_id (hash) range.
+
+So the merge DECODES block payloads back to (tid, shard, doc_id, tf, dl)
+postings — numpy-vectorized per block row via ``mapInPandas``, no
+per-posting Python — then reuses the builder's exact salted
+repartition-by-term → JVM block build → bucket-partitioned write path
+with the recombined corpus stats. Everything the full build does EXCEPT
+tokenize/tf-aggregate (the dominant cost at scale: the corpus text is
+never read). Terms dictionaries union by (term, tid) with df/cf summed
+(tid is the content-hash h60 of the term, so ids agree across sources by
+construction); lineage/stats/metrics are written exactly like a build, so
+a merged index is resumable-from and attachable like any other.
+
+Scale shape: one posting-level shuffle keyed (tid, shard, salt) — the
+same key and the same hot-term salt bound as the build (the salt plan is
+recomputed from the MERGED df, so a term that became hot only in
+aggregate still splits). Decode is map-side; no driver materialization.
+
+Contract: source doc sets must be disjoint (docID = hash(conv_id,
+turn_idx): re-ingesting the same turns produces the same doc ids, and a
+duplicated doc would double-count its postings exactly as Lucene would if
+one addDocument'd a doc into two segments and merged them). Deletes/
+updates are out of scope here — pair with a tombstone filter at query
+time if needed.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import (
+    INDEX_FORMAT_VERSION,
+    N_TERM_BUCKETS,
+    _range_salt,
+    build_blocks_jvm,
+    lineage_frame,
+)
+from .codec import decode_doc_ids, decode_tfs
+
+_LAYOUT_KEYS = ("format_version", "n_shards", "block_size", "k1", "b")
+
+
+def decoded_postings(blocks: DataFrame) -> DataFrame:
+    """(tid, shard_id, doc_id, tf, dl) exploded back out of block rows.
+
+    numpy-vectorized per block (the codec decoders are loop-free); Python
+    touches block-grained batches only — the merge analog of the build's
+    "python sees block arrays, not postings" rule."""
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = [decode_doc_ids(b) for b in pdf["docs"]]
+            ns = np.array([len(a) for a in ids], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "tid": np.repeat(pdf["tid"].to_numpy(), ns),
+                    "shard_id": np.repeat(
+                        pdf["shard_id"].to_numpy(), ns
+                    ).astype(np.int32),
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(
+                        [decode_tfs(b) for b in pdf["tfs"]]
+                    ),
+                    "dl": np.concatenate(
+                        [decode_tfs(b) for b in pdf["dls"]]
+                    ),
+                }
+            )
+
+    return blocks.select("tid", "shard_id", "docs", "tfs", "dls").mapInPandas(
+        explode, "tid long, shard_id int, doc_id long, tf long, dl long"
+    )
+
+
+def _read_layout(spark: SparkSession, path: str) -> dict:
+    row = spark.read.parquet(os.path.join(path, "stats")).collect()[0].asDict()
+    if int(row.get("format_version", 1)) != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index at {path} is format v{row.get('format_version')}; "
+            f"merge reads v{INDEX_FORMAT_VERSION}"
+        )
+    return row
+
+
+def merge_indexes(
+    spark: SparkSession,
+    src_dirs: list[str],
+    out_dir: str,
+    target_postings_per_task: int = 500_000,
+) -> dict:
+    """Merge ≥2 block indexes into ``out_dir`` (see module docstring).
+
+    Returns the same info dict shape as ``IndexBuilder.build``."""
+    import shutil
+
+    if len(src_dirs) < 2:
+        raise ValueError("merge needs at least two source indexes")
+    t0 = time.time()
+    run_id = uuid.uuid4().hex[:12]
+    layouts = [_read_layout(spark, p) for p in src_dirs]
+    for key in _LAYOUT_KEYS:
+        vals = {l[key] for l in layouts}
+        if len(vals) > 1:
+            raise ValueError(
+                f"source indexes disagree on {key}: {sorted(vals)} — "
+                f"mixed layouts cannot merge (shard/block functions differ)"
+            )
+    n_shards = int(layouts[0]["n_shards"])
+    block_size = int(layouts[0]["block_size"])
+    k1, b = float(layouts[0]["k1"]), float(layouts[0]["b"])
+
+    # recombined corpus stats: exact doc count; avgdl from the per-source
+    # (sum_dl = avgdl·n) identity — float64 round-trip error ~1e-10
+    # relative, invisible under the engine's float32 scoring
+    n_docs = sum(int(l["n_docs"]) for l in layouts)
+    sum_dl = sum(float(l["avgdl"]) * int(l["n_docs"]) for l in layouts)
+    avgdl = sum_dl / max(n_docs, 1)
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    pd.DataFrame(
+        {
+            "format_version": [INDEX_FORMAT_VERSION],
+            "n_shards": [n_shards],
+            "block_size": [block_size],
+            "k1": [k1],
+            "b": [b],
+        }
+    ).to_parquet(os.path.join(out_dir, "build_config.parquet"))
+
+    # terms: union by (term, tid) — tid is content-hashed so sources agree;
+    # disjoint doc sets ⇒ df/cf add
+    def _union(sub: str, cols: list[str]) -> DataFrame:
+        # per-root reads unioned explicitly: multi-path parquet reads infer
+        # hive partitions relative to the COMMON ancestor, which scrambles
+        # partition columns when roots live in unrelated directories
+        dfs = [
+            spark.read.parquet(os.path.join(p, sub)).select(*cols)
+            for p in src_dirs
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    term_stats = _union("terms", ["term", "tid", "df", "cf"]).groupBy(
+        "term", "tid"
+    ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    term_stats = spark.read.parquet(os.path.join(out_dir, "terms"))
+
+    # salt plan from MERGED df (a term hot only in aggregate still splits)
+    hot = term_stats.filter(
+        F.col("df") > F.lit(target_postings_per_task * n_shards)
+    ).select(
+        "tid",
+        F.ceil(F.col("df") / F.lit(target_postings_per_task * n_shards))
+        .cast("int")
+        .alias("n_salts"),
+    )
+    n_hot = hot.count()
+
+    src_blocks = _union(
+        "postings", ["tid", "shard_id", "docs", "tfs", "dls"]
+    )
+    salted = (
+        decoded_postings(src_blocks)
+        .join(F.broadcast(hot), "tid", "left")
+        .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+        .withColumn("salt", _range_salt(F.col("doc_id"), F.col("n_salts")))
+    )
+    blocks = build_blocks_jvm(salted, avgdl, k1, b, block_size).withColumn(
+        "term_bucket", F.pmod("tid", F.lit(N_TERM_BUCKETS))
+    )
+    (
+        blocks.repartition(N_TERM_BUCKETS, "term_bucket")
+        .sortWithinPartitions("tid", "shard_id", "block_seq")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(out_dir, "postings"))
+    )
+
+    written = spark.read.parquet(os.path.join(out_dir, "postings"))
+    lineage_frame(written, term_stats, run_id).write.mode("append").parquet(
+        os.path.join(out_dir, "lineage")
+    )
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "run_id": [run_id],
+                "format_version": [INDEX_FORMAT_VERSION],
+                "n_docs": [n_docs],
+                "avgdl": [avgdl],
+                "n_shards": [n_shards],
+                "block_size": [block_size],
+                "k1": [k1],
+                "b": [b],
+            }
+        )
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+
+    elapsed = time.time() - t0
+    mdf = pd.DataFrame(
+        [
+            (run_id, "merge", "n_sources", len(src_dirs)),
+            (run_id, "merge", "doc_count", n_docs),
+            (run_id, "merge", "hot_terms_split", n_hot),
+            (run_id, "merge", "elapsed_ms", int(elapsed * 1000)),
+        ],
+        columns=["run_id", "stage", "name", "value"],
+    )
+    mdf["ts"] = pd.Timestamp.utcnow().tz_localize(None)
+    spark.createDataFrame(mdf).write.mode("append").parquet(
+        os.path.join(out_dir, "stats_events")
+    )
+    return {
+        "run_id": run_id,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "elapsed_sec": elapsed,
+        "hot_terms_split": n_hot,
+        "n_sources": len(src_dirs),
+    }
