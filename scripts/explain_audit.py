@@ -95,6 +95,38 @@ def main():
     pq_plan = pqmod.pq_topk(
         pqmod.pq_encode(emb, books), books, qv, k=10, refine=50, emb=emb
     )
+    # segment merge: block decode must stay map-side (MapInPandas straight
+    # off the scan), the hot-plan join broadcast, and the whole rebuild
+    # ride ONE hash shuffle — the (tid, shard, salt) regroup
+    from neural_search_spark.index import merge as mergemod
+    from neural_search_spark.index.build import _range_salt, build_blocks_jvm
+
+    src_blocks = spark.read.parquet(os.path.join(idx_dir, "postings")).select(
+        "tid", "shard_id", "docs", "tfs", "dls"
+    )
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    hot_plan = (
+        spark.read.parquet(os.path.join(idx_dir, "terms"))
+        .filter(F.col("df") > 500)
+        .select("tid", F.lit(2).alias("n_salts"))
+    )
+    m_salted = (
+        mergemod.decoded_postings(src_blocks)
+        .join(F.broadcast(hot_plan), "tid", "left")
+        .withColumn("n_salts", F.coalesce("n_salts", F.lit(1)))
+        .withColumn("salt", _range_salt(F.col("doc_id"), F.col("n_salts")))
+    )
+    m_plan = build_blocks_jvm(m_salted, 100.0, 1.2, 0.75, 256)
+    plans["segment merge (map-side block decode → one salted shuffle → JVM rebuild)"] = m_plan
+    m_text = cap(m_plan)
+    assert m_text.count("hashpartitioning") == 1, (
+        "merge plans more than the single (tid,shard,salt) shuffle"
+    )
+    assert "BroadcastHashJoin" in m_text, "merge hot-plan join not broadcast"
+    assert "CartesianProduct" not in m_text
+    print("segment merge: one shuffle, broadcast salt plan — ok")
+
     plans["PQ ADC top-k + exact refine (broadcast candidate join)"] = pq_plan
     pq_text = cap(pq_plan)
     assert "TakeOrderedAndProject" in pq_text, "PQ candidate gen plans a full sort"
