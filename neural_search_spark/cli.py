@@ -66,11 +66,17 @@ def cmd_merge(args) -> None:
     from .index.merge import merge_indexes
 
     spark = _get_session(args)
+    dels = (
+        spark.read.parquet(args.deletes).select("doc_id")
+        if args.deletes
+        else None
+    )
     info = merge_indexes(
         spark,
         args.inputs,
         args.output,
         target_postings_per_task=args.target_postings_per_task,
+        deletes=dels,
     )
     print(json.dumps(info))
 
@@ -80,6 +86,8 @@ def cmd_query(args) -> None:
 
     spark = _get_session(args)
     idx = BM25Index(spark, args.index)
+    if args.deletes:
+        idx.with_deletes(spark.read.parquet(args.deletes).select("doc_id"))
     out = bm25_topk(idx, args.query, k=args.k, merge=args.merge)
     for row in out.collect():
         print(json.dumps(row.asDict()))
@@ -90,6 +98,8 @@ def cmd_query_batch(args) -> None:
 
     spark = _get_session(args)
     idx = BM25Index(spark, args.index)
+    if args.deletes:
+        idx.with_deletes(spark.read.parquet(args.deletes).select("doc_id"))
     qdf = spark.read.parquet(args.queries).select("query_id", "query_text")
     pairs = [(r["query_id"], r["query_text"]) for r in qdf.collect()]
     out = bm25_topk_batch(idx, pairs, k=args.k)
@@ -191,6 +201,9 @@ def main(argv=None) -> None:
                    help="two or more source index dirs")
     m.add_argument("--output", required=True)
     m.add_argument("--target-postings-per-task", type=int, default=500_000)
+    m.add_argument("--deletes", default=None,
+                   help="parquet with a doc_id column: expunge these docs "
+                   "during the merge (forceMergeDeletes analog)")
     m.set_defaults(fn=cmd_merge)
 
     q = sub.add_parser("query", help="top-k BM25 query")
@@ -199,6 +212,9 @@ def main(argv=None) -> None:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--merge", default="takeOrdered",
                    choices=["takeOrdered", "treeAggregate"])
+    q.add_argument("--deletes", default=None,
+                   help="parquet with a doc_id column: query-time tombstones "
+                   "(liveDocs analog — stats stay stale until a merge)")
     q.set_defaults(fn=cmd_query)
 
     qb = sub.add_parser("query-batch", help="batched top-k BM25")
@@ -207,6 +223,8 @@ def main(argv=None) -> None:
                     help="parquet with (query_id, query_text)")
     qb.add_argument("--output", required=True)
     qb.add_argument("--k", type=int, default=10)
+    qb.add_argument("--deletes", default=None,
+                   help="parquet with a doc_id column: query-time tombstones")
     qb.set_defaults(fn=cmd_query_batch)
 
     s = sub.add_parser(

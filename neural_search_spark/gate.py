@@ -355,13 +355,25 @@ def _gate_merged_index(spark: SparkSession, sf: str) -> str:
 
 
 def _index_topk(
-    spark: SparkSession, sf: str, query: str, merge: str, merged: bool = False
+    spark: SparkSession,
+    sf: str,
+    query: str,
+    merge: str,
+    merged: bool = False,
+    tombstones: bool = False,
 ) -> DataFrame:
     from .index.build import doc_id_col
     from .query.bm25 import BM25Index, bm25_topk
 
     path = _gate_merged_index(spark, sf) if merged else _gate_index(spark, sf)
     idx = BM25Index(spark, path)
+    if tombstones:
+        # deterministic, DuckDB-expressible delete set (≈1/7 of the corpus)
+        idx.with_deletes(
+            derived_transcripts(spark, sf)
+            .filter(F.col("turn_idx") % 7 == 3)
+            .select(doc_id_col().alias("doc_id"))
+        )
     # over-fetch (k'=50) on the engine's float32 ordering, then re-rank on
     # the rounded score with the natural-key tiebreak so the oracle's
     # double-precision ordering selects the identical 20 rows
@@ -374,7 +386,18 @@ def _index_topk(
 
 
 def q_bm25_index_topk(spark: SparkSession, sf: str) -> DataFrame:
-    return _index_topk(spark, sf, QUERY_A, merge="takeOrdered")
+    """Two variants in one slot (round-4): 'live' = the plain index serve;
+    'tomb' = the same serve under query-time liveDocs tombstones
+    (``BM25Index.with_deletes``, docs with turn_idx % 7 == 3 deleted).
+    The tombstone contract is value-checked end-to-end: stats stay STALE
+    (n_docs/df/avgdl still count deleted docs), so the oracle scores the
+    FULL corpus and only then filters the deleted rows — live docs' scores
+    must be bit-unchanged, deleted docs absent."""
+    live = _index_topk(spark, sf, QUERY_A, merge="takeOrdered")
+    tomb = _index_topk(spark, sf, QUERY_A, merge="takeOrdered", tombstones=True)
+    return live.withColumn("variant", F.lit("live")).unionByName(
+        tomb.withColumn("variant", F.lit("tomb"))
+    )
 
 
 def q_bm25_index_treeagg(spark: SparkSession, sf: str) -> DataFrame:
@@ -389,6 +412,23 @@ def sql_bm25_index_topk(query: str) -> str:
         bm25_scored_sql(TRANSCRIPTS_SQL, ["conv_id", "turn_idx"], query),
         ["conv_id", "turn_idx"],
         20,
+    )
+
+
+def sql_bm25_index_topk_variants(query: str) -> str:
+    """live ∪ tomb twin of ``q_bm25_index_topk``: the tombstone branch
+    scores the FULL corpus (stale-stats contract) and filters the deleted
+    rows AFTER scoring, before the top-k."""
+    scored = bm25_scored_sql(TRANSCRIPTS_SQL, ["conv_id", "turn_idx"], query)
+    live = _topk_sql(scored, ["conv_id", "turn_idx"], 20)
+    tomb = _topk_sql(
+        f"SELECT * FROM ({scored}) WHERE turn_idx % 7 <> 3",
+        ["conv_id", "turn_idx"],
+        20,
+    )
+    return (
+        f"SELECT 'live' AS variant, * FROM ({live}) "
+        f"UNION ALL SELECT 'tomb' AS variant, * FROM ({tomb})"
     )
 
 
@@ -2900,7 +2940,7 @@ def build_registry():
     oracles = {
         "bm25_topk_docs": sql_bm25_topk_docs(),
         "bm25_topk_transcripts": sql_bm25_topk_transcripts(),
-        "bm25_index_topk": sql_bm25_index_topk(QUERY_A),
+        "bm25_index_topk": sql_bm25_index_topk_variants(QUERY_A),
         "bm25_index_treeagg": sql_bm25_index_topk(QUERY_B),
         "term_stats": sql_term_stats(),
         "doc_len_stats": sql_doc_len_stats(),

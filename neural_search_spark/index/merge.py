@@ -36,9 +36,9 @@ aggregate still splits). Decode is map-side; no driver materialization.
 Contract: source doc sets must be disjoint (docID = hash(conv_id,
 turn_idx): re-ingesting the same turns produces the same doc ids, and a
 duplicated doc would double-count its postings exactly as Lucene would if
-one addDocument'd a doc into two segments and merged them). Deletes/
-updates are out of scope here — pair with a tombstone filter at query
-time if needed.
+one addDocument'd a doc into two segments and merged them). Deletes are
+supported as an expunge pass (``deletes=`` on ``merge_indexes``) — the
+permanent form of ``BM25Index.with_deletes`` query-time tombstones.
 """
 
 from __future__ import annotations
@@ -114,8 +114,22 @@ def merge_indexes(
     src_dirs: list[str],
     out_dir: str,
     target_postings_per_task: int = 500_000,
+    deletes: DataFrame | None = None,
 ) -> dict:
     """Merge ≥2 block indexes into ``out_dir`` (see module docstring).
+
+    ``deletes`` (a DataFrame with a ``doc_id`` column) EXPUNGES those docs
+    during the merge — the Lucene forceMerge/expungeDeletes analog that
+    makes ``BM25Index.with_deletes`` tombstones permanent: the deleted
+    postings are dropped from the decoded stream, and unlike the
+    tombstone query path the corpus stats are RE-derived (n_docs/avgdl
+    corrected from the deleted docs' own (doc_id, dl) pairs; per-term
+    df/cf recomputed from the live postings), so the expunged index is
+    query-identical to a from-scratch build over the corpus minus the
+    deleted docs. Caveat: a deleted doc that had ZERO tokens leaves no
+    posting to correct n_docs by — its count lingers in n_docs (exactly
+    the information Lucene keeps in liveDocs/maxDoc and this format does
+    not store); token-bearing docs expunge exactly.
 
     Returns the same info dict shape as ``IndexBuilder.build``."""
     import shutil
@@ -171,9 +185,49 @@ def merge_indexes(
             out = out.unionByName(d)
         return out
 
-    term_stats = _union("terms", ["term", "tid", "df", "cf"]).groupBy(
-        "term", "tid"
-    ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    src_blocks = _union("postings", ["tid", "shard_id", "docs", "tfs", "dls"])
+    # ONE decoded stream feeds both the term dictionary (deletes path) and
+    # the salted block rebuild below — the expunge filter applied here is
+    # what keeps deleted postings out of the rebuilt blocks
+    dec = decoded_postings(src_blocks)
+    n_deleted = 0
+    if deletes is not None:
+        from pyspark import StorageLevel
+
+        from .build import compute_term_stats
+
+        # the decoded stream feeds three passes now (delete stats, term
+        # stats, block rebuild) — persist it once
+        dec = dec.persist(StorageLevel.MEMORY_AND_DISK)
+        dels = deletes.select(F.col("doc_id").cast("long")).distinct()
+        # corpus-stat corrections from the deleted docs' own postings:
+        # dl repeats identically on each of a doc's postings, so distinct
+        # (doc_id, dl) recovers exact per-doc lengths
+        drow = (
+            dec.join(dels, "doc_id", "left_semi")
+            .select("doc_id", "dl")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        n_deleted = int(drow["n"] or 0)
+        n_docs -= n_deleted
+        sum_dl -= float(drow["s"] or 0)
+        avgdl = sum_dl / max(n_docs, 1)
+        dec = dec.join(dels, "doc_id", "left_anti")
+        # df/cf must be RE-derived from live postings — the sum-of-sources
+        # shortcut below is wrong once postings vanish; terms whose df
+        # drops to zero fall out of the dictionary via the inner join
+        term_stats = (
+            _union("terms", ["term", "tid"])
+            .distinct()
+            .join(compute_term_stats(dec), "tid")
+            .select("term", "tid", "df", "cf")
+        )
+    else:
+        term_stats = _union("terms", ["term", "tid", "df", "cf"]).groupBy(
+            "term", "tid"
+        ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
     term_stats = spark.read.parquet(os.path.join(out_dir, "terms"))
 
@@ -188,11 +242,8 @@ def merge_indexes(
     )
     n_hot = hot.count()
 
-    src_blocks = _union(
-        "postings", ["tid", "shard_id", "docs", "tfs", "dls"]
-    )
     salted = (
-        decoded_postings(src_blocks)
+        dec
         .join(F.broadcast(hot), "tid", "left")
         .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
         .withColumn("salt", _range_salt(F.col("doc_id"), F.col("n_salts")))
@@ -207,6 +258,8 @@ def merge_indexes(
         .partitionBy("term_bucket")
         .parquet(os.path.join(out_dir, "postings"))
     )
+    if deletes is not None:
+        dec.unpersist()
 
     written = spark.read.parquet(os.path.join(out_dir, "postings"))
     lineage_frame(written, term_stats, run_id).write.mode("append").parquet(
@@ -234,6 +287,7 @@ def merge_indexes(
             (run_id, "merge", "n_sources", len(src_dirs)),
             (run_id, "merge", "doc_count", n_docs),
             (run_id, "merge", "hot_terms_split", n_hot),
+            (run_id, "merge", "docs_expunged", n_deleted),
             (run_id, "merge", "elapsed_ms", int(elapsed * 1000)),
         ],
         columns=["run_id", "stage", "name", "value"],
@@ -249,4 +303,5 @@ def merge_indexes(
         "elapsed_sec": elapsed,
         "hot_terms_split": n_hot,
         "n_sources": len(src_dirs),
+        "docs_expunged": n_deleted,
     }

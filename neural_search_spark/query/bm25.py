@@ -52,6 +52,19 @@ def lucene_idf(N: int, df: int) -> float:
     return float(np.log(1.0 + (N - df + 0.5) / (df + 0.5)))
 
 
+def _live_mask(ids: np.ndarray, deletes: np.ndarray | None) -> np.ndarray | None:
+    """Boolean keep-mask for decoded doc ids against a SORTED tombstone
+    array, or None when nothing is deleted (zero-cost fast path). The
+    liveDocs analog: O(n log d) binary search, no decode-path branching."""
+    if deletes is None or len(deletes) == 0 or len(ids) == 0:
+        return None
+    pos = np.searchsorted(deletes, ids)
+    hit = (pos < len(deletes)) & (
+        deletes[np.minimum(pos, len(deletes) - 1)] == ids
+    )
+    return ~hit if hit.any() else None
+
+
 class BM25Index:
     """Handle on an on-disk index directory produced by IndexBuilder."""
 
@@ -90,6 +103,34 @@ class BM25Index:
         self._driver_cache: dict[int, tuple] = {}
         self.driver_cache_terms = DEFAULT_MAX_TERMS
         self.driver_cache_bytes = DEFAULT_MAX_BYTES
+        # sorted int64 tombstones, or None — see with_deletes
+        self.deletes: np.ndarray | None = None
+
+    def with_deletes(self, deletes) -> "BM25Index":
+        """Attach a tombstone set: subsequent queries exclude these doc ids
+        from scoring/collection WITHOUT touching the index files — Lucene
+        liveDocs semantics, including the stats contract: ``n_docs``, df
+        and avgdl still count deleted docs until a merge expunges them
+        (``index.merge.merge_indexes(..., deletes=...)``), exactly as
+        Lucene's idf drifts until segments merge. Live docs' scores are
+        therefore UNCHANGED by a delete; only the deleted rows vanish.
+
+        ``deletes``: a DataFrame with a ``doc_id`` column, or an iterable
+        of int64 doc ids. Collected to a sorted numpy array on the driver
+        and shipped in task closures — the per-segment-bitset analog;
+        suited to the Lucene-shaped regime where tombstones ≪ corpus
+        (bulk deletions should instead filter the corpus and rebuild).
+        Pass None/empty to clear. Returns self."""
+        if deletes is None:
+            self.deletes = None
+            return self
+        if isinstance(deletes, DataFrame):
+            arr = deletes.select("doc_id").toPandas()["doc_id"].to_numpy()
+        else:
+            arr = np.fromiter((int(x) for x in deletes), dtype=np.int64)
+        arr = np.unique(arr.astype(np.int64))
+        self.deletes = arr if len(arr) else None
+        return self
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         """Driver-side term-dictionary lookup: a pyarrow predicate-pushdown
@@ -149,8 +190,17 @@ class BM25Index:
         )
 
 
-def _maxscore_shard_scorer(idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float):
-    """Build the per-shard MaxScore kernel (vectorized numpy inside)."""
+def _maxscore_shard_scorer(
+    idfs: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    deletes: np.ndarray | None = None,
+):
+    """Build the per-shard MaxScore kernel (vectorized numpy inside).
+    ``deletes``: sorted tombstones masked at decode time — before any doc
+    can enter the candidate set or raise theta, so pruning stays exact."""
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -182,6 +232,9 @@ def _maxscore_shard_scorer(idfs: dict[str, float], k: int, k1: float, b: float, 
             dls = np.concatenate(
                 [decode_varint(x) for x in rows["dls"]]
             ).astype(np.float64)
+            live = _live_mask(ids, deletes)
+            if live is not None:
+                ids, tfs, dls = ids[live], tfs[live], dls[live]
             tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
             return ids, idf * tfn
 
@@ -337,6 +390,11 @@ def _bm25_topk_driver(
         if got is None:
             continue
         ids, tfs32, dls32 = got
+        # cache entries stay delete-agnostic; tombstones mask at use so a
+        # later with_deletes() change needs no cache invalidation
+        live = _live_mask(ids, index.deletes)
+        if live is not None:
+            ids, tfs32, dls32 = ids[live], tfs32[live], dls32[live]
         tfs = tfs32.astype(np.float64)
         dls = dls32.astype(np.float64)
         ids_parts.append(ids)
@@ -412,7 +470,9 @@ def bm25_topk(
         "shard_id", "tid", "min_doc_id", "max_doc_id",
         "docs", "tfs", "dls", "max_tfnorm",
     )
-    scorer = _maxscore_shard_scorer(idfs, k, index.k1, index.b, index.avgdl)
+    scorer = _maxscore_shard_scorer(
+        idfs, k, index.k1, index.b, index.avgdl, deletes=index.deletes
+    )
     shard_topk = blocks.groupBy("shard_id").applyInPandas(scorer, TOPK_SCHEMA)
 
     if merge == "treeAggregate":
@@ -498,6 +558,7 @@ def bm25_topk_batch(
             F.lit(0).cast("int").alias("rank"),
         )
     k1, b, avgdl = index.k1, index.b, index.avgdl
+    deletes = index.deletes
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         out_qid: list[str] = []
@@ -518,6 +579,9 @@ def bm25_topk_batch(
             dls = np.concatenate(
                 [decode_varint(x) for x in rows["dls"]]
             ).astype(np.float64)
+            live = _live_mask(ids, deletes)
+            if live is not None:
+                ids, tfs, dls = ids[live], tfs[live], dls[live]
             tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
             return ids, idf * tfn
 
@@ -572,6 +636,9 @@ def bm25_topk_batch(
                 dls = np.concatenate(
                     [decode_varint(x) for x in rows["dls"]]
                 ).astype(np.float64)
+                live = _live_mask(ids, deletes)
+                if live is not None:
+                    ids, tfs, dls = ids[live], tfs[live], dls[live]
                 tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
                 got = (ids, tfn)
                 cache[term] = got
