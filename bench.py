@@ -198,6 +198,37 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         out["sparse_index_build_sec"] = round(sp_build, 3)
         out["sparse_qps"] = round(len(sp_queries) / sp_serve, 2)
 
+        # --- positions sidecar + match_phrase serving (separate fields,
+        # NOT in the headline total, like the sparse-index lines) --------
+        from neural_search_spark.index.positions import build_positions
+        from neural_search_spark.query.phrase import phrase_topk
+        from neural_search_spark.tokenizer import tokenize_py
+
+        t0 = time.time()
+        build_positions(spark, idx_dir, tr)
+        out["positions_build_sec"] = round(time.time() - t0, 3)
+        # deterministic real phrases: leading bigram of the first corpus
+        # rows (guaranteed non-empty phrase freq in their own doc)
+        phrases = []
+        for r in tr.limit(16).collect():
+            tk = tokenize_py(r["text"])
+            if len(tk) >= 2:
+                phrases.append(f"{tk[0]} {tk[1]}")
+            if len(phrases) == 6:
+                break
+        phrase_topk(idx, phrases[0], k=10, mode="distributed").collect()
+        t0 = time.time()
+        for p in phrases:
+            phrase_topk(idx, p, k=10, mode="distributed").collect()
+        out["phrase_qps_distributed"] = round(
+            len(phrases) / (time.time() - t0), 2
+        )
+        phrase_topk(idx, phrases[0], k=10, mode="driver").collect()
+        t0 = time.time()
+        for p in phrases:
+            phrase_topk(idx, p, k=10, mode="driver").collect()
+        out["phrase_qps_driver"] = round(len(phrases) / (time.time() - t0), 2)
+
     # --- sf-table operator queries ----------------------------------------
     extra_ops = [] if mode == "scaling" else [
         ("hybrid_minmax_arith", gate.q_hybrid_minmax_arith),

@@ -59,6 +59,10 @@ def cmd_build(args) -> None:
         n_shards=args.n_shards,
         block_size=args.block_size,
     ).build(tr, resume=args.resume)
+    if getattr(args, "positions", False):
+        from .index.positions import build_positions
+
+        info["positions"] = build_positions(spark, args.output, tr)
     print(json.dumps(info))
 
 
@@ -89,6 +93,19 @@ def cmd_query(args) -> None:
     if args.deletes:
         idx.with_deletes(spark.read.parquet(args.deletes).select("doc_id"))
     out = bm25_topk(idx, args.query, k=args.k, merge=args.merge)
+    for row in out.collect():
+        print(json.dumps(row.asDict()))
+
+
+def cmd_phrase(args) -> None:
+    from .query.bm25 import BM25Index
+    from .query.phrase import phrase_topk
+
+    spark = _get_session(args)
+    idx = BM25Index(spark, args.index)
+    if args.deletes:
+        idx.with_deletes(spark.read.parquet(args.deletes).select("doc_id"))
+    out = phrase_topk(idx, args.phrase, k=args.k, mode=args.mode)
     for row in out.collect():
         print(json.dumps(row.asDict()))
 
@@ -188,6 +205,8 @@ def main(argv=None) -> None:
     b.add_argument("--block-size", type=int, default=4096)
     b.add_argument("--resume", action="store_true",
                    help="resume from lineage checkpoint")
+    b.add_argument("--positions", action="store_true",
+                   help="also write the positions sidecar (enables phrase)")
     b.add_argument("--snapshot-id", type=int, default=None,
                    help="Iceberg snapshot id to pin (iceberg: sources)")
     b.set_defaults(fn=cmd_build)
@@ -216,6 +235,18 @@ def main(argv=None) -> None:
                    help="parquet with a doc_id column: query-time tombstones "
                    "(liveDocs analog — stats stay stale until a merge)")
     q.set_defaults(fn=cmd_query)
+
+    ph = sub.add_parser(
+        "phrase", help="top-k exact-phrase query (positions sidecar)"
+    )
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--phrase", required=True)
+    ph.add_argument("--k", type=int, default=10)
+    ph.add_argument("--mode", default="auto",
+                    choices=["auto", "driver", "distributed"])
+    ph.add_argument("--deletes", default=None,
+                    help="parquet of doc_id tombstones to exclude")
+    ph.set_defaults(fn=cmd_phrase)
 
     qb = sub.add_parser("query-batch", help="batched top-k BM25")
     qb.add_argument("--index", required=True)

@@ -11,6 +11,8 @@ plans otherwise.
 Routing table (spec → plan):
 
   match          → bm25_topk over BM25Index     | bm25_scored corpus scan
+  match_phrase   → phrase_topk over the positions sidecar
+                                                | positional equi-join scan
   neural_sparse  → sparse_index_topk            | sparse_topk corpus scan
   neural / knn   → attached ANN asset (LshAnnIndex / IvfAnnIndex) |
                    brute-force cosine over the corpus embedding column
@@ -85,7 +87,7 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec:
             collapse_field=body.get("collapse_field"),
             rerank_by_field=body.get("rerank_by_field"),
         )
-    allowed = {"match", "neural", "neural_sparse", "neural_knn"}
+    allowed = {"match", "match_phrase", "neural", "neural_sparse", "neural_knn"}
     if qtype not in allowed:
         raise ValueError(f"unknown query type: {qtype}; valid: {sorted(allowed)}")
     try:
@@ -170,6 +172,24 @@ class Engine:
                 ).drop("rank")
             return _bound(
                 execute(spec, self._need_corpus("match"), self.id_col)
+            )
+        if spec.query_type == "match_phrase":
+            if (
+                self.bm25_index is not None
+                and spec.filter is None
+                and allowed is None
+            ):
+                from .index.positions import has_positions
+                from .query.phrase import phrase_topk
+
+                if has_positions(self.bm25_index.path):
+                    return phrase_topk(
+                        self.bm25_index, spec.query_text or "", k=k
+                    ).drop("rank")
+            # no positions sidecar (or a filter/allowed-set the index
+            # kernels' pre-truncated top-k can't honor) → corpus scan
+            return _bound(
+                execute(spec, self._need_corpus("match_phrase"), self.id_col)
             )
         if spec.query_type == "neural_sparse":
             spec = rewrite(spec)

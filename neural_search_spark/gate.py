@@ -241,31 +241,49 @@ SELECT {keylist}, {score_col},
 FROM ({inner}) ORDER BY {score_col} DESC, {keylist} LIMIT {k}"""
 
 
-def q_bm25_topk_docs(spark: SparkSession, sf: str) -> DataFrame:
-    return _ranked(
+def q_bm25_scan_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-scan BM25 over BOTH key shapes in one union slot (round-4
+    merge freeing a registry slot for ``phrase_topk``): variant 'docs'
+    scores the raw documents table on doc_id; variant 'transcripts'
+    scores the derived input_hint table on (conv_id, turn_idx). Keys are
+    projected to a shared (kc string, kt int) pair so the union stays
+    schema-compatible while every value stays hash-checked."""
+    docs = _ranked(
         bm25_scored(_docs(spark, sf), ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs")),
         ["doc_id"], 10,
+    ).select(
+        F.lit("docs").alias("variant"),
+        F.col("doc_id").cast("string").alias("kc"),
+        F.lit(-1).alias("kt"),
+        "score",
+        "rank",
     )
-
-
-def sql_bm25_topk_docs() -> str:
-    return _topk_sql(bm25_scored_sql("documents", ["doc_id"], QUERY_A), ["doc_id"], 10)
-
-
-def q_bm25_topk_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     t = derived_transcripts(spark, sf)
-    return _ranked(
+    tr = _ranked(
         bm25_scored(t, ["conv_id", "turn_idx"], QUERY_B, stats_key=(_sf_key(sf), "tr")),
         ["conv_id", "turn_idx"],
         10,
+    ).select(
+        F.lit("transcripts").alias("variant"),
+        F.col("conv_id").alias("kc"),
+        F.col("turn_idx").alias("kt"),
+        "score",
+        "rank",
     )
+    return docs.unionByName(tr)
 
 
-def sql_bm25_topk_transcripts() -> str:
-    return _topk_sql(
+def sql_bm25_scan_topk() -> str:
+    docs = _topk_sql(bm25_scored_sql("documents", ["doc_id"], QUERY_A), ["doc_id"], 10)
+    tr = _topk_sql(
         bm25_scored_sql(TRANSCRIPTS_SQL, ["conv_id", "turn_idx"], QUERY_B),
         ["conv_id", "turn_idx"],
         10,
+    )
+    return (
+        f"SELECT 'docs' AS variant, doc_id::VARCHAR AS kc, -1 AS kt, score, rank FROM ({docs}) "
+        f"UNION ALL "
+        f"SELECT 'transcripts' AS variant, conv_id AS kc, turn_idx AS kt, score, rank FROM ({tr})"
     )
 
 
@@ -429,6 +447,101 @@ def sql_bm25_index_topk_variants(query: str) -> str:
     return (
         f"SELECT 'live' AS variant, * FROM ({live}) "
         f"UNION ALL SELECT 'tomb' AS variant, * FROM ({tomb})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# match_phrase via the positions sidecar (PhraseQuery / ExactPhraseScorer)
+# ---------------------------------------------------------------------------
+PHRASE_Q = "merge data"
+
+_POSITIONS_CACHE: dict[tuple, str] = {}
+
+
+def _gate_positions_index(spark: SparkSession, sf: str) -> str:
+    """Ensure (once per sf_dir snapshot) the positions sidecar exists on
+    the gate's block index; returns the index path."""
+    key = _sf_key(sf)
+    if key in _POSITIONS_CACHE:
+        return _POSITIONS_CACHE[key]
+    from .index.positions import build_positions
+
+    path = _gate_index(spark, sf)
+    build_positions(spark, path, derived_transcripts(spark, sf))
+    _POSITIONS_CACHE[key] = path
+    return path
+
+
+def q_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-phrase top-k (Lucene PhraseQuery/ExactPhraseScorer semantics:
+    phrase freq = aligned-position count, idf summed per token IN
+    SEQUENCE) served from the positions sidecar — BOTH serve modes in one
+    union entry, each mode's full (doc, score, rank) set hash-checked
+    against a positional self-join oracle in DuckDB."""
+    from .index.build import doc_id_col
+    from .query.bm25 import BM25Index
+    from .query.phrase import phrase_topk
+
+    path = _gate_positions_index(spark, sf)
+    idx = BM25Index(spark, path)
+    tr = derived_transcripts(spark, sf).withColumn("doc_id", doc_id_col())
+    out = None
+    for mode in ("driver", "distributed"):
+        # over-fetch on float32 ordering, re-rank on the rounded double
+        # (same contract as the BM25 index entries)
+        raw = phrase_topk(idx, PHRASE_Q, k=50, mode=mode).drop("rank")
+        j = raw.join(tr.select("doc_id", "conv_id", "turn_idx"), "doc_id").select(
+            "conv_id",
+            "turn_idx",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
+        r = _ranked(j, ["conv_id", "turn_idx"], 20).withColumn("mode", F.lit(mode))
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _phrase_scored_sql(phrase: str) -> str:
+    """(conv_id, turn_idx, score) for every doc matching the exact phrase:
+    positions via DuckDB's zipped unnest, phrase freq via a positional
+    self-join chain anchored on offset 0 (duplicate tokens join the same
+    term's positions at their own offsets, like ExactPhraseScorer)."""
+    tokens = tokenize_py(phrase)
+    qvals = ", ".join(f"({j}, '{t}')" for j, t in enumerate(tokens))
+    terms = ", ".join(f"'{t}'" for t in sorted(set(tokens)))
+    p_joins = "".join(
+        f" JOIN tok p{j} ON p{j}.conv_id = p0.conv_id"
+        f" AND p{j}.turn_idx = p0.turn_idx"
+        f" AND p{j}.term = '{tokens[j]}' AND p{j}.pos = p0.pos + {j}"
+        for j in range(1, len(tokens))
+    )
+    return f"""
+SELECT conv_id, turn_idx, score FROM (
+  WITH corpus AS (SELECT conv_id, turn_idx, {TOK} AS toks
+                  FROM {TRANSCRIPTS_SQL} AS r),
+  stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM corpus),
+  tok AS (SELECT conv_id, turn_idx, len(toks) AS dl, unnest(toks) AS term,
+          unnest(range(len(toks))) AS pos FROM corpus),
+  dfreq AS (SELECT term, count(DISTINCT conv_id || '/' || turn_idx) AS df
+            FROM tok WHERE term IN ({terms}) GROUP BY term),
+  idft AS (SELECT sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))) AS idf_total
+           FROM (VALUES {qvals}) q(j, term) JOIN dfreq d USING (term)
+           CROSS JOIN stats s),
+  fr AS (SELECT p0.conv_id, p0.turn_idx, p0.dl, count(*) AS freq
+         FROM tok p0{p_joins}
+         WHERE p0.term = '{tokens[0]}' GROUP BY 1, 2, 3)
+  SELECT f.conv_id, f.turn_idx,
+    round(i.idf_total * f.freq
+          / (f.freq + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*f.dl/s.avgdl)),
+          4) AS score
+  FROM fr f CROSS JOIN stats s CROSS JOIN idft i
+)"""
+
+
+def sql_phrase_topk() -> str:
+    one = _topk_sql(_phrase_scored_sql(PHRASE_Q), ["conv_id", "turn_idx"], 20)
+    return (
+        f"SELECT 'driver' AS mode, * FROM ({one}) "
+        f"UNION ALL SELECT 'distributed' AS mode, * FROM ({one})"
     )
 
 
@@ -2875,10 +2988,12 @@ def build_registry():
     against any tighter cap."""
     queries = {
         # --- north-star BM25 / index family -----------------------------
-        "bm25_topk_docs": q_bm25_topk_docs,
-        "bm25_topk_transcripts": q_bm25_topk_transcripts,
+        # docs/transcripts corpus scans merged into one union entry
+        # (round 4) to open a slot for the positional phrase query
+        "bm25_scan_topk": q_bm25_scan_topk,
         "bm25_index_topk": q_bm25_index_topk,
         "bm25_index_treeagg": q_bm25_index_treeagg,
+        "phrase_topk": q_phrase_topk,
         "index_lineage": q_index_lineage,
         "term_stats": q_term_stats,
         "doc_len_stats": q_doc_len_stats,
@@ -2938,10 +3053,10 @@ def build_registry():
     }
     assert len(queries) == 50, f"registry must stay at 50 entries, got {len(queries)}"
     oracles = {
-        "bm25_topk_docs": sql_bm25_topk_docs(),
-        "bm25_topk_transcripts": sql_bm25_topk_transcripts(),
+        "bm25_scan_topk": sql_bm25_scan_topk(),
         "bm25_index_topk": sql_bm25_index_topk_variants(QUERY_A),
         "bm25_index_treeagg": sql_bm25_index_topk(QUERY_B),
+        "phrase_topk": sql_phrase_topk(),
         "term_stats": sql_term_stats(),
         "doc_len_stats": sql_doc_len_stats(),
         "hybrid_index_minmax": sql_hybrid_index_minmax(),

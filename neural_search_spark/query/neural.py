@@ -135,6 +135,12 @@ def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFra
             scoped.withColumnRenamed(id_col, "doc_id"), ["doc_id"],
             spec.query_text or "", ndp=None,
         )
+    if spec.query_type == "match_phrase":
+        from .phrase import phrase_scored_scan
+
+        return phrase_scored_scan(
+            scoped, spec.query_text or "", id_col=id_col, text_col=spec.field
+        )
     raise ValueError(f"unknown query type: {spec.query_type}")
 
 

@@ -127,6 +127,37 @@ def main():
     assert "CartesianProduct" not in m_text
     print("segment merge: one shuffle, broadcast salt plan — ok")
 
+    # phrase serving: the positions-sidecar scan must prune to the query
+    # terms' buckets (PartitionFilters) and push the tid predicate; the
+    # corpus-scan fallback must stay equi-join (never cartesian)
+    from neural_search_spark.index.positions import build_positions
+    from neural_search_spark.query.phrase import (
+        phrase_scored_scan,
+        phrase_topk,
+    )
+
+    build_positions(spark, idx_dir, gate.derived_transcripts(spark, sf))
+    ph_plan = phrase_topk(idx, gate.PHRASE_Q, k=10, mode="distributed")
+    plans[
+        "match_phrase distributed (positions bucket pruning, leading-term semi-join)"
+    ] = ph_plan
+    ph_text = cap(ph_plan)
+    assert "PartitionFilters" in ph_text, (
+        "phrase positions scan not partition-pruned on term_bucket"
+    )
+    assert "LeftSemi" in ph_text, "phrase leading-term bound not a semi-join"
+    scan_plan = phrase_scored_scan(
+        gate.derived_transcripts(spark, sf).withColumn(
+            "doc_id", F.monotonically_increasing_id()
+        ),
+        gate.PHRASE_Q,
+    )
+    plans["match_phrase corpus scan (positional equi-join chain)"] = scan_plan
+    scan_text = cap(scan_plan)
+    assert "CartesianProduct" not in scan_text
+    assert "BroadcastNestedLoop" not in scan_text
+    print("phrase plans: bucket-pruned sidecar probe, equi-join scan — ok")
+
     plans["PQ ADC top-k + exact refine (broadcast candidate join)"] = pq_plan
     pq_text = cap(pq_plan)
     assert "TakeOrderedAndProject" in pq_text, "PQ candidate gen plans a full sort"

@@ -1,0 +1,201 @@
+"""match_phrase over the positions sidecar — Lucene PhraseQuery /
+ExactPhraseScorer semantics (reference host behavior: OpenSearch core's
+match_phrase, which the plugin's hybrid sub-queries can carry):
+
+* phrase freq = count of aligned position chains (duplicate tokens must
+  match the SAME term at each of their offsets);
+* idf summed per token IN SEQUENCE (duplicates counted per occurrence);
+* any OOV token ⇒ zero matches;
+* query-time tombstones honored with stale stats, like BM25.
+
+Every path (driver pyarrow read, distributed applyInPandas verify, and
+the index-free corpus scan) is asserted against one brute-force pandas
+oracle.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.build import IndexBuilder, tokenized_turns
+from neural_search_spark.index.positions import build_positions, has_positions
+from neural_search_spark.query.bm25 import BM25Index, lucene_idf
+from neural_search_spark.query.phrase import (
+    phrase_freq,
+    phrase_scored_scan,
+    phrase_topk,
+)
+from neural_search_spark.tokenizer import tokenize_py
+
+
+@pytest.fixture(scope="module")
+def ph_setup(spark, transcripts_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("phrase") / "idx")
+    IndexBuilder(spark, d, n_shards=4, block_size=64).build(transcripts_df)
+    build_positions(spark, d, transcripts_df)
+    idx = BM25Index(spark, d)
+    tt = tokenized_turns(transcripts_df).toPandas()
+    return idx, tt
+
+
+def oracle(idx, tt, phrase, k=10, deletes=()):
+    toks = tokenize_py(phrase)
+    dfs = {t: int(sum(t in set(l) for l in tt.toks)) for t in set(toks)}
+    if not toks or any(dfs[t] == 0 for t in set(toks)):
+        return pd.DataFrame({"doc_id": [], "score": []})
+    idf_total = sum(lucene_idf(idx.n_docs, dfs[t]) for t in toks)
+    dset = set(deletes)
+    rows = []
+    for did, dl, l in zip(tt.doc_id, tt.dl, tt.toks):
+        if did in dset:
+            continue
+        pos_by, ok = [], True
+        for t in toks:
+            p = np.flatnonzero(np.asarray(l, dtype=object) == t).astype(
+                np.int64
+            )
+            if p.size == 0:
+                ok = False
+                break
+            pos_by.append(p)
+        if not ok:
+            continue
+        fr = phrase_freq(pos_by)
+        if fr:
+            tfn = fr / (
+                fr + idx.k1 * (1 - idx.b + idx.b * dl / idx.avgdl)
+            )
+            rows.append((did, np.float32(idf_total * tfn)))
+    out = (
+        pd.DataFrame(rows, columns=["doc_id", "score"])
+        .sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+PHRASES = [
+    "the tool",          # common bigram
+    "the the",           # duplicate token (same term, two offsets)
+    "zz9qx missing",     # OOV ⇒ empty
+    "the",               # single-token phrase == term query
+]
+
+
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_matches_bruteforce(ph_setup, mode, phrase):
+    idx, tt = ph_setup
+    got = phrase_topk(idx, phrase, k=10, mode=mode).toPandas()
+    exp = oracle(idx, tt, phrase, k=10)
+    assert len(got) == len(exp)
+    if len(got):
+        assert (got.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+        assert np.allclose(got.score, exp.score, atol=1e-5)
+        assert (got["rank"].to_numpy() == np.arange(1, len(got) + 1)).all()
+
+
+def test_phrase_trigram(ph_setup):
+    idx, tt = ph_setup
+    # pick a real trigram from the corpus so the chain depth > 2 is hit
+    tri = " ".join(tt.toks.iloc[0][:3])
+    exp = oracle(idx, tt, tri, k=10)
+    assert len(exp) > 0, "fixture trigram should match at least its own doc"
+    for mode in ("driver", "distributed"):
+        got = phrase_topk(idx, tri, k=10, mode=mode).toPandas()
+        assert (got.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+        assert np.allclose(got.score, exp.score, atol=1e-5)
+
+
+def test_phrase_tombstones(ph_setup, spark):
+    idx, tt = ph_setup
+    full = oracle(idx, tt, "the tool", k=10)
+    dels = [int(d) for d in full.doc_id.iloc[:3]]
+    idx2 = BM25Index(spark, idx.path).with_deletes(dels)
+    exp = oracle(idx2, tt, "the tool", k=10, deletes=dels)
+    for mode in ("driver", "distributed"):
+        got = phrase_topk(idx2, "the tool", k=10, mode=mode).toPandas()
+        assert (got.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+        # stale-stats contract: surviving docs' scores unchanged
+        assert np.allclose(got.score, exp.score, atol=1e-5)
+
+
+def test_phrase_requires_sidecar(spark, transcripts_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nopos") / "idx")
+    IndexBuilder(spark, d, n_shards=2, block_size=64).build(transcripts_df)
+    assert not has_positions(d)
+    with pytest.raises(ValueError, match="positions sidecar"):
+        phrase_topk(BM25Index(spark, d), "the tool")
+
+
+def test_phrase_scan_matches_index(ph_setup, transcripts_df):
+    """The index-free corpus-scan plan (Engine fallback for filtered
+    phrase queries) scores identically to the sidecar paths."""
+    idx, tt = ph_setup
+    from neural_search_spark.index.build import doc_id_col
+
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    got = (
+        phrase_scored_scan(docs, "the tool")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .toPandas()
+    )
+    exp = oracle(idx, tt, "the tool", k=10)
+    assert (got.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+    assert np.allclose(got.score, exp.score, atol=1e-5)
+
+
+def test_engine_phrase_routing(ph_setup, transcripts_df, spark):
+    """Engine routes match_phrase to the sidecar when attached, to the
+    corpus scan when a filter forbids the pre-truncated index kernel —
+    both produce the same ranking here (no filter vs trivial filter)."""
+    from neural_search_spark.engine import Engine, spec_from_json
+    from neural_search_spark.index.build import doc_id_col
+
+    idx, tt = ph_setup
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs, bm25_index=idx)
+    spec = spec_from_json({"match_phrase": {"query_text": "the tool"}})
+    via_index = eng.search(spec, k=10).toPandas()
+    exp = oracle(idx, tt, "the tool", k=10)
+    assert (via_index.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+    # corpus-scan route: same spec but with a pushed filter (always true)
+    spec2 = spec_from_json({"match_phrase": {"query_text": "the tool"}})
+    spec2.filter = F.lit(True)
+    via_scan = eng.search(spec2, k=10).toPandas()
+    assert (via_scan.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+    assert np.allclose(via_scan.score, exp.score, atol=1e-5)
+
+
+def test_hybrid_with_phrase_branch(ph_setup, transcripts_df, spark):
+    """match_phrase composes as a hybrid sub-query branch."""
+    from neural_search_spark.engine import Engine, spec_from_json
+
+    idx, _ = ph_setup
+    from neural_search_spark.index.build import doc_id_col
+
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs, bm25_index=idx)
+    spec = spec_from_json(
+        {
+            "hybrid": {
+                "queries": [
+                    {"match": {"query_text": "tool call"}},
+                    {"match_phrase": {"query_text": "the tool"}},
+                ],
+                "normalization": "min_max",
+                "combination": "arithmetic_mean",
+                "pagination_depth": 50,
+            }
+        }
+    )
+    out = eng.search(spec, k=10).toPandas()
+    assert len(out) == 10
+    assert out.score.is_monotonic_decreasing or len(set(out.score)) < 10
