@@ -170,9 +170,22 @@ def cmd_search(args) -> None:
     ann = None
     if args.ann_index:
         ann = _load_ann_store(spark, args.ann_index)
+    corpus = spark.read.parquet(args.corpus) if args.corpus else None
+    if corpus is not None and "doc_id" not in corpus.columns:
+        if {"conv_id", "turn_idx"} <= set(corpus.columns):
+            # transcripts-shaped corpus: derive the stable doc id the
+            # index build uses, so corpus plans and index plans agree
+            from .index.build import doc_id_col
+
+            corpus = corpus.withColumn("doc_id", doc_id_col())
+        else:
+            raise SystemExit(
+                "--corpus table needs a doc_id column (or conv_id + "
+                "turn_idx to derive one)"
+            )
     eng = Engine(
         spark,
-        corpus=spark.read.parquet(args.corpus) if args.corpus else None,
+        corpus=corpus,
         bm25_index=BM25Index(spark, args.index) if args.index else None,
         sparse_index=(
             SparseIndex(spark, args.sparse_index) if args.sparse_index else None

@@ -13,11 +13,17 @@ Routing table (spec → plan):
   match          → bm25_topk over BM25Index     | bm25_scored corpus scan
   match_phrase   → phrase_topk over the positions sidecar
                                                 | positional equi-join scan
+  multi_match    → per-field BM25 scans → dis-max / sum combine
+                   (per-field stats, so always a corpus plan)
   neural_sparse  → sparse_index_topk            | sparse_topk corpus scan
   neural / knn   → attached ANN asset (LshAnnIndex / IvfAnnIndex) |
                    brute-force cosine over the corpus embedding column
+  bool{...}      → must/should/must_not/filter composition (Lucene
+                   BooleanQuery): tall clause union → one doc-keyed
+                   count/sum aggregation → anti-/semi-join gates
   hybrid{...}    → per-sub-query branches (each routed as above, bounded
-                   by pagination_depth) → normalize → combine → top-k
+                   by pagination_depth) → normalize → combine → top-k;
+                   bool specs compose as branches
 
 Collect-time extras: post_filter (FilteredCollector analog — scores
 unchanged, failing docs never collected) and a generic rescore window
@@ -58,7 +64,34 @@ class HybridSpec:
     rerank_by_field: str | None = None
 
 
-def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec:
+@dataclass
+class BoolSpec:
+    """Boolean query composition (Lucene BooleanQuery — host behavior the
+    reference's hybrid text branches routinely carry):
+
+    * must     — required, scoring (scores sum);
+    * should   — optional, scoring; ``minimum_should_match`` of them must
+                 match (default 0 when must/filter clauses exist, else 1 —
+                 BooleanQuery's default);
+    * must_not — excluding, never scoring;
+    * filter   — required, never scoring: either a SQL predicate over
+                 corpus columns or a list of sub-queries whose matched set
+                 gates collection. Like Lucene, scores of scoring clauses
+                 are computed with FULL-corpus stats — a filter changes
+                 which docs collect, never how survivors score.
+
+    Sub-clauses are QuerySpec (match / match_phrase / neural /
+    neural_sparse); bool cannot nest (same restriction the Engine applies
+    to hybrid)."""
+
+    must: list[QuerySpec] = field(default_factory=list)
+    should: list[QuerySpec] = field(default_factory=list)
+    must_not: list[QuerySpec] = field(default_factory=list)
+    filter: str | list[QuerySpec] | None = None
+    minimum_should_match: int | None = None
+
+
+def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
     """Parse the JSON query surface:
 
       {"match": {"query_text": "..."}}
@@ -72,6 +105,25 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec:
     if len(d) != 1:
         raise ValueError("query spec must have exactly one top-level key")
     (qtype, body), = d.items()
+    if qtype == "bool":
+        def _subs(key):
+            out = [spec_from_json(s) for s in body.get(key, [])]
+            if any(isinstance(s, (HybridSpec, BoolSpec)) for s in out):
+                raise ValueError("bool clauses cannot nest bool/hybrid")
+            return out
+
+        flt = body.get("filter")
+        if isinstance(flt, list):
+            flt = [spec_from_json(s) for s in flt]
+            if any(isinstance(s, (HybridSpec, BoolSpec)) for s in flt):
+                raise ValueError("bool clauses cannot nest bool/hybrid")
+        return BoolSpec(
+            must=_subs("must"),
+            should=_subs("should"),
+            must_not=_subs("must_not"),
+            filter=flt,
+            minimum_should_match=body.get("minimum_should_match"),
+        )
     if qtype == "hybrid":
         subs = [spec_from_json(s) for s in body.get("queries", [])]
         if any(isinstance(s, HybridSpec) for s in subs):
@@ -87,7 +139,14 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec:
             collapse_field=body.get("collapse_field"),
             rerank_by_field=body.get("rerank_by_field"),
         )
-    allowed = {"match", "match_phrase", "neural", "neural_sparse", "neural_knn"}
+    allowed = {
+        "match",
+        "match_phrase",
+        "multi_match",
+        "neural",
+        "neural_sparse",
+        "neural_knn",
+    }
     if qtype not in allowed:
         raise ValueError(f"unknown query type: {qtype}; valid: {sorted(allowed)}")
     try:
@@ -159,6 +218,8 @@ class Engine:
                 scored = scored.join(allowed, "doc_id", "left_semi")
             return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+        if isinstance(spec, BoolSpec):
+            return _bound(self._bool_scored(spec))
         if spec.query_type == "match":
             if (
                 self.bm25_index is not None
@@ -190,6 +251,12 @@ class Engine:
             # kernels' pre-truncated top-k can't honor) → corpus scan
             return _bound(
                 execute(spec, self._need_corpus("match_phrase"), self.id_col)
+            )
+        if spec.query_type == "multi_match":
+            # always a corpus scan: the block index covers one field; the
+            # per-field statistics contract needs every field's own stats
+            return _bound(
+                execute(spec, self._need_corpus("multi_match"), self.id_col)
             )
         if spec.query_type == "neural_sparse":
             spec = rewrite(spec)
@@ -231,6 +298,67 @@ class Engine:
                 execute(spec, self._need_corpus(spec.query_type), self.id_col)
             )
         raise ValueError(f"unknown query type: {spec.query_type}")
+
+    def _bool_scored(self, spec: BoolSpec) -> DataFrame:
+        """(doc_id, score) for a BoolSpec — one tall union of every
+        scoring clause's full matched set, ONE doc-keyed shuffle deciding
+        required/optional/min-should counts and the score sum, then
+        anti-/semi-joins for must_not / filter. Clause scorers run over
+        the FULL corpus (Lucene stats contract: filters gate collection,
+        never change surviving scores)."""
+        corpus = self._need_corpus("bool")
+        if not spec.must and not spec.should:
+            raise ValueError(
+                "bool query needs at least one scoring clause (must/should)"
+            )
+        msm = spec.minimum_should_match
+        if msm is None:
+            msm = 0 if (spec.must or spec.filter) else 1
+        parts = []
+        for is_must, clauses in ((1, spec.must), (0, spec.should)):
+            for c in clauses:
+                parts.append(
+                    execute(c, corpus, self.id_col).select(
+                        "doc_id",
+                        F.col("score").cast("double").alias("score"),
+                        F.lit(is_must).alias("is_must"),
+                    )
+                )
+        tall = parts[0]
+        for p in parts[1:]:
+            tall = tall.unionAll(p)
+        scored = (
+            tall.groupBy("doc_id")
+            .agg(
+                F.sum("score").alias("score"),
+                F.sum("is_must").alias("n_must"),
+                F.sum(F.lit(1) - F.col("is_must")).alias("n_should"),
+            )
+            .filter(
+                (F.col("n_must") == len(spec.must))
+                & (F.col("n_should") >= msm)
+            )
+            .select("doc_id", "score")
+        )
+        for c in spec.must_not:
+            scored = scored.join(
+                execute(c, corpus, self.id_col).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        if spec.filter is not None:
+            if isinstance(spec.filter, list):
+                for c in spec.filter:
+                    scored = scored.join(
+                        execute(c, corpus, self.id_col).select("doc_id"),
+                        "doc_id",
+                        "left_semi",
+                    )
+            else:
+                scored = scored.join(
+                    self._allowed(spec.filter), "doc_id", "left_semi"
+                )
+        return scored
 
     # ---- public API ----------------------------------------------------
     def search(
@@ -297,7 +425,10 @@ class Engine:
 
             if not 1 <= len(spec.sub_queries) <= 5:
                 raise ValueError("hybrid query accepts 1..5 sub-queries")
-            if any(s.post_filter is not None for s in spec.sub_queries):
+            if any(
+                getattr(s, "post_filter", None) is not None
+                for s in spec.sub_queries
+            ):
                 # the reference's post_filter is a search-REQUEST field;
                 # silently ignoring a sub-query-level one would return
                 # unfiltered docs with no error
@@ -364,7 +495,7 @@ class Engine:
                 )
             return out
         out = self._branch_topk(
-            spec, k, allowed=self._allowed(spec.post_filter)
+            spec, k, allowed=self._allowed(getattr(spec, "post_filter", None))
         )
         w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
         return (

@@ -1817,6 +1817,75 @@ FROM top20 t JOIN documents d USING (doc_id)
 ORDER BY d.n_chars DESC, d.doc_id"""
 
 
+def q_rerank_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """rerank.by_field + rerank.ml_opensearch merged into one union slot
+    (round-4, freeing a slot for ``multi_match``): both reranks of the
+    same BM25 top-20, variant-tagged, every value still hash-checked."""
+    by_field = q_rerank_by_field(spark, sf).withColumn(
+        "variant", F.lit("by_field")
+    )
+    ml = q_ml_rerank(spark, sf).withColumn("variant", F.lit("ml"))
+    return by_field.select("variant", "doc_id", "score", "rank").unionByName(
+        ml.select("variant", "doc_id", "score", "rank")
+    )
+
+
+def sql_rerank_matrix() -> str:
+    return (
+        f"SELECT 'by_field' AS variant, * FROM ({sql_rerank_by_field()}) "
+        f"UNION ALL SELECT 'ml' AS variant, * FROM ({sql_ml_rerank()})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi_match (per-field BM25 → dis-max / sum combine)
+# ---------------------------------------------------------------------------
+MULTI_MATCH_Q = "merge src1 src2"
+MULTI_MATCH_FIELDS = ["text", "source^2.0"]
+
+
+def q_multi_match(spark: SparkSession, sf: str) -> DataFrame:
+    """multi_match over (text, source^2): each field scored as its own
+    BM25 match with its OWN statistics (Lucene per-field stats), boosts
+    applied, then combined — variant 'best' = DisjunctionMaxQuery (max +
+    tie_breaker·rest, tie_breaker 0.3), variant 'most' = bool-should sum.
+    Both variants' full top-20 hash-checked."""
+    from .query.neural import multi_match_scored
+
+    d = _docs(spark, sf)
+    out = None
+    for name, mt, tb in (("best", "best_fields", 0.3), ("most", "most_fields", 0.0)):
+        scored = multi_match_scored(
+            d, MULTI_MATCH_Q, MULTI_MATCH_FIELDS, match_type=mt, tie_breaker=tb
+        ).select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        r = _ranked(scored, ["doc_id"], 20).withColumn("variant", F.lit(name))
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def sql_multi_match() -> str:
+    text_sc = bm25_scored_sql("documents", ["doc_id"], MULTI_MATCH_Q, ndp=None)
+    src_rel = "(SELECT doc_id, source AS text FROM documents)"
+    src_sc = bm25_scored_sql(src_rel, ["doc_id"], MULTI_MATCH_Q, ndp=None)
+    tall = (
+        f"SELECT doc_id, score * 1.0 AS score FROM ({text_sc}) "
+        f"UNION ALL SELECT doc_id, score * 2.0 AS score FROM ({src_sc})"
+    )
+    agg = (
+        f"SELECT doc_id, max(score) AS mx, sum(score) AS sm "
+        f"FROM ({tall}) GROUP BY doc_id"
+    )
+    best = (
+        f"SELECT doc_id, round(mx + 0.3 * (sm - mx), 4) AS score FROM ({agg})"
+    )
+    most = f"SELECT doc_id, round(sm, 4) AS score FROM ({agg})"
+    return (
+        f"SELECT 'best' AS variant, * FROM ({_topk_sql(best, ['doc_id'], 20)}) "
+        f"UNION ALL "
+        f"SELECT 'most' AS variant, * FROM ({_topk_sql(most, ['doc_id'], 20)})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # events rollup (stats-counters analog, 5-minute tumbling windows)
 # ---------------------------------------------------------------------------
@@ -2050,6 +2119,104 @@ s AS (SELECT doc_id,
       FROM e CROSS JOIN q)
 SELECT doc_id, floor(c * 100.0)::BIGINT AS score_bucket
 FROM s WHERE c >= {_RADIUS_MIN_SCORE}"""
+
+
+def q_neural_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """dense top-k + radius search merged into one union slot (round-4,
+    freeing a slot for ``bool_topk``): variant 'topk' = the rounded
+    top-10 cosine ranking; variant 'radius' = every doc clearing
+    min_score, coarse 2dp score buckets (see the bucket rationale in the
+    pre-merge q_neural_radius docstring, kept below)."""
+    topk = q_neural_dense_topk(spark, sf).select(
+        F.lit("topk").alias("variant"),
+        "doc_id",
+        F.col("score").alias("val"),
+        "rank",
+    )
+    radius = q_neural_radius(spark, sf).select(
+        F.lit("radius").alias("variant"),
+        "doc_id",
+        F.col("score_bucket").cast("double").alias("val"),
+        F.lit(-1).alias("rank"),
+    )
+    return topk.unionByName(radius)
+
+
+def sql_neural_matrix() -> str:
+    return (
+        f"SELECT 'topk' AS variant, doc_id, score AS val, rank "
+        f"FROM ({sql_neural_dense_topk()}) "
+        f"UNION ALL "
+        f"SELECT 'radius' AS variant, doc_id, score_bucket::DOUBLE AS val, "
+        f"-1 AS rank FROM ({sql_neural_radius()})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# bool query (Lucene BooleanQuery: must / should / must_not / filter)
+# ---------------------------------------------------------------------------
+BOOL_MUST = "spark join"
+BOOL_SHOULD = "merge"
+BOOL_MUST_NOT = "window"
+
+
+def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BooleanQuery composition end-to-end through the Engine, two
+    variants in one slot:
+
+    * 'mixed'   — must=[BOOL_MUST] + should=[BOOL_SHOULD] (optional,
+      score-adding) + must_not=[BOOL_MUST_NOT] (excluding, non-scoring);
+    * 'should2' — pure should over all three clause texts with
+      minimum_should_match=2 (BooleanQuery's optional-clause counting).
+
+    Scores are clause sums on FULL-corpus stats (the Lucene contract:
+    gates change which docs collect, never how survivors score)."""
+    from .engine import BoolSpec, Engine
+    from .query.neural import QuerySpec
+
+    eng = Engine(spark, corpus=_docs(spark, sf))
+    mixed = BoolSpec(
+        must=[QuerySpec(query_type="match", query_text=BOOL_MUST)],
+        should=[QuerySpec(query_type="match", query_text=BOOL_SHOULD)],
+        must_not=[QuerySpec(query_type="match", query_text=BOOL_MUST_NOT)],
+    )
+    should2 = BoolSpec(
+        should=[
+            QuerySpec(query_type="match", query_text=t)
+            for t in (BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT)
+        ],
+        minimum_should_match=2,
+    )
+    out = None
+    for name, spec in (("mixed", mixed), ("should2", should2)):
+        scored = eng._bool_scored(spec).select(
+            "doc_id", F.round(F.col("score"), 4).alias("score")
+        )
+        r = _ranked(scored, ["doc_id"], 20).withColumn(
+            "variant", F.lit(name)
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def sql_bool_topk() -> str:
+    m = bm25_scored_sql("documents", ["doc_id"], BOOL_MUST, ndp=None)
+    s = bm25_scored_sql("documents", ["doc_id"], BOOL_SHOULD, ndp=None)
+    n = bm25_scored_sql("documents", ["doc_id"], BOOL_MUST_NOT, ndp=None)
+    mixed = f"""
+SELECT m.doc_id, round(m.score + coalesce(s.score, 0), 4) AS score
+FROM ({m}) m LEFT JOIN ({s}) s USING (doc_id)
+WHERE m.doc_id NOT IN (SELECT doc_id FROM ({n}))"""
+    should2 = f"""
+SELECT doc_id, round(sum(score), 4) AS score FROM (
+  SELECT * FROM ({m}) UNION ALL SELECT * FROM ({s})
+  UNION ALL SELECT * FROM ({n})
+) GROUP BY doc_id HAVING count(*) >= 2"""
+    return (
+        f"SELECT 'mixed' AS variant, * FROM ({_topk_sql(mixed, ['doc_id'], 20)}) "
+        f"UNION ALL "
+        f"SELECT 'should2' AS variant, * FROM ({_topk_sql(should2, ['doc_id'], 20)})"
+    )
 
 
 def q_sort_search_after(spark: SparkSession, sf: str) -> DataFrame:
@@ -2994,6 +3161,7 @@ def build_registry():
         "bm25_index_topk": q_bm25_index_topk,
         "bm25_index_treeagg": q_bm25_index_treeagg,
         "phrase_topk": q_phrase_topk,
+        "bool_topk": q_bool_topk,
         "index_lineage": q_index_lineage,
         "term_stats": q_term_stats,
         "doc_len_stats": q_doc_len_stats,
@@ -3009,8 +3177,10 @@ def build_registry():
         "hybrid_agg": q_hybrid_agg,
         # --- collectors / fetch-phase processors ------------------------
         "collapse_by_source": q_collapse_by_source,
-        "rerank_by_field": q_rerank_by_field,
-        "ml_rerank": q_ml_rerank,
+        # by_field + ml reranks merged into one union entry (round 4) to
+        # open the slot multi_match occupies below
+        "rerank_matrix": q_rerank_matrix,
+        "multi_match": q_multi_match,
         "rescore_window": q_rescore_window,
         "inner_hits": q_inner_hits,
         "highlight": q_highlight,
@@ -3022,8 +3192,9 @@ def build_registry():
         "sparse_encoding": q_sparse_encoding,
         "prune_modes": q_prune_modes,
         # --- neural / ANN family ----------------------------------------
-        "neural_dense_topk": q_neural_dense_topk,
-        "neural_radius": q_neural_radius,
+        # dense topk + radius merged into one union entry (round 4) to
+        # open the slot bool_topk occupies above
+        "neural_matrix": q_neural_matrix,
         "engine_ann_topk": q_engine_ann_topk,
         # cosine/lsh/ivf merged into one union entry (round 3) to stay
         # within the 50-entry cap while opening slots for the PQ tier and
@@ -3069,8 +3240,8 @@ def build_registry():
         "hybrid_explain": sql_hybrid_explain(),
         "hybrid_agg": sql_hybrid_agg(),
         "collapse_by_source": sql_collapse_by_source(),
-        "rerank_by_field": sql_rerank_by_field(),
-        "ml_rerank": sql_ml_rerank(),
+        "rerank_matrix": sql_rerank_matrix(),
+        "multi_match": sql_multi_match(),
         "rescore_window": sql_rescore_window(),
         "inner_hits": sql_inner_hits(),
         "highlight": sql_highlight(),
@@ -3080,8 +3251,8 @@ def build_registry():
         "sparse_two_phase": sql_sparse_two_phase(),
         "sparse_encoding": sql_sparse_encoding(),
         "prune_modes": sql_prune_modes(),
-        "neural_dense_topk": sql_neural_dense_topk(),
-        "neural_radius": sql_neural_radius(),
+        "bool_topk": sql_bool_topk(),
+        "neural_matrix": sql_neural_matrix(),
         "conversation_sessions": sql_conversation_sessions(),
         "embedding_processors": sql_embedding_processors(),
         "semantic_chunks": sql_semantic_chunks(),

@@ -31,7 +31,15 @@ class QuerySpec:
     """Parsed neural/neural_sparse/hybrid sub-query, pre-rewrite."""
 
     query_type: str  # "neural" | "neural_sparse" | "neural_knn" | "match"
+    #                  | "match_phrase" | "multi_match"
     field: str = "text"
+    # multi_match only: field list with optional "name^boost" suffixes;
+    # match_type "best_fields" (DisjunctionMaxQuery: max + tie_breaker ×
+    # sum-of-others) or "most_fields" (bool-should sum) — OpenSearch's
+    # multi_match defaults (best_fields, tie_breaker 0.0)
+    fields: list[str] | None = None
+    match_type: str = "best_fields"
+    tie_breaker: float = 0.0
     query_text: str | None = None
     query_image: bytes | None = None
     vector: list[float] | None = None
@@ -141,7 +149,67 @@ def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFra
         return phrase_scored_scan(
             scoped, spec.query_text or "", id_col=id_col, text_col=spec.field
         )
+    if spec.query_type == "multi_match":
+        return multi_match_scored(
+            scoped,
+            spec.query_text or "",
+            spec.fields or [spec.field],
+            match_type=spec.match_type,
+            tie_breaker=spec.tie_breaker,
+            id_col=id_col,
+        )
     raise ValueError(f"unknown query type: {spec.query_type}")
+
+
+def multi_match_scored(
+    docs: DataFrame,
+    query_text: str,
+    fields: list[str],
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """multi_match → (doc_id, score): each field scored as its OWN BM25
+    match (per-field n_docs/avgdl/df — Lucene keeps statistics per field),
+    boost multiplied, then combined in ONE doc-keyed aggregation:
+
+    * best_fields (DisjunctionMaxQuery): max + tie_breaker · (sum − max);
+    * most_fields (bool should): plain sum.
+
+    "name^2.5" field syntax carries the boost, like the reference host's
+    multi_match."""
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(
+            f"multi_match type must be best_fields|most_fields, got "
+            f"{match_type!r}"
+        )
+    from ..gate import bm25_scored
+
+    if not fields:
+        raise ValueError("multi_match needs at least one field")
+    base = docs.withColumnRenamed(id_col, "doc_id")
+    tall = None
+    for f in fields:
+        name, _, boost = f.partition("^")
+        b = float(boost) if boost else 1.0
+        sc = bm25_scored(
+            base.select("doc_id", F.col(name).alias("text")),
+            ["doc_id"],
+            query_text,
+            ndp=None,
+        ).select("doc_id", (F.col("score") * b).alias("score"))
+        tall = sc if tall is None else tall.unionAll(sc)
+    agg = tall.groupBy("doc_id").agg(
+        F.max("score").alias("mx"), F.sum("score").alias("sm")
+    )
+    if match_type == "most_fields":
+        return agg.select("doc_id", F.col("sm").alias("score"))
+    return agg.select(
+        "doc_id",
+        (
+            F.col("mx") + F.lit(tie_breaker) * (F.col("sm") - F.col("mx"))
+        ).alias("score"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -158,6 +158,21 @@ def main():
     assert "BroadcastNestedLoop" not in scan_text
     print("phrase plans: bucket-pruned sidecar probe, equi-join scan — ok")
 
+    # bool / multi_match composition: one doc-keyed aggregation decides
+    # required/optional counts and the combine — never a cartesian join,
+    # and gates ride hash anti-/semi-joins
+    bool_plan = gate.q_bool_topk(spark, sf)
+    plans["bool query (tall clause union → one count/sum aggregation)"] = bool_plan
+    b_text = cap(bool_plan)
+    assert "CartesianProduct" not in b_text
+    assert "BroadcastNestedLoop" not in b_text
+    assert "LeftAnti" in b_text, "bool must_not gate not an anti-join"
+    mm_plan = gate.q_multi_match(spark, sf)
+    plans["multi_match (per-field scans → one max/sum aggregation)"] = mm_plan
+    mm_text = cap(mm_plan)
+    assert "CartesianProduct" not in mm_text
+    print("bool/multi_match plans: single-aggregation combine, join gates — ok")
+
     plans["PQ ADC top-k + exact refine (broadcast candidate join)"] = pq_plan
     pq_text = cap(pq_plan)
     assert "TakeOrderedAndProject" in pq_text, "PQ candidate gen plans a full sort"
