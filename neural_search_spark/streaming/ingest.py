@@ -339,3 +339,66 @@ def sessionize_batch(turns: DataFrame, gap_s: int = 1800) -> DataFrame:
         )
         .drop("_sess")
     )
+
+
+# ---------------------------------------------------------------------------
+# continuous index ingest: micro-batch → segment, compact → one index
+# ---------------------------------------------------------------------------
+def index_stream(
+    stream: DataFrame,
+    segments_root: str,
+    checkpoint_dir: str,
+    n_shards: int = 4,
+    block_size: int = 256,
+):
+    """Continuous index ingest — the Lucene refresh analog: every
+    micro-batch becomes its OWN on-disk segment index under
+    ``segments_root/batch_<id>``, built with the same salted JVM block
+    path as the batch builder, then ``compact_segments`` force-merges
+    them without re-tokenizing (index/merge.py). Query-identical to one
+    batch build over the union (asserted in tests/test_streaming.py).
+
+    The foreachBatch sink rides Structured Streaming's checkpointed
+    offsets: a replayed micro-batch rebuilds the SAME batch_<id> segment
+    directory (IndexBuilder overwrites), so the segment set is
+    exactly-once even under retries. At 10^12 turns the same shape holds:
+    segments stay bounded by trigger size, and compaction is the existing
+    one-shuffle merge, not a re-ingest."""
+    import os
+
+    from ..index.build import IndexBuilder
+
+    def _build(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        IndexBuilder(
+            batch_df.sparkSession,
+            os.path.join(segments_root, f"batch_{batch_id:05d}"),
+            n_shards=n_shards,
+            block_size=block_size,
+        ).build(batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(_build)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_segments(spark: SparkSession, segments_root: str, dst: str, **kw):
+    """Force-merge every staged segment index under ``segments_root`` into
+    one index at ``dst`` (delegates to index.merge.merge_indexes — stats
+    recombined, per-block pruning bounds recomputed). Returns merge info."""
+    import os
+
+    from ..index.merge import merge_indexes
+
+    segs = sorted(
+        os.path.join(segments_root, d)
+        for d in os.listdir(segments_root)
+        if d.startswith("batch_")
+    )
+    if not segs:
+        raise ValueError(f"no batch_* segment indexes under {segments_root}")
+    return merge_indexes(spark, segs, dst, **kw)

@@ -320,3 +320,42 @@ def test_sessionize_stream_matches_batch_with_gaps(spark, stream_dirs):
     for i in range(2):
         for c in SESSION_COLS:
             assert batch.iloc[i][c] == got.iloc[i][c], (i, c)
+
+
+def test_index_stream_segments_then_compact(spark, stream_dirs, tmp_path):
+    """Continuous index ingest e2e (the Lucene refresh→segment→force-merge
+    lifecycle): 3 micro-batches each become their own segment index, the
+    compaction merges them WITHOUT re-tokenizing, and the merged index is
+    float32-score-identical to one batch build over the whole corpus."""
+    import numpy as np
+
+    from neural_search_spark.index.build import IndexBuilder
+    from neural_search_spark.query.bm25 import BM25Index, bm25_topk
+
+    pdf = generate_transcripts(120, seed=7)
+    # conversation-aligned thirds so segment doc sets are disjoint
+    conv = pd.factorize(pdf["conv_id"])[0] % 3
+    for i in range(3):
+        _drop_file(stream_dirs["src"], pdf[conv == i], f"f{i}.parquet")
+    segroot = str(tmp_path / "segments")
+    st = ingest.stream_transcripts(
+        spark, stream_dirs["src"], max_files_per_trigger=1
+    )
+    q = ingest.index_stream(st, segroot, stream_dirs["ckpt"])
+    q.awaitTermination(240)
+    segs = sorted(d for d in os.listdir(segroot) if d.startswith("batch_"))
+    assert len(segs) == 3, segs
+    merged_dir = str(tmp_path / "merged")
+    ingest.compact_segments(spark, segroot, merged_dir)
+    # one-shot build over the SAME corpus = ground truth
+    full_dir = str(tmp_path / "full")
+    full_pdf_path = str(tmp_path / "full.parquet")
+    pdf.to_parquet(full_pdf_path, index=False)
+    IndexBuilder(spark, full_dir, n_shards=4, block_size=256).build(
+        spark.read.parquet(full_pdf_path)
+    )
+    for query in ("the", "tool call model", "w0100"):
+        a = bm25_topk(BM25Index(spark, merged_dir), query, k=20).toPandas()
+        b = bm25_topk(BM25Index(spark, full_dir), query, k=20).toPandas()
+        assert (a.doc_id.to_numpy() == b.doc_id.to_numpy()).all()
+        assert np.allclose(a.score, b.score, atol=0)  # bit-identical f32
