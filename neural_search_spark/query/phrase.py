@@ -221,7 +221,12 @@ def _phrase_topk_driver(
     tid_arr = tbl["tid"].to_numpy()
     doc_arr = tbl["doc_id"].to_numpy()
     dl_arr = tbl["dl"].to_numpy()
-    pos_col = tbl["positions"].to_pylist()
+    # positions stay an arrow ListArray: flat value buffer + row offsets,
+    # no per-row python materialization (to_pylist was the kernel's cost
+    # at stopword-bigram scale)
+    pos_list = tbl.column("positions").combine_chunks()
+    pos_flat = pos_list.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    pos_offs = np.asarray(pos_list.offsets).astype(np.int64)
     # per-tid sorted doc views (row order within a tid is doc-sorted on
     # disk but fragments may interleave — argsort to be layout-independent)
     per_tid: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -259,15 +264,46 @@ def _phrase_topk_driver(
     )
     if cand.size == 0:
         return empty
-    L = 1 + max(j for js in offsets.values() for j in js)
-    freqs = np.zeros(cand.size, dtype=np.int64)
-    for i in range(cand.size):
-        by_off: list[np.ndarray] = [None] * L  # type: ignore[list-item]
-        for t, js in offsets.items():
-            p = np.asarray(pos_col[row_ix[t][i]], dtype=np.int64)
-            for j in js:
-                by_off[j] = p
-        freqs[i] = phrase_freq(by_off)
+    # vectorized phrase freq across ALL candidates at once: tag every
+    # position with candidate_index·STRIDE, run ONE sorted-intersection
+    # chain over the tagged streams (per-doc position lists are ascending
+    # and strides separate docs, so each stream is strictly increasing),
+    # then bincount the surviving tags. Replaces a python loop of
+    # per-candidate intersect1d calls — the dominant cost for common-term
+    # phrases (tens of thousands of candidates).
+    STRIDE = np.int64(1) << 40  # > any dl; cand.size < 2^23 by DRIVER cap
+    tagged: dict[int, np.ndarray] = {}
+    for t in tids:
+        rows = row_ix[t]
+        starts = pos_offs[rows]
+        lens = pos_offs[rows + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
+            tagged[t] = np.empty(0, dtype=np.int64)
+            continue
+        cum_prev = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gather = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum_prev, lens)
+            + np.repeat(starts, lens)
+        )
+        tagged[t] = pos_flat[gather] + np.repeat(
+            np.arange(cand.size, dtype=np.int64) * STRIDE, lens
+        )
+    P: np.ndarray | None = None
+    for t, js in offsets.items():
+        for j in js:
+            Q = tagged[t] - j
+            P = Q if P is None else np.intersect1d(P, Q, assume_unique=True)
+            if P.size == 0:
+                break
+        if P is not None and P.size == 0:
+            break
+    freqs = (
+        np.bincount(P // STRIDE, minlength=cand.size)
+        if P is not None and P.size
+        else np.zeros(cand.size, dtype=np.int64)
+    )
     hit = freqs > 0
     if not hit.any():
         return empty
