@@ -105,7 +105,18 @@ def cmd_phrase(args) -> None:
     idx = BM25Index(spark, args.index)
     if args.deletes:
         idx.with_deletes(spark.read.parquet(args.deletes).select("doc_id"))
-    out = phrase_topk(idx, args.phrase, k=args.k, mode=args.mode)
+    if args.prefix:
+        from .query.phrase import phrase_prefix_topk
+
+        out = phrase_prefix_topk(
+            idx,
+            args.phrase,
+            k=args.k,
+            max_expansions=args.max_expansions,
+            mode=args.mode,
+        )
+    else:
+        out = phrase_topk(idx, args.phrase, k=args.k, mode=args.mode)
     for row in out.collect():
         print(json.dumps(row.asDict()))
 
@@ -259,6 +270,12 @@ def main(argv=None) -> None:
                     choices=["auto", "driver", "distributed"])
     ph.add_argument("--deletes", default=None,
                     help="parquet of doc_id tombstones to exclude")
+    ph.add_argument("--prefix", action="store_true",
+                    help="match_phrase_prefix: treat the last token as a "
+                    "prefix expanded against the index dictionary")
+    ph.add_argument("--max-expansions", type=int, default=50,
+                    dest="max_expansions",
+                    help="dictionary-expansion cap for --prefix (default 50)")
     ph.set_defaults(fn=cmd_phrase)
 
     qb = sub.add_parser("query-batch", help="batched top-k BM25")

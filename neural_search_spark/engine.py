@@ -13,6 +13,8 @@ Routing table (spec → plan):
   match          → bm25_topk over BM25Index     | bm25_scored corpus scan
   match_phrase   → phrase_topk over the positions sidecar
                                                 | positional equi-join scan
+  match_phrase_prefix → phrase_prefix_topk (dictionary prefix expansion,
+                   union positions at the last offset) | prefix scan
   multi_match    → per-field BM25 scans → dis-max / sum combine
                    (per-field stats, so always a corpus plan)
   neural_sparse  → sparse_index_topk            | sparse_topk corpus scan
@@ -142,6 +144,7 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
     allowed = {
         "match",
         "match_phrase",
+        "match_phrase_prefix",
         "multi_match",
         "neural",
         "neural_sparse",
@@ -251,6 +254,29 @@ class Engine:
             # kernels' pre-truncated top-k can't honor) → corpus scan
             return _bound(
                 execute(spec, self._need_corpus("match_phrase"), self.id_col)
+            )
+        if spec.query_type == "match_phrase_prefix":
+            if (
+                self.bm25_index is not None
+                and spec.filter is None
+                and allowed is None
+            ):
+                from .index.positions import has_positions
+                from .query.phrase import phrase_prefix_topk
+
+                if has_positions(self.bm25_index.path):
+                    return phrase_prefix_topk(
+                        self.bm25_index,
+                        spec.query_text or "",
+                        k=k,
+                        max_expansions=spec.max_expansions,
+                    ).drop("rank")
+            return _bound(
+                execute(
+                    spec,
+                    self._need_corpus("match_phrase_prefix"),
+                    self.id_col,
+                )
             )
         if spec.query_type == "multi_match":
             # always a corpus scan: the block index covers one field; the

@@ -454,6 +454,9 @@ def sql_bm25_index_topk_variants(query: str) -> str:
 # match_phrase via the positions sidecar (PhraseQuery / ExactPhraseScorer)
 # ---------------------------------------------------------------------------
 PHRASE_Q = "merge data"
+# prefix form: fixed "merge" + trailing prefix "da" (expands to data/…)
+PHRASE_PREFIX_Q = "merge da"
+PHRASE_PREFIX_MAX_EXP = 10
 
 _POSITIONS_CACHE: dict[tuple, str] = {}
 
@@ -473,23 +476,53 @@ def _gate_positions_index(spark: SparkSession, sf: str) -> str:
 
 
 def q_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact-phrase top-k (Lucene PhraseQuery/ExactPhraseScorer semantics:
-    phrase freq = aligned-position count, idf summed per token IN
-    SEQUENCE) served from the positions sidecar — BOTH serve modes in one
-    union entry, each mode's full (doc, score, rank) set hash-checked
-    against a positional self-join oracle in DuckDB."""
+    """Positional phrase top-k served from the positions sidecar — four
+    variants in one union entry, each hash-checked against a positional
+    self-join oracle in DuckDB: exact match_phrase (PhraseQuery /
+    ExactPhraseScorer: freq = aligned-position count, idf summed per token
+    IN SEQUENCE) in driver and distributed modes, and match_phrase_prefix
+    (MultiPhrasePrefixQuery: last token expanded to the lexicographically
+    first ≤max_expansions dictionary terms, union positions at the last
+    offset, each expansion's idf added) in both modes."""
     from .index.build import doc_id_col
     from .query.bm25 import BM25Index
-    from .query.phrase import phrase_topk
+    from .query.phrase import phrase_prefix_topk, phrase_topk
 
     path = _gate_positions_index(spark, sf)
     idx = BM25Index(spark, path)
     tr = derived_transcripts(spark, sf).withColumn("doc_id", doc_id_col())
     out = None
-    for mode in ("driver", "distributed"):
+    variants = [
+        ("driver", lambda: phrase_topk(idx, PHRASE_Q, k=50, mode="driver")),
+        (
+            "distributed",
+            lambda: phrase_topk(idx, PHRASE_Q, k=50, mode="distributed"),
+        ),
+        (
+            "prefix_driver",
+            lambda: phrase_prefix_topk(
+                idx,
+                PHRASE_PREFIX_Q,
+                k=50,
+                max_expansions=PHRASE_PREFIX_MAX_EXP,
+                mode="driver",
+            ),
+        ),
+        (
+            "prefix_distributed",
+            lambda: phrase_prefix_topk(
+                idx,
+                PHRASE_PREFIX_Q,
+                k=50,
+                max_expansions=PHRASE_PREFIX_MAX_EXP,
+                mode="distributed",
+            ),
+        ),
+    ]
+    for mode, run in variants:
         # over-fetch on float32 ordering, re-rank on the rounded double
         # (same contract as the BM25 index entries)
-        raw = phrase_topk(idx, PHRASE_Q, k=50, mode=mode).drop("rank")
+        raw = run().drop("rank")
         j = raw.join(tr.select("doc_id", "conv_id", "turn_idx"), "doc_id").select(
             "conv_id",
             "turn_idx",
@@ -537,11 +570,72 @@ SELECT conv_id, turn_idx, score FROM (
 )"""
 
 
+def _phrase_prefix_scored_sql(phrase: str, max_expansions: int) -> str:
+    """match_phrase_prefix oracle: the last token is a prefix expanded to
+    the ≤max_expansions lexicographically-first matching vocabulary terms
+    (MultiPhrasePrefixQuery.getPrefixTerms); idf sums every fixed token
+    per occurrence plus every expansion once (MultiPhraseWeight); the
+    expanded offset joins the UNION of the expansions' positions — at most
+    one token occupies any position, so count(*) is still the freq."""
+    tokens = tokenize_py(phrase)
+    fixed, prefix = tokens[:-1], tokens[-1]
+    assert fixed, "gate prefix oracle requires a non-empty fixed part"
+    L = len(fixed)
+    qvals = ", ".join(f"({j}, '{t}')" for j, t in enumerate(fixed))
+    fixed_terms = ", ".join(f"'{t}'" for t in sorted(set(fixed)))
+    p_joins = "".join(
+        f" JOIN tok p{j} ON p{j}.conv_id = p0.conv_id"
+        f" AND p{j}.turn_idx = p0.turn_idx"
+        f" AND p{j}.term = '{fixed[j]}' AND p{j}.pos = p0.pos + {j}"
+        for j in range(1, L)
+    )
+    return f"""
+SELECT conv_id, turn_idx, score FROM (
+  WITH corpus AS (SELECT conv_id, turn_idx, {TOK} AS toks
+                  FROM {TRANSCRIPTS_SQL} AS r),
+  stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM corpus),
+  tok AS (SELECT conv_id, turn_idx, len(toks) AS dl, unnest(toks) AS term,
+          unnest(range(len(toks))) AS pos FROM corpus),
+  exp AS (SELECT term FROM (SELECT DISTINCT term FROM tok
+          WHERE term LIKE '{prefix}%') ORDER BY term LIMIT {max_expansions}),
+  dfreq AS (SELECT term, count(DISTINCT conv_id || '/' || turn_idx) AS df
+            FROM tok WHERE term IN ({fixed_terms})
+               OR term IN (SELECT term FROM exp) GROUP BY term),
+  idft AS (SELECT
+    (SELECT sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5)))
+     FROM (VALUES {qvals}) q(j, term) JOIN dfreq d USING (term)
+     CROSS JOIN stats s)
+    + (SELECT sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5)))
+       FROM dfreq d JOIN exp e USING (term) CROSS JOIN stats s)
+    AS idf_total),
+  fr AS (SELECT p0.conv_id, p0.turn_idx, p0.dl, count(*) AS freq
+         FROM tok p0{p_joins}
+         JOIN tok pU ON pU.conv_id = p0.conv_id
+           AND pU.turn_idx = p0.turn_idx
+           AND pU.term IN (SELECT term FROM exp)
+           AND pU.pos = p0.pos + {L}
+         WHERE p0.term = '{fixed[0]}' GROUP BY 1, 2, 3)
+  SELECT f.conv_id, f.turn_idx,
+    round(i.idf_total * f.freq
+          / (f.freq + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*f.dl/s.avgdl)),
+          4) AS score
+  FROM fr f CROSS JOIN stats s CROSS JOIN idft i
+  WHERE EXISTS (SELECT 1 FROM exp)
+)"""
+
+
 def sql_phrase_topk() -> str:
     one = _topk_sql(_phrase_scored_sql(PHRASE_Q), ["conv_id", "turn_idx"], 20)
+    pre = _topk_sql(
+        _phrase_prefix_scored_sql(PHRASE_PREFIX_Q, PHRASE_PREFIX_MAX_EXP),
+        ["conv_id", "turn_idx"],
+        20,
+    )
     return (
         f"SELECT 'driver' AS mode, * FROM ({one}) "
-        f"UNION ALL SELECT 'distributed' AS mode, * FROM ({one})"
+        f"UNION ALL SELECT 'distributed' AS mode, * FROM ({one}) "
+        f"UNION ALL SELECT 'prefix_driver' AS mode, * FROM ({pre}) "
+        f"UNION ALL SELECT 'prefix_distributed' AS mode, * FROM ({pre})"
     )
 
 

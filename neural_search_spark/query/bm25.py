@@ -152,6 +152,36 @@ class BM25Index:
             zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist()))
         )
 
+    def prefix_stats(self, prefix: str, limit: int = 50) -> list[tuple[str, int]]:
+        """Dictionary prefix expansion: the first ``limit`` index terms with
+        the given prefix IN LEXICOGRAPHIC (binary/ASCII) ORDER, with their
+        df — Lucene's ``MultiPhrasePrefixQuery.getPrefixTerms`` contract
+        (terms enumerated from the dictionary in term order, capped at
+        ``max_expansions``), except the expansion is over the GLOBAL
+        dictionary rather than per-segment. Driver-side pyarrow range read
+        ([prefix, prefix+1) pushed into parquet row-group stats); the terms
+        table is vocabulary-sized, and the term_bucket layout cannot prune
+        a prefix scan (tid is a hash) — acceptable for the same reason
+        ``term_stats`` is: vocabulary ≪ corpus at any scale."""
+        if not prefix:
+            return []
+        import pyarrow.dataset as ds
+
+        if self._terms_ds is None:
+            self._terms_ds = ds.dataset(self._terms_path, format="parquet")
+        # tokenizer terms are [a-z0-9]+; bumping the last code point gives a
+        # tight exclusive upper bound ('z'+1='{', '9'+1=':' — both sort
+        # above every token character)
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        tbl = self._terms_ds.to_table(
+            columns=["term", "df"],
+            filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
+        )
+        pairs = sorted(
+            zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist()))
+        )
+        return pairs[: max(int(limit), 0)]
+
     def cache(self) -> "BM25Index":
         """Serving mode: pin the posting blocks in executor memory
         (MEMORY_AND_DISK), PRE-PARTITIONED by shard_id. The one-time

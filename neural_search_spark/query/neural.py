@@ -31,8 +31,12 @@ class QuerySpec:
     """Parsed neural/neural_sparse/hybrid sub-query, pre-rewrite."""
 
     query_type: str  # "neural" | "neural_sparse" | "neural_knn" | "match"
-    #                  | "match_phrase" | "multi_match"
+    #                  | "match_phrase" | "match_phrase_prefix" | "multi_match"
     field: str = "text"
+    # match_phrase_prefix only: dictionary-expansion cap for the trailing
+    # prefix position (MatchPhrasePrefixQueryBuilder.maxExpansions, default
+    # 50 — OpenSearch's MatchQuery.DEFAULT_MAX_EXPANSIONS)
+    max_expansions: int = 50
     # multi_match only: field list with optional "name^boost" suffixes;
     # match_type "best_fields" (DisjunctionMaxQuery: max + tie_breaker ×
     # sum-of-others) or "most_fields" (bool-should sum) — OpenSearch's
@@ -148,6 +152,16 @@ def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFra
 
         return phrase_scored_scan(
             scoped, spec.query_text or "", id_col=id_col, text_col=spec.field
+        )
+    if spec.query_type == "match_phrase_prefix":
+        from .phrase import phrase_prefix_scored_scan
+
+        return phrase_prefix_scored_scan(
+            scoped,
+            spec.query_text or "",
+            max_expansions=spec.max_expansions,
+            id_col=id_col,
+            text_col=spec.field,
         )
     if spec.query_type == "multi_match":
         return multi_match_scored(

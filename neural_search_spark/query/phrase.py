@@ -1,4 +1,4 @@
-"""match_phrase: exact-phrase top-k over the positions sidecar.
+"""match_phrase / match_phrase_prefix: positional top-k over the sidecar.
 
 Lucene semantics (`PhraseQuery` + `ExactPhraseScorer`, the OpenSearch
 `match_phrase` execution path the reference plugin's text sub-queries can
@@ -13,15 +13,32 @@ carry inside hybrid requests):
   per term in the phrase array);
 * a phrase with any out-of-vocabulary token matches nothing.
 
-Execution shapes, mirroring the BM25 serve paths:
+`match_phrase_prefix` (`MatchPhrasePrefixQueryBuilder` →
+`MultiPhrasePrefixQuery`, host-engine behavior like bool/multi_match):
+the LAST position accepts any of up to ``max_expansions`` dictionary
+terms with the typed prefix, enumerated in term (lexicographic) order —
+`MultiPhrasePrefixQuery.getPrefixTerms`; no expansion terms ⇒ matches
+nothing (`MatchNoDocsQuery` rewrite). Scoring follows
+`MultiPhraseQuery.MultiPhraseWeight`: idf is summed over EVERY term in
+every position array (each expansion contributes its idf), and the
+match positions at the expanded offset are the UNION of the expansion
+terms' positions (`UnionPostingsEnum`). One documented divergence: the
+expansion is over the index's global dictionary, not per-segment.
+
+Both variants share generalized kernels over ``offset_tids`` — per
+phrase offset, the LIST of term-ids accepted there (singletons for
+exact phrases):
 
 * driver mode (Σdf under ``DRIVER_MAX_POSTINGS``): pyarrow
-  predicate-pushdown read of the phrase terms' position rows (term_bucket
-  partition pruning + tid filter), candidate docs = sorted-array
-  intersection starting from the RAREST term, freq via vectorized
-  np.intersect1d chains — the coordinator-cheap-query pattern;
+  predicate-pushdown read of the terms' position rows (term_bucket
+  partition pruning + tid filter); candidates = sorted-array membership
+  chains seeded from the rarest required term; phrase freq for ALL
+  candidates at once — every position is tagged with
+  candidate_index·2^40 and ONE sorted-intersection chain over the
+  tagged per-offset streams (union offsets concatenate member streams)
+  feeds a bincount of surviving tags;
 * distributed mode: partition-pruned scan → left-semi join against the
-  rarest term's doc set (bounds the shuffle at min-df × phrase length,
+  seed term's doc set (bounds the shuffle at min-df × phrase length,
   the classic leading-term optimization) → doc-sharded
   ``applyInPandas`` verify/score kernel → TakeOrderedAndProject top-k.
 
@@ -45,10 +62,15 @@ from ..ranking import topk_rank_window
 from ..tokenizer import tokenize_expr, tokenize_py
 from .bm25 import DRIVER_MAX_POSTINGS, BM25Index, _live_mask, lucene_idf
 
+# candidate-index stride for the tagged-stream kernel: bands 2^40 apart
+# (> any document length), candidate counts bounded far below 2^23 by
+# DRIVER_MAX_POSTINGS, so tag·STRIDE + (pos − offset) never crosses bands
+_STRIDE = np.int64(1) << 40
+
 
 def phrase_freq(pos_by_offset: list[np.ndarray]) -> int:
-    """|{p : token_j at p+j ∀j}| via sorted-intersect chains (arrays come
-    sorted off the index; early-exits on the first empty intersection)."""
+    """|{p : some accepted token at p+j ∀j}| via sorted-intersect chains
+    (arrays come sorted off the index; early-exits on empty)."""
     P = np.asarray(pos_by_offset[0], dtype=np.int64)
     for j in range(1, len(pos_by_offset)):
         if P.size == 0:
@@ -88,30 +110,31 @@ def _score_docs(
     )
 
 
-def phrase_scored_scan(
+# ---------------------------------------------------------------------------
+# corpus-scan (index-free) forms
+# ---------------------------------------------------------------------------
+def _scan_scored(
     docs: DataFrame,
-    phrase_text: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    fixed_tokens: list[str],
+    prefix: str | None,
+    max_expansions: int,
+    id_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """Corpus-scan exact-phrase scores → (doc_id, score double) — the
-    index-free plan ``Engine`` routes to when no positions sidecar is
-    attached (or a pre-scoring filter / collect-time allowed-set makes the
-    index kernels' pre-truncated top-k unusable).
-
-    Pure Catalyst: tokenize → posexplode → per-offset positional
-    equi-joins keyed on (doc_id, aligned pos) → count = phrase freq. The
-    join chain is doc-keyed so hot terms spread across partitions; each
-    join's build side is one phrase token's postings (corpus-frequency
+    """Shared index-free positional scorer: tokenize → posexplode →
+    per-offset positional equi-joins keyed on (doc_id, aligned pos) →
+    count = phrase freq. ``prefix`` (if set) is the trailing offset,
+    expanded to ≤``max_expansions`` distinct corpus terms in
+    lexicographic order (the dictionary IS the corpus here). The join
+    chain is doc-keyed so hot terms spread across partitions; each
+    join's build side is one offset's postings (corpus-frequency
     bounded, never the whole corpus). Stats (n_docs/avgdl/df) come from
     the SAME scoped frame, matching ``bm25_scored``'s convention for
     filtered sub-queries."""
-    tokens = tokenize_py(phrase_text)
     spark = docs.sparkSession
-    if not tokens:
-        return spark.range(0).select(
-            F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
-        )
+    empty = spark.range(0).select(
+        F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+    )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         tokenize_expr(text_col).alias("toks"),
@@ -120,27 +143,51 @@ def phrase_scored_scan(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = int(srow["n"]), float(srow["avgdl"] or 1.0)
+    fixed_set = sorted(set(fixed_tokens))
+    keep = F.col("term").isin(fixed_set) if fixed_set else F.lit(False)
+    if prefix is not None:
+        keep = keep | F.col("term").startswith(prefix)
     tokpos = toks.select(
         "doc_id", "dl", F.posexplode("toks").alias("pos", "term")
-    ).filter(F.col("term").isin(sorted(set(tokens))))
+    ).filter(keep)
+    expansions: list[str] = []
+    if prefix is not None:
+        # vocabulary-bounded driver collect — mirrors the index path's
+        # dictionary read (MultiPhrasePrefixQuery enumerates the dict)
+        expansions = [
+            r["term"]
+            for r in tokpos.filter(F.col("term").startswith(prefix))
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .limit(int(max_expansions))
+            .collect()
+        ]
+        if not expansions:
+            return empty
+    wanted = sorted(set(fixed_set) | set(expansions))
     dfreq = {
         r["term"]: int(r["df"])
-        for r in tokpos.groupBy("term")
+        for r in tokpos.filter(F.col("term").isin(wanted))
+        .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
         .collect()
     }
-    if any(t not in dfreq for t in tokens):
-        return spark.range(0).select(
-            F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
-        )
-    idf_total = sum(lucene_idf(n_docs, dfreq[t]) for t in tokens)
+    if any(t not in dfreq for t in fixed_tokens):
+        return empty
+    idf_total = sum(lucene_idf(n_docs, dfreq[t]) for t in fixed_tokens) + sum(
+        lucene_idf(n_docs, dfreq[t]) for t in expansions
+    )
     from .. import BM25_B, BM25_K1
 
-    chain = tokpos.filter(F.col("term") == tokens[0]).select(
-        "doc_id", "dl", "pos"
-    )
-    for j in range(1, len(tokens)):
-        pj = tokpos.filter(F.col("term") == tokens[j]).select(
+    offsets: list[F.Column] = [
+        F.col("term") == t for t in fixed_tokens
+    ]
+    if prefix is not None:
+        offsets.append(F.col("term").isin(expansions))
+    chain = tokpos.filter(offsets[0]).select("doc_id", "dl", "pos")
+    for j in range(1, len(offsets)):
+        pj = tokpos.filter(offsets[j]).select(
             "doc_id", (F.col("pos") - j).alias("pos")
         )
         chain = chain.join(pj, ["doc_id", "pos"])
@@ -159,6 +206,47 @@ def phrase_scored_scan(
     )
 
 
+def phrase_scored_scan(
+    docs: DataFrame,
+    phrase_text: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-scan exact-phrase scores → (doc_id, score double) — the
+    index-free plan ``Engine`` routes to when no positions sidecar is
+    attached (or a pre-scoring filter / collect-time allowed-set makes the
+    index kernels' pre-truncated top-k unusable)."""
+    tokens = tokenize_py(phrase_text)
+    if not tokens:
+        return docs.sparkSession.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+        )
+    return _scan_scored(docs, tokens, None, 0, id_col, text_col)
+
+
+def phrase_prefix_scored_scan(
+    docs: DataFrame,
+    phrase_text: str,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-scan match_phrase_prefix scores → (doc_id, score double):
+    the last token is a prefix, expanded against the scoped corpus's own
+    vocabulary (lexicographic order, ≤max_expansions)."""
+    tokens = tokenize_py(phrase_text)
+    if not tokens:
+        return docs.sparkSession.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+        )
+    return _scan_scored(
+        docs, tokens[:-1], tokens[-1], max_expansions, id_col, text_col
+    )
+
+
+# ---------------------------------------------------------------------------
+# index-backed top-k
+# ---------------------------------------------------------------------------
 def phrase_topk(
     index: BM25Index, phrase_text: str, k: int = 10, mode: str = "auto"
 ) -> DataFrame:
@@ -168,12 +256,7 @@ def phrase_topk(
     ``bm25_topk``. Requires ``build_positions`` to have been run on the
     index (raises otherwise: positions are an opt-in sidecar)."""
     spark = index.spark
-    if not has_positions(index.path):
-        raise ValueError(
-            f"index at {index.path} has no positions sidecar — run "
-            "index.positions.build_positions first (phrase queries read "
-            "positions, which the BM25-only build does not store)"
-        )
+    _require_positions(index)
     tokens = tokenize_py(phrase_text)
     if not tokens:
         return _empty_topk(spark)
@@ -181,35 +264,102 @@ def phrase_topk(
     if any(t not in stats for t in tokens):
         return _empty_topk(spark)  # OOV token ⇒ phrase cannot match
     idf_total = sum(lucene_idf(index.n_docs, stats[t]) for t in tokens)
-    # offsets per DISTINCT tid: duplicate tokens share one posting fetch
-    offsets: dict[int, list[int]] = {}
-    for j, t in enumerate(tokens):
-        offsets.setdefault(tid_py(t), []).append(j)
-    rarest = tid_py(min(set(tokens), key=lambda t: stats[t]))
+    offset_tids = [[tid_py(t)] for t in tokens]
+    seed = [tid_py(min(set(tokens), key=lambda t: stats[t]))]
     sum_df = sum(stats[t] for t in set(tokens))
+    return _dispatch(index, offset_tids, seed, idf_total, k, mode, sum_df)
 
+
+def phrase_prefix_topk(
+    index: BM25Index,
+    phrase_text: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    mode: str = "auto",
+) -> DataFrame:
+    """Top-k match_phrase_prefix matches. Returns (doc_id, score, rank).
+
+    The last token of ``phrase_text`` is treated as a prefix and expanded
+    via ``BM25Index.prefix_stats`` (≤max_expansions dictionary terms in
+    lexicographic order). idf sums every fixed token per occurrence PLUS
+    every expansion term once (MultiPhraseWeight's statistics contract);
+    the expanded offset matches the union of the expansions' positions."""
+    spark = index.spark
+    _require_positions(index)
+    tokens = tokenize_py(phrase_text)
+    if not tokens:
+        return _empty_topk(spark)
+    fixed, prefix = tokens[:-1], tokens[-1]
+    stats = index.term_stats(sorted(set(fixed)))
+    if any(t not in stats for t in fixed):
+        return _empty_topk(spark)
+    expansions = index.prefix_stats(prefix, max_expansions)
+    if not expansions:
+        return _empty_topk(spark)  # MatchNoDocsQuery rewrite
+    idf_total = sum(lucene_idf(index.n_docs, stats[t]) for t in fixed) + sum(
+        lucene_idf(index.n_docs, df) for _, df in expansions
+    )
+    offset_tids = [[tid_py(t)] for t in fixed]
+    offset_tids.append([tid_py(t) for t, _ in expansions])
+    if fixed:
+        seed = [tid_py(min(set(fixed), key=lambda t: stats[t]))]
+    else:
+        seed = list(offset_tids[-1])
+    sum_df = sum(stats[t] for t in set(fixed)) + sum(
+        df for _, df in expansions
+    )
+    return _dispatch(index, offset_tids, seed, idf_total, k, mode, sum_df)
+
+
+def _require_positions(index: BM25Index) -> None:
+    if not has_positions(index.path):
+        raise ValueError(
+            f"index at {index.path} has no positions sidecar — run "
+            "index.positions.build_positions first (phrase queries read "
+            "positions, which the BM25-only build does not store)"
+        )
+
+
+def _dispatch(
+    index: BM25Index,
+    offset_tids: list[list[int]],
+    seed: list[int],
+    idf_total: float,
+    k: int,
+    mode: str,
+    sum_df: int,
+) -> DataFrame:
     if mode == "driver" or (mode == "auto" and sum_df <= DRIVER_MAX_POSTINGS):
-        pdf = _phrase_topk_driver(index, offsets, rarest, idf_total, k)
-        return spark.createDataFrame(
+        pdf = _mphrase_topk_driver(index, offset_tids, idf_total, k)
+        return index.spark.createDataFrame(
             pdf, schema="doc_id long, score float, rank int"
         )
-    return _phrase_topk_distributed(index, offsets, rarest, idf_total, k)
+    return _mphrase_topk_distributed(index, offset_tids, seed, idf_total, k)
 
 
 def _positions_path(index: BM25Index) -> str:
     return os.path.join(index.path, "positions")
 
 
-def _phrase_topk_driver(
+def _member(sorted_arr: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """Boolean membership of each cand element in a sorted unique array."""
+    if sorted_arr.size == 0 or cand.size == 0:
+        return np.zeros(cand.size, dtype=bool)
+    p = np.searchsorted(sorted_arr, cand)
+    return (p < sorted_arr.size) & (
+        sorted_arr[np.minimum(p, sorted_arr.size - 1)] == cand
+    )
+
+
+def _mphrase_topk_driver(
     index: BM25Index,
-    offsets: dict[int, list[int]],
-    rarest: int,
+    offset_tids: list[list[int]],
     idf_total: float,
     k: int,
 ) -> pd.DataFrame:
     import pyarrow.dataset as ds
 
-    tids = sorted(offsets)
+    tids = sorted({t for g in offset_tids for t in g})
     buckets = sorted({t % N_TERM_BUCKETS for t in tids})
     tbl = ds.dataset(
         _positions_path(index), format="parquet", partitioning="hive"
@@ -222,8 +372,7 @@ def _phrase_topk_driver(
     doc_arr = tbl["doc_id"].to_numpy()
     dl_arr = tbl["dl"].to_numpy()
     # positions stay an arrow ListArray: flat value buffer + row offsets,
-    # no per-row python materialization (to_pylist was the kernel's cost
-    # at stopword-bigram scale)
+    # no per-row python materialization
     pos_list = tbl.column("positions").combine_chunks()
     pos_flat = pos_list.values.to_numpy(zero_copy_only=False).astype(np.int64)
     pos_offs = np.asarray(pos_list.offsets).astype(np.int64)
@@ -234,27 +383,6 @@ def _phrase_topk_driver(
         rows = np.flatnonzero(tid_arr == t)
         order = np.argsort(doc_arr[rows], kind="mergesort")
         per_tid[t] = (doc_arr[rows[order]], rows[order])
-    cand, cand_rows = per_tid[rarest]
-    live = _live_mask(cand, index.deletes)
-    if live is not None:
-        cand, cand_rows = cand[live], cand_rows[live]
-    # conjunction: docs present for EVERY distinct term (sorted-array isin)
-    row_ix = {rarest: cand_rows}
-    for t in tids:
-        if t == rarest:
-            continue
-        docs_t, rows_t = per_tid[t]
-        if docs_t.size == 0 or cand.size == 0:
-            cand = cand[:0]
-            break
-        pos = np.searchsorted(docs_t, cand)
-        ok = (pos < len(docs_t)) & (
-            docs_t[np.minimum(pos, max(len(docs_t) - 1, 0))] == cand
-        )
-        cand = cand[ok]
-        for tt in row_ix:
-            row_ix[tt] = row_ix[tt][ok]
-        row_ix[t] = rows_t[pos[ok]]
     empty = pd.DataFrame(
         {
             "doc_id": pd.Series(dtype="int64"),
@@ -262,19 +390,66 @@ def _phrase_topk_driver(
             "rank": pd.Series(dtype="int32"),
         }
     )
+    groups = [sorted(set(g)) for g in offset_tids]
+    req = sorted({g[0] for g in groups if len(g) == 1})
+    unions = [g for g in groups if len(g) > 1]
+    # candidate seed: rarest required term, else the first union group
+    if req:
+        seed_t = min(req, key=lambda t: per_tid[t][0].size)
+        cand = per_tid[seed_t][0]
+    elif unions:
+        parts = [per_tid[t][0] for t in unions[0] if per_tid[t][0].size]
+        if not parts:
+            return empty
+        cand = np.unique(np.concatenate(parts))
+    else:
+        return empty
+    live = _live_mask(cand, index.deletes)
+    if live is not None:
+        cand = cand[live]
+    # conjunction: every required term present, every union group hit ≥once
+    for t in req:
+        if cand.size == 0:
+            break
+        if t == seed_t:  # seed_t is always bound when req is non-empty
+            continue
+        cand = cand[_member(per_tid[t][0], cand)]
+    for g in unions:
+        if cand.size == 0:
+            break
+        parts = [per_tid[t][0] for t in g if per_tid[t][0].size]
+        if not parts:
+            return empty
+        gdocs = np.unique(np.concatenate(parts))
+        cand = cand[_member(gdocs, cand)]
     if cand.size == 0:
         return empty
+    # per-tid candidate coverage: (candidate indices, sidecar rows) for the
+    # subset of candidates containing that term (full for required terms)
+    cov: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    dl_cand = np.zeros(cand.size, dtype=np.int64)
+    for t in tids:
+        docs_t, rows_t = per_tid[t]
+        ok = _member(docs_t, cand)
+        p = np.searchsorted(docs_t, cand) if docs_t.size else None
+        ci = np.flatnonzero(ok)
+        rows = rows_t[p[ok]] if ci.size else rows_t[:0]
+        cov[t] = (ci, rows)
+        if ci.size:
+            dl_cand[ci] = dl_arr[rows]
     # vectorized phrase freq across ALL candidates at once: tag every
     # position with candidate_index·STRIDE, run ONE sorted-intersection
-    # chain over the tagged streams (per-doc position lists are ascending
-    # and strides separate docs, so each stream is strictly increasing),
-    # then bincount the surviving tags. Replaces a python loop of
-    # per-candidate intersect1d calls — the dominant cost for common-term
-    # phrases (tens of thousands of candidates).
-    STRIDE = np.int64(1) << 40  # > any dl; cand.size < 2^23 by DRIVER cap
+    # chain over the per-offset tagged streams (per-doc position lists are
+    # ascending and strides separate docs, so each stream is strictly
+    # increasing; union offsets concatenate member streams and re-sort —
+    # still unique, one token per document position), then bincount the
+    # surviving tags.
     tagged: dict[int, np.ndarray] = {}
     for t in tids:
-        rows = row_ix[t]
+        ci, rows = cov[t]
+        if ci.size == 0:
+            tagged[t] = np.empty(0, dtype=np.int64)
+            continue
         starts = pos_offs[rows]
         lens = pos_offs[rows + 1] - starts
         total = int(lens.sum())
@@ -288,20 +463,29 @@ def _phrase_topk_driver(
             + np.repeat(starts, lens)
         )
         tagged[t] = pos_flat[gather] + np.repeat(
-            np.arange(cand.size, dtype=np.int64) * STRIDE, lens
+            ci.astype(np.int64) * _STRIDE, lens
         )
-    P: np.ndarray | None = None
-    for t, js in offsets.items():
-        for j in js:
-            Q = tagged[t] - j
-            P = Q if P is None else np.intersect1d(P, Q, assume_unique=True)
-            if P.size == 0:
-                break
-        if P is not None and P.size == 0:
+    streams: list[np.ndarray] = []
+    for j, g in enumerate(groups):
+        if len(g) == 1:
+            s = tagged[g[0]] - j
+        else:
+            parts = [tagged[t] for t in g if tagged[t].size]
+            s = (
+                np.sort(np.concatenate(parts)) - j
+                if parts
+                else np.empty(0, dtype=np.int64)
+            )
+        streams.append(s)
+    streams.sort(key=len)  # rarest stream first → smallest intersections
+    P = streams[0]
+    for s in streams[1:]:
+        if P.size == 0:
             break
+        P = np.intersect1d(P, s, assume_unique=True)
     freqs = (
-        np.bincount(P // STRIDE, minlength=cand.size)
-        if P is not None and P.size
+        np.bincount(P // _STRIDE, minlength=cand.size)
+        if P.size
         else np.zeros(cand.size, dtype=np.int64)
     )
     hit = freqs > 0
@@ -310,7 +494,7 @@ def _phrase_topk_driver(
     scored = _score_docs(
         cand[hit],
         freqs[hit],
-        dl_arr[row_ix[rarest][hit]],
+        dl_cand[hit],
         idf_total,
         index.k1,
         index.b,
@@ -323,21 +507,27 @@ def _phrase_topk_driver(
     return scored.reset_index(drop=True)
 
 
-def _phrase_topk_distributed(
+def _mphrase_topk_distributed(
     index: BM25Index,
-    offsets: dict[int, list[int]],
-    rarest: int,
+    offset_tids: list[list[int]],
+    seed: list[int],
     idf_total: float,
     k: int,
 ) -> DataFrame:
     spark = index.spark
-    tids = sorted(offsets)
+    tids = sorted({t for g in offset_tids for t in g})
     buckets = sorted({t % N_TERM_BUCKETS for t in tids})
     pos = spark.read.parquet(_positions_path(index)).filter(
         F.col("term_bucket").isin(buckets) & F.col("tid").isin(tids)
     )
-    # leading-term bound: only docs containing the rarest term shuffle
-    rare_docs = pos.filter(F.col("tid") == rarest).select("doc_id")
+    # leading-term bound: only docs containing the seed (rarest required
+    # term, or any expansion when the whole phrase is one prefix) shuffle
+    if len(seed) == 1:
+        rare_docs = pos.filter(F.col("tid") == seed[0]).select("doc_id")
+    else:
+        rare_docs = (
+            pos.filter(F.col("tid").isin(seed)).select("doc_id").distinct()
+        )
     cand = pos.join(rare_docs, "doc_id", "left_semi").withColumn(
         "doc_shard",
         F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(index.n_shards)).cast(
@@ -346,9 +536,7 @@ def _phrase_topk_distributed(
     )
     k1, b, avgdl = index.k1, index.b, index.avgdl
     deletes = index.deletes
-    offs = {t: list(js) for t, js in offsets.items()}
-    n_terms = len(offs)
-    L = 1 + max(j for js in offs.values() for j in js)
+    groups = [sorted(set(g)) for g in offset_tids]
 
     def verify_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -364,14 +552,25 @@ def _phrase_topk_distributed(
             ends = np.concatenate((starts[1:], [len(docs)]))
             o_doc, o_freq, o_dl = [], [], []
             for s, e in zip(starts, ends):
-                if e - s != n_terms:
-                    continue  # some phrase term absent from this doc
-                by_tid = {int(tid_a[i]): pos_a[i] for i in range(s, e)}
-                by_off: list[np.ndarray] = [None] * L  # type: ignore
-                for t, js in offs.items():
-                    p = np.asarray(by_tid[t], dtype=np.int64)
-                    for j in js:
-                        by_off[j] = p
+                present = {int(tid_a[i]): pos_a[i] for i in range(s, e)}
+                by_off: list[np.ndarray] = []
+                ok = True
+                for g in groups:
+                    parts = [
+                        np.asarray(present[t], dtype=np.int64)
+                        for t in g
+                        if t in present
+                    ]
+                    if not parts:
+                        ok = False
+                        break
+                    by_off.append(
+                        parts[0]
+                        if len(parts) == 1
+                        else np.sort(np.concatenate(parts))
+                    )
+                if not ok:
+                    continue
                 fr = phrase_freq(by_off)
                 if fr:
                     o_doc.append(docs[s])

@@ -25,6 +25,8 @@ from neural_search_spark.index.positions import build_positions, has_positions
 from neural_search_spark.query.bm25 import BM25Index, lucene_idf
 from neural_search_spark.query.phrase import (
     phrase_freq,
+    phrase_prefix_scored_scan,
+    phrase_prefix_topk,
     phrase_scored_scan,
     phrase_topk,
 )
@@ -169,6 +171,144 @@ def test_engine_phrase_routing(ph_setup, transcripts_df, spark):
     # corpus-scan route: same spec but with a pushed filter (always true)
     spec2 = spec_from_json({"match_phrase": {"query_text": "the tool"}})
     spec2.filter = F.lit(True)
+    via_scan = eng.search(spec2, k=10).toPandas()
+    assert (via_scan.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+    assert np.allclose(via_scan.score, exp.score, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# match_phrase_prefix (MultiPhrasePrefixQuery semantics)
+# ---------------------------------------------------------------------------
+def prefix_oracle(idx, tt, phrase, k=10, max_expansions=50):
+    """Brute force: last token = prefix, expanded over the corpus
+    vocabulary in lexicographic order (≤max_expansions); idf sums every
+    fixed token per occurrence + every expansion once; the expanded
+    offset matches the UNION of the expansions' positions."""
+    toks = tokenize_py(phrase)
+    fixed, prefix = toks[:-1], toks[-1]
+    vocab = sorted({t for l in tt.toks for t in l})
+    exps = [t for t in vocab if t.startswith(prefix)][:max_expansions]
+    dfs = {
+        t: int(sum(t in set(l) for l in tt.toks))
+        for t in set(fixed) | set(exps)
+    }
+    if not exps or any(dfs.get(t, 0) == 0 for t in set(fixed)):
+        return pd.DataFrame({"doc_id": [], "score": []})
+    idf_total = sum(lucene_idf(idx.n_docs, dfs[t]) for t in fixed) + sum(
+        lucene_idf(idx.n_docs, dfs[t]) for t in exps
+    )
+    exp_set = set(exps)
+    rows = []
+    for did, dl, l in zip(tt.doc_id, tt.dl, tt.toks):
+        arr = np.asarray(l, dtype=object)
+        pos_by, ok = [], True
+        for t in fixed:
+            p = np.flatnonzero(arr == t).astype(np.int64)
+            if p.size == 0:
+                ok = False
+                break
+            pos_by.append(p)
+        if not ok:
+            continue
+        pu = np.flatnonzero(
+            np.asarray([x in exp_set for x in l], dtype=bool)
+        ).astype(np.int64)
+        if pu.size == 0:
+            continue
+        pos_by.append(pu)
+        fr = phrase_freq(pos_by)
+        if fr:
+            tfn = fr / (fr + idx.k1 * (1 - idx.b + idx.b * dl / idx.avgdl))
+            rows.append((did, np.float32(idf_total * tfn)))
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "score"])
+        .sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+PREFIX_PHRASES = [
+    "the to",       # fixed term + multi-term expansion
+    "th",           # single-token prefix: all-union phrase
+    "the zz9qx",    # prefix with zero expansions ⇒ MatchNoDocsQuery
+]
+
+
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+@pytest.mark.parametrize("phrase", PREFIX_PHRASES)
+def test_phrase_prefix_matches_bruteforce(ph_setup, mode, phrase):
+    idx, tt = ph_setup
+    got = phrase_prefix_topk(idx, phrase, k=10, mode=mode).toPandas()
+    exp = prefix_oracle(idx, tt, phrase, k=10)
+    assert len(got) == len(exp)
+    if len(got):
+        assert (got.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+        assert np.allclose(got.score, exp.score, atol=1e-5)
+
+
+def test_phrase_prefix_max_expansions_cap(ph_setup):
+    """Capping expansions changes both the match set and idf — assert the
+    capped run equals an oracle capped to the SAME lexicographic cut."""
+    idx, tt = ph_setup
+    for me in (1, 3):
+        got = phrase_prefix_topk(
+            idx, "the to", k=10, max_expansions=me, mode="driver"
+        ).toPandas()
+        exp = prefix_oracle(idx, tt, "the to", k=10, max_expansions=me)
+        assert len(got) == len(exp)
+        if len(got):
+            assert (got.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+            assert np.allclose(got.score, exp.score, atol=1e-5)
+
+
+def test_phrase_prefix_dictionary_order(ph_setup):
+    """prefix_stats enumerates the dictionary in lexicographic order with
+    correct per-term dfs (MultiPhrasePrefixQuery.getPrefixTerms)."""
+    idx, tt = ph_setup
+    pairs = idx.prefix_stats("th", limit=5)
+    vocab = sorted({t for l in tt.toks for t in l})
+    want = [t for t in vocab if t.startswith("th")][:5]
+    assert [t for t, _ in pairs] == want
+    for t, df in pairs:
+        assert df == int(sum(t in set(l) for l in tt.toks))
+
+
+def test_phrase_prefix_scan_matches_index(ph_setup, transcripts_df):
+    idx, tt = ph_setup
+    from neural_search_spark.index.build import doc_id_col
+
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    got = (
+        phrase_prefix_scored_scan(docs, "the to")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .toPandas()
+    )
+    exp = prefix_oracle(idx, tt, "the to", k=10)
+    assert (got.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+    assert np.allclose(got.score, exp.score, atol=1e-5)
+
+
+def test_engine_phrase_prefix_routing(ph_setup, transcripts_df, spark):
+    from neural_search_spark.engine import Engine, spec_from_json
+    from neural_search_spark.index.build import doc_id_col
+
+    idx, tt = ph_setup
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs, bm25_index=idx)
+    spec = spec_from_json(
+        {"match_phrase_prefix": {"query_text": "the to"}}
+    )
+    exp = prefix_oracle(idx, tt, "the to", k=10)
+    via_index = eng.search(spec, k=10).toPandas()
+    assert (via_index.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+    spec2 = spec_from_json(
+        {"match_phrase_prefix": {"query_text": "the to"}}
+    )
+    spec2.filter = F.lit(True)  # forces the corpus-scan route
     via_scan = eng.search(spec2, k=10).toPandas()
     assert (via_scan.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
     assert np.allclose(via_scan.score, exp.score, atol=1e-5)
