@@ -92,7 +92,14 @@ def cmd_query(args) -> None:
     idx = BM25Index(spark, args.index)
     if args.deletes:
         idx.with_deletes(spark.read.parquet(args.deletes).select("doc_id"))
-    out = bm25_topk(idx, args.query, k=args.k, merge=args.merge)
+    out = bm25_topk(
+        idx,
+        args.query,
+        k=args.k,
+        merge=args.merge,
+        operator=args.operator,
+        minimum_should_match=args.minimum_should_match,
+    )
     for row in out.collect():
         print(json.dumps(row.asDict()))
 
@@ -258,6 +265,11 @@ def main(argv=None) -> None:
     q.add_argument("--deletes", default=None,
                    help="parquet with a doc_id column: query-time tombstones "
                    "(liveDocs analog — stats stay stale until a merge)")
+    q.add_argument("--operator", default="or", choices=["or", "and"],
+                   help="'and' requires every distinct query term")
+    q.add_argument("--min-should-match", default=None,
+                   dest="minimum_should_match",
+                   help="term-coverage bar: int, negative int, or 'N%%'")
     q.set_defaults(fn=cmd_query)
 
     ph = sub.add_parser(

@@ -232,7 +232,11 @@ class Engine:
                 from .query.bm25 import bm25_topk
 
                 return bm25_topk(
-                    self.bm25_index, spec.query_text or "", k=k
+                    self.bm25_index,
+                    spec.query_text or "",
+                    k=k,
+                    operator=spec.operator,
+                    minimum_should_match=spec.minimum_should_match,
                 ).drop("rank")
             return _bound(
                 execute(spec, self._need_corpus("match"), self.id_col)

@@ -101,9 +101,13 @@ def bm25_scored(
     query_text: str,
     ndp: int | None = 4,
     stats_key: tuple | None = None,
+    min_match: int = 1,
 ) -> DataFrame:
     """All matching docs scored (score rounded to ndp; None = raw).
-    stats_key caches (n_docs, avgdl) across calls on the same corpus."""
+    stats_key caches (n_docs, avgdl) across calls on the same corpus.
+    min_match: keep only docs matching ≥ that many distinct query terms
+    (operator=and / minimum_should_match coverage gate — scores stay the
+    full sum over matched terms, Lucene BooleanQuery semantics)."""
     spark = df.sparkSession
     toks = df.select(*keys, tokenize_expr("text").alias("toks")).withColumn(
         "dl", F.size("toks")
@@ -141,8 +145,15 @@ def bm25_scored(
             ),
         )
         .groupBy(*keys)
-        .agg(F.sum("contrib").alias("score"))
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count(F.lit(1)).alias("_n_matched"),
+        )
     )
+    if min_match > 1:
+        # tf rows are one per (doc, term), so count(*) = distinct terms hit
+        scored = scored.filter(F.col("_n_matched") >= min_match)
+    scored = scored.drop("_n_matched")
     if ndp is not None:
         scored = scored.withColumn("score", F.round("score", ndp))
     return scored
@@ -212,11 +223,20 @@ def bm25_scored_tall(
     return scored
 
 
-def bm25_scored_sql(rel: str, keys: list[str], query_text: str, ndp: int | None = 4) -> str:
+def bm25_scored_sql(
+    rel: str,
+    keys: list[str],
+    query_text: str,
+    ndp: int | None = 4,
+    min_match: int = 1,
+) -> str:
     keylist = ", ".join(keys)
     terms = sorted(set(tokenize_py(query_text)))
     qlist = ", ".join(f"'{t}'" for t in terms)
     score = "scr" if ndp is None else f"round(scr, {ndp})"
+    # one tf row per (doc, term): count(*) in the final group = distinct
+    # matched terms, the operator=and / minimum_should_match coverage gate
+    having = f" HAVING count(*) >= {min_match}" if min_match > 1 else ""
     return f"""
 SELECT {keylist}, {score} AS score FROM (
   WITH corpus AS (SELECT {keylist}, {TOK} AS toks FROM {rel} AS r),
@@ -229,7 +249,7 @@ SELECT {keylist}, {score} AS score FROM (
     sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
         * tf.tf / (tf.tf + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*tf.dl/s.avgdl))) AS scr
   FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
-  GROUP BY {keylist}
+  GROUP BY {keylist}{having}
 )"""
 
 
@@ -379,6 +399,8 @@ def _index_topk(
     merge: str,
     merged: bool = False,
     tombstones: bool = False,
+    operator: str = "or",
+    minimum_should_match=None,
 ) -> DataFrame:
     from .index.build import doc_id_col
     from .query.bm25 import BM25Index, bm25_topk
@@ -395,7 +417,14 @@ def _index_topk(
     # over-fetch (k'=50) on the engine's float32 ordering, then re-rank on
     # the rounded score with the natural-key tiebreak so the oracle's
     # double-precision ordering selects the identical 20 rows
-    raw = bm25_topk(idx, query, k=50, merge=merge).drop("rank")
+    raw = bm25_topk(
+        idx,
+        query,
+        k=50,
+        merge=merge,
+        operator=operator,
+        minimum_should_match=minimum_should_match,
+    ).drop("rank")
     tr = derived_transcripts(spark, sf).withColumn("doc_id", doc_id_col())
     joined = raw.join(tr.select("doc_id", "conv_id", "turn_idx"), "doc_id").select(
         "conv_id", "turn_idx", F.round(F.col("score").cast("double"), 4).alias("score")
@@ -404,17 +433,30 @@ def _index_topk(
 
 
 def q_bm25_index_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Two variants in one slot (round-4): 'live' = the plain index serve;
-    'tomb' = the same serve under query-time liveDocs tombstones
-    (``BM25Index.with_deletes``, docs with turn_idx % 7 == 3 deleted).
-    The tombstone contract is value-checked end-to-end: stats stay STALE
-    (n_docs/df/avgdl still count deleted docs), so the oracle scores the
-    FULL corpus and only then filters the deleted rows — live docs' scores
-    must be bit-unchanged, deleted docs absent."""
+    """Four variants in one slot (round-4): 'live' = the plain index
+    serve; 'tomb' = the same serve under query-time liveDocs tombstones
+    (``BM25Index.with_deletes``, docs with turn_idx % 7 == 3 deleted);
+    'and'/'msm2' = operator=and and minimum_should_match=2 coverage
+    gates. The tombstone contract is value-checked end-to-end: stats stay
+    STALE (n_docs/df/avgdl still count deleted docs), so the oracle
+    scores the FULL corpus and only then filters the deleted rows — live
+    docs' scores must be bit-unchanged, deleted docs absent. The coverage
+    contract likewise: gates change WHICH docs rank, never how survivors
+    score."""
     live = _index_topk(spark, sf, QUERY_A, merge="takeOrdered")
     tomb = _index_topk(spark, sf, QUERY_A, merge="takeOrdered", tombstones=True)
-    return live.withColumn("variant", F.lit("live")).unionByName(
-        tomb.withColumn("variant", F.lit("tomb"))
+    # coverage-gated variants (round-4): operator=and requires all four
+    # QUERY_A terms; msm2 keeps docs matching ≥2 — scores stay the full
+    # matched-term sum (Lucene BooleanQuery minimum_should_match contract)
+    qand = _index_topk(spark, sf, QUERY_A, merge="takeOrdered", operator="and")
+    msm2 = _index_topk(
+        spark, sf, QUERY_A, merge="takeOrdered", minimum_should_match=2
+    )
+    return (
+        live.withColumn("variant", F.lit("live"))
+        .unionByName(tomb.withColumn("variant", F.lit("tomb")))
+        .unionByName(qand.withColumn("variant", F.lit("and")))
+        .unionByName(msm2.withColumn("variant", F.lit("msm2")))
     )
 
 
@@ -434,19 +476,32 @@ def sql_bm25_index_topk(query: str) -> str:
 
 
 def sql_bm25_index_topk_variants(query: str) -> str:
-    """live ∪ tomb twin of ``q_bm25_index_topk``: the tombstone branch
-    scores the FULL corpus (stale-stats contract) and filters the deleted
-    rows AFTER scoring, before the top-k."""
-    scored = bm25_scored_sql(TRANSCRIPTS_SQL, ["conv_id", "turn_idx"], query)
-    live = _topk_sql(scored, ["conv_id", "turn_idx"], 20)
+    """live ∪ tomb ∪ and ∪ msm2 twin of ``q_bm25_index_topk``: the
+    tombstone branch scores the FULL corpus (stale-stats contract) and
+    filters the deleted rows AFTER scoring, before the top-k; the
+    coverage branches re-score with a HAVING distinct-matched-terms gate
+    (= every term for 'and', ≥2 for 'msm2') while scores remain the full
+    matched-term sum."""
+    keys = ["conv_id", "turn_idx"]
+    n_terms = len(set(tokenize_py(query)))
+    scored = bm25_scored_sql(TRANSCRIPTS_SQL, keys, query)
+    live = _topk_sql(scored, keys, 20)
     tomb = _topk_sql(
-        f"SELECT * FROM ({scored}) WHERE turn_idx % 7 <> 3",
-        ["conv_id", "turn_idx"],
+        f"SELECT * FROM ({scored}) WHERE turn_idx % 7 <> 3", keys, 20
+    )
+    qand = _topk_sql(
+        bm25_scored_sql(TRANSCRIPTS_SQL, keys, query, min_match=n_terms),
+        keys,
         20,
+    )
+    msm2 = _topk_sql(
+        bm25_scored_sql(TRANSCRIPTS_SQL, keys, query, min_match=2), keys, 20
     )
     return (
         f"SELECT 'live' AS variant, * FROM ({live}) "
-        f"UNION ALL SELECT 'tomb' AS variant, * FROM ({tomb})"
+        f"UNION ALL SELECT 'tomb' AS variant, * FROM ({tomb}) "
+        f"UNION ALL SELECT 'and' AS variant, * FROM ({qand}) "
+        f"UNION ALL SELECT 'msm2' AS variant, * FROM ({msm2})"
     )
 
 

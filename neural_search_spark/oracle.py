@@ -56,23 +56,29 @@ class BM25Oracle:
         df = len(self.postings[term][0]) if term in self.postings else 0
         return float(np.log(1.0 + (self.N - df + 0.5) / (df + 0.5)))
 
-    def score_all(self, query_text: str) -> tuple[np.ndarray, np.ndarray]:
-        """Return (doc_ids, scores float32) for all docs matching ≥1 term."""
+    def score_all(
+        self, query_text: str, min_match: int = 1
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Return (doc_ids, scores float32) for all docs matching ≥
+        min_match distinct query terms (scores always sum over every
+        matched term — the Lucene BooleanQuery coverage contract)."""
         terms = sorted(set(tokenize_py(query_text)))
         scores = np.zeros(self.N, dtype=np.float64)
-        matched = np.zeros(self.N, dtype=bool)
+        n_matched = np.zeros(self.N, dtype=np.int64)
         for t in terms:
             if t not in self.postings:
                 continue
             rows, tfs = self.postings[t]
             denom = tfs + self.k1 * (1.0 - self.b + self.b * self.dl[rows] / self.avgdl)
             scores[rows] += self.idf(t) * (tfs / denom)
-            matched[rows] = True
-        idx = np.flatnonzero(matched)
+            n_matched[rows] += 1
+        idx = np.flatnonzero(n_matched >= max(min_match, 1))
         return self.doc_ids[idx], scores[idx].astype(np.float32)
 
-    def topk(self, query_text: str, k: int = 10) -> pd.DataFrame:
-        ids, scores = self.score_all(query_text)
+    def topk(
+        self, query_text: str, k: int = 10, min_match: int = 1
+    ) -> pd.DataFrame:
+        ids, scores = self.score_all(query_text, min_match=min_match)
         # sort: score desc, doc_id asc
         order = np.lexsort((ids, -scores.astype(np.float64)))[:k]
         return pd.DataFrame(

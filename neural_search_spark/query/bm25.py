@@ -366,8 +366,109 @@ def _maxscore_shard_scorer(
 DRIVER_MAX_POSTINGS = 2_000_000  # auto mode: Σdf below this → driver path
 
 
+def parse_min_match(
+    operator: str, minimum_should_match, n_clauses: int
+) -> int:
+    """Resolve OpenSearch match-query coverage options to a term count.
+
+    operator 'and' requires every clause (Lucene BooleanQuery MUST);
+    otherwise minimum_should_match may be an int (negative = n − |m|,
+    like Lucene's Queries.calculateMinShouldMatch) or an 'N%' /' -N%'
+    string (percentage of clause count, rounded DOWN). Results clamp to
+    [1, n_clauses] — OpenSearch treats msm > clause count as unmatchable,
+    which the callers realize by returning empty when n_clauses = 0."""
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+    if operator == "and":
+        return n_clauses
+    m = minimum_should_match
+    if m is None:
+        return 1
+    if isinstance(m, str):
+        s = m.strip()
+        if s.endswith("%"):
+            pct = float(s[:-1])
+            got = (
+                int(n_clauses * pct // 100)
+                if pct >= 0
+                else n_clauses + int(n_clauses * pct // 100)
+            )
+        else:
+            got = int(s)
+    else:
+        got = int(m)
+    if got < 0:
+        got = n_clauses + got
+    return max(1, min(got, n_clauses)) if n_clauses else 0
+
+
+def _msm_shard_scorer(
+    idfs: dict[int, float],
+    k: int,
+    min_match: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    deletes: np.ndarray | None = None,
+):
+    """Per-shard scorer for coverage-gated queries (operator=and /
+    minimum_should_match > 1): decode every query term's postings, merge
+    per-doc score AND distinct-term count, keep docs with count ≥
+    min_match, then shard top-k. MaxScore pruning is unsound here — theta
+    raised by a doc that later fails the coverage gate could evict a true
+    result — so this kernel trades the skip for exactness; the work is
+    still bounded by the same Σdf the disjunctive scorer decodes in its
+    worst case. Scores stay the full sum over matched terms (Lucene
+    BooleanQuery: msm changes WHICH docs match, never how they score)."""
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": np.int64, "score": np.float32}
+        )
+        if pdf.empty:
+            return empty
+        ids_parts, sc_parts = [], []
+        for t, g in pdf.groupby("tid", sort=False):
+            ids = np.concatenate([decode_doc_ids(x) for x in g["docs"]])
+            tfs = np.concatenate(
+                [decode_varint(x) for x in g["tfs"]]
+            ).astype(np.float64)
+            dls = np.concatenate(
+                [decode_varint(x) for x in g["dls"]]
+            ).astype(np.float64)
+            live = _live_mask(ids, deletes)
+            if live is not None:
+                ids, tfs, dls = ids[live], tfs[live], dls[live]
+            ids_parts.append(ids)
+            sc_parts.append(
+                idfs[t] * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            )
+        if not ids_parts:
+            return empty
+        all_ids = np.concatenate(ids_parts)
+        acc_ids, inv = np.unique(all_ids, return_inverse=True)
+        acc_sc = np.bincount(
+            inv, weights=np.concatenate(sc_parts), minlength=len(acc_ids)
+        )
+        # one posting row per (term, doc) ⇒ bincount(inv) = matched terms
+        n_matched = np.bincount(inv, minlength=len(acc_ids))
+        ok = n_matched >= min_match
+        if not ok.any():
+            return empty
+        acc_ids, acc_sc = acc_ids[ok], acc_sc[ok]
+        f32 = acc_sc.astype(np.float32)
+        sel = np.lexsort((acc_ids, -f32.astype(np.float64)))[:k]
+        return pd.DataFrame({"doc_id": acc_ids[sel], "score": f32[sel]})
+
+    return score_shard
+
+
 def _bm25_topk_driver(
-    index: BM25Index, idfs: dict[int, float], tids: list[int], k: int
+    index: BM25Index,
+    idfs: dict[int, float],
+    tids: list[int],
+    k: int,
+    min_match: int = 1,
 ) -> pd.DataFrame:
     """Coordinator-side execution for cheap queries: pyarrow reads ONLY the
     query terms' bucket partitions (hive pruning) with a tid row-group
@@ -441,6 +542,11 @@ def _bm25_topk_driver(
         all_sc = np.concatenate(sc_parts)
         acc_ids, inv = np.unique(all_ids, return_inverse=True)
         acc_sc = np.bincount(inv, weights=all_sc, minlength=len(acc_ids))
+        if min_match > 1:
+            # each term appends one slice per doc it matches, so the plain
+            # bincount of inv IS the per-doc matched-term count
+            ok = np.bincount(inv, minlength=len(acc_ids)) >= min_match
+            acc_ids, acc_sc = acc_ids[ok], acc_sc[ok]
     else:
         acc_ids = np.empty(0, dtype=np.int64)
         acc_sc = np.empty(0, dtype=np.float64)
@@ -461,16 +567,34 @@ def bm25_topk(
     k: int = 10,
     merge: str = "takeOrdered",
     mode: str = "auto",
+    operator: str = "or",
+    minimum_should_match=None,
 ) -> DataFrame:
     """Block-max top-k over the index. Returns (doc_id, score, rank).
 
     mode: 'auto' (driver-side execution when the query's Σdf is under
     DRIVER_MAX_POSTINGS — the coordinator-cheap-query pattern), 'driver',
-    or 'distributed'."""
-    terms = sorted(set(tokenize_py(query_text)))
-    stats = index.term_stats(terms)
-    terms = [t for t in terms if t in stats]
+    or 'distributed'.
+
+    operator / minimum_should_match (OpenSearch match-query options,
+    Lucene BooleanQuery coverage): 'and' requires every distinct query
+    term; minimum_should_match (int, negative int, or 'N%') requires at
+    least that many distinct terms. Clauses are the DISTINCT query terms
+    including out-of-vocabulary ones — 'and' with an OOV term matches
+    nothing, and msm counts OOV clauses toward the requirement, exactly
+    like Lucene clauses over absent terms. Scores are unchanged: the sum
+    of every MATCHED term's BM25 contribution."""
+    all_clauses = sorted(set(tokenize_py(query_text)))
+    min_match = parse_min_match(
+        operator, minimum_should_match, len(all_clauses)
+    )
+    stats = index.term_stats(all_clauses)
+    terms = [t for t in all_clauses if t in stats]
     spark = index.spark
+    # OOV clauses can never match, so a coverage bar above the number of
+    # in-vocabulary terms is unsatisfiable
+    if min_match > len(terms):
+        terms = []
     if not terms:
         # empty result via range(0): both the bare-list and the empty-pandas
         # createDataFrame forms skip the Arrow fast path and cost ~300 ms —
@@ -488,7 +612,8 @@ def bm25_topk(
         and sum(stats[t] for t in terms) <= DRIVER_MAX_POSTINGS
     ):
         pdf = _bm25_topk_driver(
-            index, idfs, sorted(tid_py(t) for t in terms), k
+            index, idfs, sorted(tid_py(t) for t in terms), k,
+            min_match=min_match,
         )
         return spark.createDataFrame(
             pdf, schema="doc_id long, score float, rank int"
@@ -500,9 +625,15 @@ def bm25_topk(
         "shard_id", "tid", "min_doc_id", "max_doc_id",
         "docs", "tfs", "dls", "max_tfnorm",
     )
-    scorer = _maxscore_shard_scorer(
-        idfs, k, index.k1, index.b, index.avgdl, deletes=index.deletes
-    )
+    if min_match > 1:
+        scorer = _msm_shard_scorer(
+            idfs, k, min_match, index.k1, index.b, index.avgdl,
+            deletes=index.deletes,
+        )
+    else:
+        scorer = _maxscore_shard_scorer(
+            idfs, k, index.k1, index.b, index.avgdl, deletes=index.deletes
+        )
     shard_topk = blocks.groupBy("shard_id").applyInPandas(scorer, TOPK_SCHEMA)
 
     if merge == "treeAggregate":

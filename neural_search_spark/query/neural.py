@@ -37,6 +37,12 @@ class QuerySpec:
     # prefix position (MatchPhrasePrefixQueryBuilder.maxExpansions, default
     # 50 — OpenSearch's MatchQuery.DEFAULT_MAX_EXPANSIONS)
     max_expansions: int = 50
+    # match only: term-coverage gate (OpenSearch MatchQueryBuilder operator
+    # / minimumShouldMatch → Lucene BooleanQuery). 'and' requires every
+    # distinct term; minimum_should_match accepts int, negative int, or
+    # 'N%'. Scores remain the sum over matched terms.
+    operator: str = "or"
+    minimum_should_match: int | str | None = None
     # multi_match only: field list with optional "name^boost" suffixes;
     # match_type "best_fields" (DisjunctionMaxQuery: max + tie_breaker ×
     # sum-of-others) or "most_fields" (bool-should sum) — OpenSearch's
@@ -142,10 +148,16 @@ def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFra
         )
     if spec.query_type == "match":
         from ..gate import bm25_scored
+        from ..tokenizer import tokenize_py
+        from .bm25 import parse_min_match
 
+        clauses = sorted(set(tokenize_py(spec.query_text or "")))
+        mm = parse_min_match(
+            spec.operator, spec.minimum_should_match, len(clauses)
+        )
         return bm25_scored(
             scoped.withColumnRenamed(id_col, "doc_id"), ["doc_id"],
-            spec.query_text or "", ndp=None,
+            spec.query_text or "", ndp=None, min_match=mm,
         )
     if spec.query_type == "match_phrase":
         from .phrase import phrase_scored_scan

@@ -141,3 +141,94 @@ def test_rank_identity_driver_mode(spark, index, oracle, qid):
     np.testing.assert_allclose(
         got["score"].to_numpy(), expected["score"].to_numpy(), rtol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# operator=and / minimum_should_match (term-coverage gating)
+# ---------------------------------------------------------------------------
+def test_parse_min_match():
+    from neural_search_spark.query.bm25 import parse_min_match
+
+    assert parse_min_match("and", None, 4) == 4
+    assert parse_min_match("or", None, 4) == 1
+    assert parse_min_match("or", 2, 4) == 2
+    assert parse_min_match("or", -1, 4) == 3        # n - |m|
+    assert parse_min_match("or", "75%", 4) == 3     # floor(4 * .75)
+    assert parse_min_match("or", "50%", 3) == 1     # floor(1.5)
+    assert parse_min_match("or", "-25%", 4) == 3    # n - floor(n*.25)
+    assert parse_min_match("or", 9, 4) == 4         # clamp
+    with pytest.raises(ValueError):
+        parse_min_match("xor", None, 4)
+
+
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+def test_min_match_rank_identity(spark, index, oracle, mode):
+    """Coverage-gated match vs the numpy oracle: the gate changes WHICH
+    docs rank, never how survivors score."""
+    qt = "the tool call w0001"
+    n = len(set(qt.split()))
+    for mm in (2, 3, n):
+        expected = oracle.topk(qt, k=10, min_match=mm)
+        got = bm25_topk(
+            index, qt, k=10, mode=mode, minimum_should_match=mm
+        ).toPandas()
+        assert got["doc_id"].tolist() == expected["doc_id"].tolist(), (mode, mm)
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), expected["score"].to_numpy(), rtol=1e-6
+        )
+    # operator=and == msm=n
+    got_and = bm25_topk(index, qt, k=10, mode=mode, operator="and").toPandas()
+    exp_and = oracle.topk(qt, k=10, min_match=n)
+    assert got_and["doc_id"].tolist() == exp_and["doc_id"].tolist()
+
+
+def test_min_match_subset_of_or(spark, index, oracle):
+    """Every AND result is an OR result with identical score."""
+    qt = "the tool call"
+    or_all = dict(
+        zip(*oracle.score_all(qt))
+    )
+    got = bm25_topk(index, qt, k=50, operator="and").toPandas()
+    assert len(got) > 0, "fixture corpus should have all-three-term docs"
+    for did, sc in zip(got.doc_id, got.score):
+        assert did in or_all
+        np.testing.assert_allclose(sc, or_all[did], rtol=1e-6)
+
+
+def test_and_with_oov_term_is_empty(spark, index):
+    assert bm25_topk(index, "the zz9qx", k=10, operator="and").count() == 0
+    # msm counting OOV clauses: 2 required but only 1 satisfiable -> empty
+    assert (
+        bm25_topk(index, "the zz9qx", k=10, minimum_should_match=2).count()
+        == 0
+    )
+
+
+def test_min_match_engine_scan_matches_index(spark, index, transcripts_df, oracle):
+    """The corpus-scan route (Engine with a filter) applies the same gate."""
+    from neural_search_spark.engine import Engine, spec_from_json
+
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs, bm25_index=index)
+    spec = spec_from_json(
+        {"match": {"query_text": "the tool call", "operator": "and"}}
+    )
+    via_index = eng.search(spec, k=10).toPandas()
+    spec2 = spec_from_json(
+        {"match": {"query_text": "the tool call", "operator": "and"}}
+    )
+    spec2.filter = F.lit(True)
+    via_scan = eng.search(spec2, k=10).toPandas()
+
+    # the index kernels rank on the float32 cast while corpus scans rank
+    # on raw doubles — canonicalize both to (f32 score desc, doc_id asc)
+    # before comparing, the same tie convention the oracle uses
+    def canon(df):
+        f32 = df.score.to_numpy().astype(np.float32)
+        order = np.lexsort((df.doc_id.to_numpy(), -f32.astype(np.float64)))
+        return df.doc_id.to_numpy()[order].tolist(), f32[order]
+
+    ids_i, sc_i = canon(via_index)
+    ids_s, sc_s = canon(via_scan)
+    assert ids_i == ids_s
+    np.testing.assert_allclose(sc_i, sc_s, rtol=1e-5)
