@@ -123,7 +123,9 @@ def cmd_phrase(args) -> None:
             mode=args.mode,
         )
     else:
-        out = phrase_topk(idx, args.phrase, k=args.k, mode=args.mode)
+        out = phrase_topk(
+            idx, args.phrase, k=args.k, mode=args.mode, slop=args.slop
+        )
     for row in out.collect():
         print(json.dumps(row.asDict()))
 
@@ -282,6 +284,9 @@ def main(argv=None) -> None:
                     choices=["auto", "driver", "distributed"])
     ph.add_argument("--deletes", default=None,
                     help="parquet of doc_id tombstones to exclude")
+    ph.add_argument("--slop", type=int, default=0,
+                    help="sloppy-phrase tolerance (Lucene SloppyPhraseScorer"
+                    "; 0 = exact; distinct-term phrases only)")
     ph.add_argument("--prefix", action="store_true",
                     help="match_phrase_prefix: treat the last token as a "
                     "prefix expanded against the index dictionary")

@@ -252,7 +252,10 @@ class Engine:
 
                 if has_positions(self.bm25_index.path):
                     return phrase_topk(
-                        self.bm25_index, spec.query_text or "", k=k
+                        self.bm25_index,
+                        spec.query_text or "",
+                        k=k,
+                        slop=spec.slop,
                     ).drop("rank")
             # no positions sidecar (or a filter/allowed-set the index
             # kernels' pre-truncated top-k can't honor) → corpus scan

@@ -37,6 +37,10 @@ class QuerySpec:
     # prefix position (MatchPhrasePrefixQueryBuilder.maxExpansions, default
     # 50 — OpenSearch's MatchQuery.DEFAULT_MAX_EXPANSIONS)
     max_expansions: int = 50
+    # match_phrase only: Lucene sloppy-phrase tolerance
+    # (MatchPhraseQueryBuilder.slop → SloppyPhraseScorer; 0 = exact).
+    # Distinct-term phrases only — repeats raise.
+    slop: int = 0
     # match only: term-coverage gate (OpenSearch MatchQueryBuilder operator
     # / minimumShouldMatch → Lucene BooleanQuery). 'and' requires every
     # distinct term; minimum_should_match accepts int, negative int, or
@@ -163,7 +167,11 @@ def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFra
         from .phrase import phrase_scored_scan
 
         return phrase_scored_scan(
-            scoped, spec.query_text or "", id_col=id_col, text_col=spec.field
+            scoped,
+            spec.query_text or "",
+            id_col=id_col,
+            text_col=spec.field,
+            slop=spec.slop,
         )
     if spec.query_type == "match_phrase_prefix":
         from .phrase import phrase_prefix_scored_scan

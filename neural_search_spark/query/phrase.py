@@ -83,6 +83,64 @@ def phrase_freq(pos_by_offset: list[np.ndarray]) -> int:
     return int(P.size)
 
 
+def sloppy_phrase_freq(pos_by_offset: list[np.ndarray], slop: int) -> float:
+    """Sloppy phrase frequency — faithful to Lucene's
+    ``SloppyPhraseScorer.phraseFreq`` sweep for phrases WITHOUT repeated
+    terms (the no-repeats path; repeats take Lucene's collision machinery,
+    which callers exclude by raising):
+
+    * per-offset streams Q_j = positions − j, each strictly increasing;
+    * keep every stream's current value in a min-heap, ``end`` = max seen;
+    * repeatedly advance the MINIMUM stream; while its new value stays ≤
+      the second-smallest, only shrink the pending match length
+      (min over the segment of ``end − value``); once it passes, emit at
+      most ONE match for the segment — weight 1/(1+matchLength) when
+      matchLength ≤ slop — and swap in the new minimum;
+    * a trailing segment emits on stream exhaustion.
+
+    slop=0 reduces to the exact aligned count (each emitted weight is 1).
+    A single-offset phrase is a term query: freq = the position count."""
+    n = len(pos_by_offset)
+    streams = [
+        np.asarray(p, dtype=np.int64) - j for j, p in enumerate(pos_by_offset)
+    ]
+    if any(s.size == 0 for s in streams):
+        return 0.0
+    if n == 1:
+        return float(streams[0].size)
+    import heapq
+
+    nxt = [1] * n  # index of each stream's next UNCONSUMED value
+    heap = [(int(s[0]), i) for i, s in enumerate(streams)]
+    heapq.heapify(heap)
+    end = max(p for p, _ in heap)
+    pos, i = heapq.heappop(heap)
+    match_length = end - pos
+    second = heap[0][0]
+    freq = 0.0
+    while True:
+        if nxt[i] >= streams[i].size:
+            break
+        pos = int(streams[i][nxt[i]])
+        nxt[i] += 1
+        if pos > end:
+            end = pos
+        if pos > second:
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            heapq.heappush(heap, (pos, i))
+            pos, i = heapq.heappop(heap)
+            second = heap[0][0]
+            match_length = end - pos
+        else:
+            ml2 = end - pos
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return freq
+
+
 def _empty_topk(spark) -> DataFrame:
     return spark.range(0).select(
         F.col("id").alias("doc_id"),
@@ -206,21 +264,98 @@ def _scan_scored(
     )
 
 
+def _scan_scored_sloppy(
+    docs: DataFrame,
+    tokens: list[str],
+    slop: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Index-free sloppy-phrase scorer: the heap sweep is sequential per
+    doc, so matched-term rows shuffle ONCE keyed by doc shard and a
+    doc-sharded ``applyInPandas`` kernel runs the same
+    ``sloppy_phrase_freq`` the index paths use. Stats follow
+    ``_scan_scored``'s scoped-frame convention."""
+    spark = docs.sparkSession
+    empty = spark.range(0).select(
+        F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_expr(text_col).alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+    srow = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"] or 1.0)
+    wanted = sorted(set(tokens))
+    tokpos = toks.select(
+        "doc_id", "dl", F.posexplode("toks").alias("pos", "term")
+    ).filter(F.col("term").isin(wanted))
+    dfreq = {
+        r["term"]: int(r["df"])
+        for r in tokpos.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    if any(t not in dfreq for t in tokens):
+        return empty
+    idf_total = sum(lucene_idf(n_docs, dfreq[t]) for t in tokens)
+    from .. import BM25_B, BM25_K1
+
+    k1, b = BM25_K1, BM25_B
+    hits = tokpos.withColumn(
+        "doc_shard",
+        F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(64)).cast("int"),
+    )
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_sc = [], []
+        if len(pdf):
+            pdf = pdf.sort_values(["doc_id", "pos"], kind="mergesort")
+            for did, g in pdf.groupby("doc_id", sort=False):
+                by_term = {
+                    t: gg["pos"].to_numpy(dtype=np.int64)
+                    for t, gg in g.groupby("term", sort=False)
+                }
+                if any(t not in by_term for t in tokens):
+                    continue
+                fr = sloppy_phrase_freq([by_term[t] for t in tokens], slop)
+                if fr:
+                    dl = int(g["dl"].iloc[0])
+                    tfn = fr / (fr + k1 * (1.0 - b + b * dl / avgdl))
+                    out_ids.append(did)
+                    out_sc.append(idf_total * tfn)
+        return pd.DataFrame({"doc_id": out_ids, "score": out_sc}).astype(
+            {"doc_id": np.int64, "score": np.float64}
+        )
+
+    return hits.groupBy("doc_shard").applyInPandas(
+        score_shard, "doc_id long, score double"
+    )
+
+
 def phrase_scored_scan(
     docs: DataFrame,
     phrase_text: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    slop: int = 0,
 ) -> DataFrame:
-    """Corpus-scan exact-phrase scores → (doc_id, score double) — the
+    """Corpus-scan phrase scores → (doc_id, score double) — the
     index-free plan ``Engine`` routes to when no positions sidecar is
     attached (or a pre-scoring filter / collect-time allowed-set makes the
-    index kernels' pre-truncated top-k unusable)."""
+    index kernels' pre-truncated top-k unusable). slop>0 switches to the
+    sloppy sweep kernel (distinct-term phrases only, like the index
+    paths)."""
     tokens = tokenize_py(phrase_text)
     if not tokens:
         return docs.sparkSession.range(0).select(
             F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
         )
+    _check_slop(tokens, slop)
+    if slop > 0:
+        return _scan_scored_sloppy(docs, tokens, slop, id_col, text_col)
     return _scan_scored(docs, tokens, None, 0, id_col, text_col)
 
 
@@ -248,18 +383,29 @@ def phrase_prefix_scored_scan(
 # index-backed top-k
 # ---------------------------------------------------------------------------
 def phrase_topk(
-    index: BM25Index, phrase_text: str, k: int = 10, mode: str = "auto"
+    index: BM25Index,
+    phrase_text: str,
+    k: int = 10,
+    mode: str = "auto",
+    slop: int = 0,
 ) -> DataFrame:
-    """Top-k exact-phrase matches. Returns (doc_id, score, rank).
+    """Top-k phrase matches. Returns (doc_id, score, rank).
 
     mode: 'auto' | 'driver' | 'distributed' — same contract as
     ``bm25_topk``. Requires ``build_positions`` to have been run on the
-    index (raises otherwise: positions are an opt-in sidecar)."""
+    index (raises otherwise: positions are an opt-in sidecar).
+
+    slop: Lucene sloppy-phrase tolerance (``SloppyPhraseScorer``): freq
+    sums 1/(1+matchLength) over the sweep's matches instead of counting
+    exact alignments; slop=0 is the exact scorer. Only distinct-term
+    phrases are supported with slop>0 (Lucene's repeats machinery is out
+    of scope — raises ValueError)."""
     spark = index.spark
     _require_positions(index)
     tokens = tokenize_py(phrase_text)
     if not tokens:
         return _empty_topk(spark)
+    _check_slop(tokens, slop)
     stats = index.term_stats(sorted(set(tokens)))
     if any(t not in stats for t in tokens):
         return _empty_topk(spark)  # OOV token ⇒ phrase cannot match
@@ -267,7 +413,20 @@ def phrase_topk(
     offset_tids = [[tid_py(t)] for t in tokens]
     seed = [tid_py(min(set(tokens), key=lambda t: stats[t]))]
     sum_df = sum(stats[t] for t in set(tokens))
-    return _dispatch(index, offset_tids, seed, idf_total, k, mode, sum_df)
+    return _dispatch(
+        index, offset_tids, seed, idf_total, k, mode, sum_df, slop=slop
+    )
+
+
+def _check_slop(tokens: list[str], slop: int) -> None:
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if slop > 0 and len(tokens) != len(set(tokens)):
+        raise ValueError(
+            "slop > 0 with repeated phrase terms is not supported (the "
+            "engine implements Lucene's no-repeats sloppy sweep; repeated "
+            "terms take SloppyPhraseScorer's collision machinery)"
+        )
 
 
 def phrase_prefix_topk(
@@ -328,13 +487,16 @@ def _dispatch(
     k: int,
     mode: str,
     sum_df: int,
+    slop: int = 0,
 ) -> DataFrame:
     if mode == "driver" or (mode == "auto" and sum_df <= DRIVER_MAX_POSTINGS):
-        pdf = _mphrase_topk_driver(index, offset_tids, idf_total, k)
+        pdf = _mphrase_topk_driver(index, offset_tids, idf_total, k, slop)
         return index.spark.createDataFrame(
             pdf, schema="doc_id long, score float, rank int"
         )
-    return _mphrase_topk_distributed(index, offset_tids, seed, idf_total, k)
+    return _mphrase_topk_distributed(
+        index, offset_tids, seed, idf_total, k, slop
+    )
 
 
 def _positions_path(index: BM25Index) -> str:
@@ -356,6 +518,7 @@ def _mphrase_topk_driver(
     offset_tids: list[list[int]],
     idf_total: float,
     k: int,
+    slop: int = 0,
 ) -> pd.DataFrame:
     import pyarrow.dataset as ds
 
@@ -437,6 +600,37 @@ def _mphrase_topk_driver(
         cov[t] = (ci, rows)
         if ci.size:
             dl_cand[ci] = dl_arr[rows]
+    if slop > 0:
+        # sloppy path: the heap sweep is inherently sequential per doc, so
+        # loop the (conjunction-bounded) candidates — driver-scale work;
+        # heavy queries take the distributed mode. Offsets are singleton
+        # tids here (slop excludes prefix unions and repeated terms).
+        tid_by_off = [g[0] for g in groups]
+        row_of = {
+            t: dict(zip(cov[t][0].tolist(), cov[t][1].tolist()))
+            for t in tids
+        }
+        freqs = np.zeros(cand.size, dtype=np.float64)
+        for ci in range(cand.size):
+            pos_by = [
+                pos_flat[
+                    pos_offs[row_of[t][ci]] : pos_offs[row_of[t][ci] + 1]
+                ]
+                for t in tid_by_off
+            ]
+            freqs[ci] = sloppy_phrase_freq(pos_by, slop)
+        hit = freqs > 0
+        if not hit.any():
+            return empty
+        scored = _score_docs(
+            cand[hit], freqs[hit], dl_cand[hit], idf_total,
+            index.k1, index.b, index.avgdl,
+        )
+        scored = scored.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        scored["rank"] = np.arange(1, len(scored) + 1, dtype=np.int32)
+        return scored.reset_index(drop=True)
     # vectorized phrase freq across ALL candidates at once: tag every
     # position with candidate_index·STRIDE, run ONE sorted-intersection
     # chain over the per-offset tagged streams (per-doc position lists are
@@ -513,6 +707,7 @@ def _mphrase_topk_distributed(
     seed: list[int],
     idf_total: float,
     k: int,
+    slop: int = 0,
 ) -> DataFrame:
     spark = index.spark
     tids = sorted({t for g in offset_tids for t in g})
@@ -571,7 +766,11 @@ def _mphrase_topk_distributed(
                     )
                 if not ok:
                     continue
-                fr = phrase_freq(by_off)
+                fr = (
+                    sloppy_phrase_freq(by_off, slop)
+                    if slop > 0
+                    else phrase_freq(by_off)
+                )
                 if fr:
                     o_doc.append(docs[s])
                     o_freq.append(fr)
@@ -579,7 +778,8 @@ def _mphrase_topk_distributed(
             if o_doc:
                 ids = np.asarray(o_doc, dtype=np.int64)
                 live = _live_mask(ids, deletes)
-                fr = np.asarray(o_freq, dtype=np.int64)
+                # float64: sloppy freqs are fractional (1/(1+matchLength))
+                fr = np.asarray(o_freq, dtype=np.float64)
                 dls = np.asarray(o_dl, dtype=np.int64)
                 if live is not None:
                     ids, fr, dls = ids[live], fr[live], dls[live]

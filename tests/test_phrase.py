@@ -339,3 +339,126 @@ def test_hybrid_with_phrase_branch(ph_setup, transcripts_df, spark):
     out = eng.search(spec, k=10).toPandas()
     assert len(out) == 10
     assert out.score.is_monotonic_decreasing or len(set(out.score)) < 10
+
+
+# ---------------------------------------------------------------------------
+# sloppy phrases (match_phrase slop — Lucene SloppyPhraseScorer sweep)
+# ---------------------------------------------------------------------------
+def test_sloppy_kernel_hand_traces():
+    """Hand-derived traces of Lucene's no-repeats sloppy sweep."""
+    from neural_search_spark.query.phrase import sloppy_phrase_freq as spf
+
+    # exact adjacency: "a b" in "a b"
+    assert spf([np.array([0]), np.array([1])], 0) == 1.0
+    # "a a a b" / query "a b": ONE match per segment, minimal length 0 —
+    # Lucene advances the min stream while it stays <= the second-smallest
+    # and emits once (weight 1.0), at slop 0 AND at slop 2
+    assert spf([np.array([0, 1, 2]), np.array([3])], 0) == 1.0
+    assert spf([np.array([0, 1, 2]), np.array([3])], 2) == 1.0
+    # transposition: "the tool" vs query "tool the" -> matchLength 2
+    assert spf([np.array([1]), np.array([0])], 0) == 0.0
+    assert spf([np.array([1]), np.array([0])], 1) == 0.0
+    assert spf([np.array([1]), np.array([0])], 2) == pytest.approx(1 / 3)
+    # one-gap: "a x b" vs "a b" -> matchLength 1
+    assert spf([np.array([0]), np.array([2])], 0) == 0.0
+    assert spf([np.array([0]), np.array([2])], 1) == 0.5
+    # two exact occurrences
+    assert spf([np.array([0, 10]), np.array([1, 11])], 0) == 2.0
+    # single-offset phrase degenerates to a term query: freq = tf
+    assert spf([np.array([3, 7])], 0) == 2.0
+    # an empty stream can never match
+    assert spf([np.array([0]), np.array([], dtype=np.int64)], 3) == 0.0
+
+
+def test_sloppy_slop0_equals_exact(ph_setup):
+    idx, tt = ph_setup
+    exact = phrase_topk(idx, "the tool", k=10, mode="driver").toPandas()
+    for mode in ("driver", "distributed"):
+        got = phrase_topk(
+            idx, "the tool", k=10, mode=mode, slop=0
+        ).toPandas()
+        assert got.doc_id.tolist() == exact.doc_id.tolist()
+        assert np.allclose(got.score, exact.score, atol=1e-6)
+
+
+def sloppy_oracle(idx, tt, phrase, slop, k=10):
+    from neural_search_spark.query.phrase import sloppy_phrase_freq
+
+    toks = tokenize_py(phrase)
+    dfs = {t: int(sum(t in set(l) for l in tt.toks)) for t in set(toks)}
+    if any(dfs[t] == 0 for t in set(toks)):
+        return pd.DataFrame({"doc_id": [], "score": []})
+    idf_total = sum(lucene_idf(idx.n_docs, dfs[t]) for t in toks)
+    rows = []
+    for did, dl, l in zip(tt.doc_id, tt.dl, tt.toks):
+        arr = np.asarray(l, dtype=object)
+        pos_by, ok = [], True
+        for t in toks:
+            p = np.flatnonzero(arr == t).astype(np.int64)
+            if p.size == 0:
+                ok = False
+                break
+            pos_by.append(p)
+        if not ok:
+            continue
+        fr = sloppy_phrase_freq(pos_by, slop)
+        if fr:
+            tfn = fr / (fr + idx.k1 * (1 - idx.b + idx.b * dl / idx.avgdl))
+            rows.append((did, np.float32(idf_total * tfn)))
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "score"])
+        .sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+def test_sloppy_transposed_phrase(ph_setup, mode):
+    """'tool the' with slop=2 must match docs containing 'the tool'
+    (the classic transposition) and score via the fractional freq."""
+    idx, tt = ph_setup
+    exp = sloppy_oracle(idx, tt, "tool the", slop=2, k=10)
+    assert len(exp) > 0, "fixture corpus contains 'the tool' bigrams"
+    got = phrase_topk(idx, "tool the", k=10, mode=mode, slop=2).toPandas()
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert np.allclose(got.score, exp.score, atol=1e-5)
+    # slop=0 on the transposed phrase finds strictly fewer docs
+    got0 = phrase_topk(idx, "tool the", k=10, mode=mode, slop=0).toPandas()
+    assert len(got0) <= len(got)
+
+
+def test_sloppy_scan_matches_index(ph_setup, transcripts_df):
+    idx, tt = ph_setup
+    from neural_search_spark.index.build import doc_id_col
+    from neural_search_spark.query.phrase import phrase_scored_scan
+
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    got = (
+        phrase_scored_scan(docs, "tool the", slop=2)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .toPandas()
+    )
+    exp = sloppy_oracle(idx, tt, "tool the", slop=2, k=10)
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert np.allclose(got.score, exp.score, atol=1e-5)
+
+
+def test_sloppy_engine_routing_and_repeats_raise(ph_setup, transcripts_df, spark):
+    from neural_search_spark.engine import Engine, spec_from_json
+    from neural_search_spark.index.build import doc_id_col
+
+    idx, tt = ph_setup
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs, bm25_index=idx)
+    spec = spec_from_json(
+        {"match_phrase": {"query_text": "tool the", "slop": 2}}
+    )
+    got = eng.search(spec, k=10).toPandas()
+    exp = sloppy_oracle(idx, tt, "tool the", slop=2, k=10)
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    with pytest.raises(ValueError, match="repeated"):
+        phrase_topk(idx, "the the", slop=1)
