@@ -327,10 +327,78 @@ class Engine:
                     F.col("vec_id").alias("doc_id"),
                     F.col("cosine").cast("double").alias("score"),
                 )
+            if (
+                self.ann_index is not None
+                and (spec.filter is not None or allowed is not None)
+                and spec.min_score is None
+                and spec.max_distance is None
+                and spec.field == getattr(self.ann_index, "vec_col", None)
+            ):
+                out = self._ann_filtered_topk(spec, k, allowed)
+                if out is not None:
+                    return out
             return _bound(
                 execute(spec, self._need_corpus(spec.query_type), self.id_col)
             )
         raise ValueError(f"unknown query type: {spec.query_type}")
+
+    # efficient-filtering knobs (reference analog: the k-NN plugin's
+    # filtered search, which the neural query's `filter` delegates to):
+    # at or below the exact threshold the filtered subset is brute-force
+    # scored; above it the ANN asset over-fetches candidates
+    ann_filtered_exact_threshold: int = 10_000
+    ann_filtered_overfetch: int = 10
+
+    def _ann_filtered_topk(
+        self, spec: QuerySpec, k: int, allowed: DataFrame | None
+    ) -> DataFrame | None:
+        """Filtered ANN ('efficient filtering'): choose the plan by filter
+        cardinality, like the reference's filtered k-NN search decides
+        between exact scoring of the filtered subset and approximate
+        traversal.
+
+        * allowed count ≤ ann_filtered_exact_threshold → return None: the
+          caller's exact corpus-scan plan scores just the filtered rows —
+          cheaper AND exact, the plugin's exact-search branch;
+        * otherwise over-fetch k·ann_filtered_overfetch ANN candidates and
+          keep those passing the filter; if fewer than k survive, return
+          None (exact backstop — approximation may never silently
+          under-fill a page).
+
+        Pre-scoring ``filter`` and collect-time ``allowed`` are
+        interchangeable for pure vector branches — cosine depends on no
+        corpus statistics, so gating before or after scoring produces the
+        same surviving scores. Costs two driver-side count() actions;
+        both scan only doc_id columns."""
+        corpus = self._need_corpus(spec.query_type)
+        spec = rewrite(spec)
+        allow_ids = (
+            corpus.filter(spec.filter) if spec.filter is not None else corpus
+        ).select(F.col(self.id_col).alias("doc_id"))
+        if allowed is not None:
+            allow_ids = allow_ids.join(allowed, "doc_id", "left_semi")
+        if allow_ids.count() <= self.ann_filtered_exact_threshold:
+            return None
+        fetched = self.ann_index.topk(
+            spec.vector or [], k=k * self.ann_filtered_overfetch
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("cosine").cast("double").alias("score"),
+        )
+        survivors = fetched.join(allow_ids, "doc_id", "left_semi")
+        survivors = survivors.persist()
+        try:
+            if survivors.count() < k:
+                return None  # exact backstop
+            return (
+                survivors.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                # materialize before unpersist so the cached rows serve
+                # the downstream plan
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            survivors.unpersist()
 
     def _bool_scored(self, spec: BoolSpec) -> DataFrame:
         """(doc_id, score) for a BoolSpec — one tall union of every

@@ -541,3 +541,75 @@ def test_hnsw_store_persists_vec_col(spark, eng, tmp_path):
     HnswAnnIndex.write(emb, path, n_graphs=2, M=8, ef_construction=32)
     loaded = HnswAnnIndex.load(spark, path)
     assert loaded.vec_col == "embedding"
+
+
+def test_ann_filtered_efficient_filtering(spark, eng):
+    """Filtered neural queries with an attached ANN asset route by filter
+    cardinality (the k-NN plugin's 'efficient filtering'): a small
+    allowed set takes the exact filtered scan; a large one over-fetches
+    from the ANN asset and keeps survivors; an under-filled over-fetch
+    falls back to exact."""
+    import numpy as np
+
+    from neural_search_spark.extras.similarity import LshAnnIndex
+
+    emb = eng.corpus.select(F.col("doc_id").alias("vec_id"), "embedding")
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    eng2 = Engine(
+        spark,
+        corpus=eng.corpus,
+        ann_index=LshAnnIndex(emb, n_planes=4, probe_hamming=2),
+    )
+    pdf = emb.toPandas()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    q = np.asarray(qv, dtype=np.float64)
+    cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q) + 1e-12)
+    ids = pdf.vec_id.to_numpy()
+    keep = ids % 2 == 0
+    order = np.lexsort((ids[keep], -cos[keep]))
+    exact_ids = ids[keep][order][:5].tolist()
+    exact_cos = cos[keep][order][:5]
+
+    def fspec():
+        return QuerySpec(
+            query_type="neural_knn",
+            field="embedding",
+            vector=qv,
+            filter=F.col("doc_id") % 2 == 0,
+        )
+
+    # 1) small allowed set (fixture << default threshold) -> exact scan
+    got = eng2.search(fspec(), k=5).toPandas()
+    assert got.doc_id.tolist() == exact_ids
+    assert np.allclose(got.score.to_numpy(), exact_cos, atol=1e-6)
+
+    # 2) force the over-fetch branch: every hit passes the filter, scores
+    # are true cosines, page is full
+    eng2.ann_filtered_exact_threshold = 0
+    got2 = eng2.search(fspec(), k=5).toPandas()
+    assert len(got2) == 5
+    assert (got2.doc_id.to_numpy() % 2 == 0).all()
+    by_id = dict(zip(ids.tolist(), cos.tolist()))
+    for did, sc in zip(got2.doc_id, got2.score):
+        assert sc == pytest.approx(by_id[int(did)], abs=1e-6)
+    # survivors are ordered by score desc
+    assert (np.diff(got2.score.to_numpy()) <= 1e-12).all()
+
+    # 3) under-fill backstop: overfetch=1 fetches only k candidates and a
+    # filter that excludes the top unfiltered hit guarantees < k survive,
+    # so the engine must return the EXACT filtered top-k
+    top1 = int(
+        eng2.ann_index.topk(qv, k=1).toPandas().vec_id.iloc[0]
+    )
+    eng2.ann_filtered_overfetch = 1
+    spec3 = QuerySpec(
+        query_type="neural_knn",
+        field="embedding",
+        vector=qv,
+        filter=F.col("doc_id") != top1,
+    )
+    keep3 = ids != top1
+    o3 = np.lexsort((ids[keep3], -cos[keep3]))
+    exact3 = ids[keep3][o3][:5].tolist()
+    got3 = eng2.search(spec3, k=5).toPandas()
+    assert got3.doc_id.tolist() == exact3
