@@ -92,14 +92,26 @@ def cmd_query(args) -> None:
     idx = BM25Index(spark, args.index)
     if args.deletes:
         idx.with_deletes(spark.read.parquet(args.deletes).select("doc_id"))
-    out = bm25_topk(
-        idx,
-        args.query,
-        k=args.k,
-        merge=args.merge,
-        operator=args.operator,
-        minimum_should_match=args.minimum_should_match,
-    )
+    if args.fuzziness is not None:
+        from .query.fuzzy import fuzzy_match_topk
+
+        out = fuzzy_match_topk(
+            idx,
+            args.query,
+            k=args.k,
+            fuzziness=args.fuzziness,
+            prefix_length=args.fuzzy_prefix_length,
+            transpositions=not args.no_fuzzy_transpositions,
+        )
+    else:
+        out = bm25_topk(
+            idx,
+            args.query,
+            k=args.k,
+            merge=args.merge,
+            operator=args.operator,
+            minimum_should_match=args.minimum_should_match,
+        )
     for row in out.collect():
         print(json.dumps(row.asDict()))
 
@@ -272,6 +284,13 @@ def main(argv=None) -> None:
     q.add_argument("--min-should-match", default=None,
                    dest="minimum_should_match",
                    help="term-coverage bar: int, negative int, or 'N%%'")
+    q.add_argument("--fuzziness", default=None,
+                   help="fuzzy expansion: 'AUTO' or 0..2 edits")
+    q.add_argument("--fuzzy-prefix-length", type=int, default=0,
+                   dest="fuzzy_prefix_length",
+                   help="expansion terms must share this exact prefix")
+    q.add_argument("--no-fuzzy-transpositions", action="store_true",
+                   help="plain Levenshtein instead of the OSA distance")
     q.set_defaults(fn=cmd_query)
 
     ph = sub.add_parser(

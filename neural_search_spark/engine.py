@@ -229,6 +229,20 @@ class Engine:
                 and spec.filter is None
                 and allowed is None
             ):
+                if spec.fuzziness is not None:
+                    from .query.fuzzy import fuzzy_match_topk
+                    from .query.neural import _check_fuzzy_combo
+
+                    _check_fuzzy_combo(spec)
+                    return fuzzy_match_topk(
+                        self.bm25_index,
+                        spec.query_text or "",
+                        k=k,
+                        fuzziness=spec.fuzziness,
+                        prefix_length=spec.prefix_length,
+                        transpositions=spec.fuzzy_transpositions,
+                        max_expansions=spec.max_expansions,
+                    ).drop("rank")
                 from .query.bm25 import bm25_topk
 
                 return bm25_topk(

@@ -261,12 +261,21 @@ SELECT {keylist}, {score_col},
 FROM ({inner}) ORDER BY {score_col} DESC, {keylist} LIMIT {k}"""
 
 
+FUZZY_Q = "sparc merg windoq"  # three 1-edit typos of real corpus terms
+FUZZY_MAX_EXP = 10
+
+
 def q_bm25_scan_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-scan BM25 over BOTH key shapes in one union slot (round-4
     merge freeing a registry slot for ``phrase_topk``): variant 'docs'
     scores the raw documents table on doc_id; variant 'transcripts'
-    scores the derived input_hint table on (conv_id, turn_idx). Keys are
-    projected to a shared (kc string, kt int) pair so the union stays
+    scores the derived input_hint table on (conv_id, turn_idx); variant
+    'fuzzy' (round-4) scores a typo'd query through the FuzzyQuery /
+    BlendedTermQuery path — dictionary expansion within 1 edit sharing a
+    1-char prefix, closest-first cap, blended max-df idf, boost-weighted
+    disjunction (plain Levenshtein so DuckDB's levenshtein() replicates
+    the expansion; the OSA default is pytest-covered). Keys are projected
+    to a shared (kc string, kt int) pair so the union stays
     schema-compatible while every value stays hash-checked."""
     docs = _ranked(
         bm25_scored(_docs(spark, sf), ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs")),
@@ -290,7 +299,76 @@ def q_bm25_scan_topk(spark: SparkSession, sf: str) -> DataFrame:
         "score",
         "rank",
     )
-    return docs.unionByName(tr)
+    from .query.fuzzy import fuzzy_match_scored_scan
+
+    fz = _ranked(
+        fuzzy_match_scored_scan(
+            _docs(spark, sf),
+            FUZZY_Q,
+            fuzziness=1,
+            prefix_length=1,
+            transpositions=False,
+            max_expansions=FUZZY_MAX_EXP,
+        ).withColumn("score", F.round("score", 4)),
+        ["doc_id"],
+        10,
+    ).select(
+        F.lit("fuzzy").alias("variant"),
+        F.col("doc_id").cast("string").alias("kc"),
+        F.lit(-1).alias("kt"),
+        "score",
+        "rank",
+    )
+    return docs.unionByName(tr).unionByName(fz)
+
+
+def fuzzy_scored_sql(
+    rel: str,
+    keys: list[str],
+    query_text: str,
+    fuzziness: int,
+    prefix_length: int,
+    max_expansions: int,
+    ndp: int = 4,
+) -> str:
+    """DuckDB twin of ``fuzzy_match_scored_scan`` with
+    transpositions=False: levenshtein() expansion within ``fuzziness``
+    edits sharing a ``prefix_length``-char prefix, closest-first cap via
+    QUALIFY, df blended to the group max, boost = 1 − d/min(len), score =
+    Σ boost·idf_blend·tfnorm over matched expansions."""
+    keylist = ", ".join(keys)
+    keyid = " || '/' || ".join(f"{k}::VARCHAR" for k in keys)
+    tokens = tokenize_py(query_text)
+    qvals = ", ".join(f"({j}, '{t}')" for j, t in enumerate(tokens))
+    return f"""
+SELECT {keylist}, round(scr, {ndp}) AS score FROM (
+  WITH corpus AS (SELECT {keylist}, {TOK} AS toks FROM {rel} AS r),
+  stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM corpus),
+  tok AS (SELECT {keylist}, len(toks) AS dl, unnest(toks) AS term FROM corpus),
+  vocab AS (SELECT term, count(DISTINCT {keyid}) AS df FROM tok GROUP BY term),
+  exp AS (
+    SELECT q.j, v.term, v.df,
+           1.0 - levenshtein(v.term, q.qt)::DOUBLE
+                 / least(length(v.term), length(q.qt)) AS boost
+    FROM (VALUES {qvals}) q(j, qt) JOIN vocab v
+      ON levenshtein(v.term, q.qt) <= {fuzziness}
+     AND substr(v.term, 1, {prefix_length}) = substr(q.qt, 1, {prefix_length})
+     AND abs(length(v.term) - length(q.qt)) <= {fuzziness}
+    QUALIFY row_number() OVER (PARTITION BY q.j ORDER BY boost DESC, v.term)
+            <= {max_expansions}
+  ),
+  blend AS (SELECT j, max(df) AS dfb FROM exp GROUP BY j),
+  w AS (SELECT e.term,
+               sum(e.boost * ln(1.0 + (s.n_docs - b.dfb + 0.5)/(b.dfb + 0.5))) AS w
+        FROM exp e JOIN blend b USING (j) CROSS JOIN stats s GROUP BY e.term),
+  tf AS (SELECT {keylist}, dl, term, count(*) AS tf FROM tok
+         WHERE term IN (SELECT term FROM w) GROUP BY ALL)
+  SELECT {keylist},
+    sum(w.w * tf.tf
+        / (tf.tf + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*tf.dl/s.avgdl))) AS scr
+  FROM tf JOIN w USING (term) CROSS JOIN stats s
+  GROUP BY {keylist}
+)"""
 
 
 def sql_bm25_scan_topk() -> str:
@@ -300,10 +378,20 @@ def sql_bm25_scan_topk() -> str:
         ["conv_id", "turn_idx"],
         10,
     )
+    fz = _topk_sql(
+        fuzzy_scored_sql(
+            "documents", ["doc_id"], FUZZY_Q,
+            fuzziness=1, prefix_length=1, max_expansions=FUZZY_MAX_EXP,
+        ),
+        ["doc_id"],
+        10,
+    )
     return (
         f"SELECT 'docs' AS variant, doc_id::VARCHAR AS kc, -1 AS kt, score, rank FROM ({docs}) "
         f"UNION ALL "
-        f"SELECT 'transcripts' AS variant, conv_id AS kc, turn_idx AS kt, score, rank FROM ({tr})"
+        f"SELECT 'transcripts' AS variant, conv_id AS kc, turn_idx AS kt, score, rank FROM ({tr}) "
+        f"UNION ALL "
+        f"SELECT 'fuzzy' AS variant, doc_id::VARCHAR AS kc, -1 AS kt, score, rank FROM ({fz})"
     )
 
 

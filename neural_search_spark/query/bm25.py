@@ -182,6 +182,25 @@ class BM25Index:
         )
         return pairs[: max(int(limit), 0)]
 
+    def dictionary(self, prefix: str | None = None) -> list[tuple[str, int]]:
+        """Full (term, df) dictionary read — the multi-term-query expansion
+        surface (fuzzy/wildcard enumerate the dictionary the way Lucene's
+        FuzzyTermsEnum walks the terms index). Optional prefix range
+        pushdown ([prefix, prefix+1) on parquet row-group stats).
+        Vocabulary-sized (≪ corpus at any scale), driver-side pyarrow."""
+        import pyarrow.dataset as ds
+
+        if self._terms_ds is None:
+            self._terms_ds = ds.dataset(self._terms_path, format="parquet")
+        flt = None
+        if prefix:
+            hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            flt = (ds.field("term") >= prefix) & (ds.field("term") < hi)
+        tbl = self._terms_ds.to_table(columns=["term", "df"], filter=flt)
+        return sorted(
+            zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist()))
+        )
+
     def cache(self) -> "BM25Index":
         """Serving mode: pin the posting blocks in executor memory
         (MEMORY_AND_DISK), PRE-PARTITIONED by shard_id. The one-time
@@ -669,6 +688,56 @@ def bm25_topk(
 
     # TakeOrderedAndProject: per-partition top-k then a single merge on the
     # driver — the Catalyst-native equivalent of the treeAggregate heap merge
+    w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
+    return (
+        shard_topk.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+def weighted_term_topk(
+    index: BM25Index,
+    term_weights: dict[str, float],
+    k: int = 10,
+    mode: str = "auto",
+) -> DataFrame:
+    """Disjunctive top-k with CALLER-SUPPLIED per-term weights replacing
+    idf: score(doc) = Σ_t w_t · tfnorm_t. The execution kernels are
+    bm25_topk's (driver pyarrow read / distributed MaxScore shards) — only
+    the per-term constant differs, which is exactly how Lucene serves
+    expanded multi-term queries (fuzzy/blended TermQueries with boosts ×
+    blended idf). Terms absent from the index are dropped (their clauses
+    can never match)."""
+    spark = index.spark
+    terms = sorted(t for t, w in term_weights.items() if w != 0.0)
+    stats = index.term_stats(terms)
+    terms = [t for t in terms if t in stats]
+    if not terms:
+        return spark.range(0).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).cast("float").alias("score"),
+            F.lit(0).cast("int").alias("rank"),
+        )
+    weights = {tid_py(t): float(term_weights[t]) for t in terms}
+    if mode == "driver" or (
+        mode == "auto"
+        and sum(stats[t] for t in terms) <= DRIVER_MAX_POSTINGS
+    ):
+        pdf = _bm25_topk_driver(
+            index, weights, sorted(tid_py(t) for t in terms), k
+        )
+        return spark.createDataFrame(
+            pdf, schema="doc_id long, score float, rank int"
+        )
+    blocks = index.postings_for(terms).select(
+        "shard_id", "tid", "min_doc_id", "max_doc_id",
+        "docs", "tfs", "dls", "max_tfnorm",
+    )
+    scorer = _maxscore_shard_scorer(
+        weights, k, index.k1, index.b, index.avgdl, deletes=index.deletes
+    )
+    shard_topk = blocks.groupBy("shard_id").applyInPandas(scorer, TOPK_SCHEMA)
     w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
     return (
         shard_topk.orderBy(F.desc("score"), F.asc("doc_id"))

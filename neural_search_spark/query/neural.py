@@ -47,6 +47,14 @@ class QuerySpec:
     # 'N%'. Scores remain the sum over matched terms.
     operator: str = "or"
     minimum_should_match: int | str | None = None
+    # match only: fuzzy expansion (OpenSearch MatchQueryBuilder fuzziness
+    # → Lucene FuzzyQuery + BlendedTermQuery). None = exact terms;
+    # 'AUTO' | 0..2 enables dictionary expansion. Composes with
+    # operator='or' / msm=None only (a fuzzy coverage gate would need
+    # per-token-GROUP counting, which the engine doesn't implement).
+    fuzziness: int | str | None = None
+    prefix_length: int = 0
+    fuzzy_transpositions: bool = True
     # multi_match only: field list with optional "name^boost" suffixes;
     # match_type "best_fields" (DisjunctionMaxQuery: max + tie_breaker ×
     # sum-of-others) or "most_fields" (bool-should sum) — OpenSearch's
@@ -121,6 +129,15 @@ def rewrite(spec: QuerySpec) -> QuerySpec:
     return spec
 
 
+def _check_fuzzy_combo(spec: QuerySpec) -> None:
+    if spec.operator != "or" or spec.minimum_should_match is not None:
+        raise ValueError(
+            "fuzziness composes with operator='or' and no "
+            "minimum_should_match only (a fuzzy coverage gate needs "
+            "per-token-group counting, which this engine doesn't implement)"
+        )
+
+
 def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Score one rewritten sub-query → (doc_id, score). The optional filter
     is applied BEFORE scoring (the reference pushes the hybrid filter into
@@ -151,6 +168,20 @@ def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFra
             scoped, spec.query_tokens or {}, features_col=spec.field, id_col=id_col
         )
     if spec.query_type == "match":
+        if spec.fuzziness is not None:
+            _check_fuzzy_combo(spec)
+            from .fuzzy import fuzzy_match_scored_scan
+
+            return fuzzy_match_scored_scan(
+                scoped,
+                spec.query_text or "",
+                fuzziness=spec.fuzziness,
+                prefix_length=spec.prefix_length,
+                transpositions=spec.fuzzy_transpositions,
+                max_expansions=spec.max_expansions,
+                id_col=id_col,
+                text_col=spec.field,
+            )
         from ..gate import bm25_scored
         from ..tokenizer import tokenize_py
         from .bm25 import parse_min_match
