@@ -15,6 +15,8 @@ Routing table (spec → plan):
                                                 | positional equi-join scan
   match_phrase_prefix → phrase_prefix_topk (dictionary prefix expansion,
                    union positions at the last offset) | prefix scan
+  prefix/wildcard → multiterm_topk (constant-score rewrite: dictionary
+                   walk → distinct postings union) | exists() token scan
   multi_match    → per-field BM25 scans → dis-max / sum combine
                    (per-field stats, so always a corpus plan)
   neural_sparse  → sparse_index_topk            | sparse_topk corpus scan
@@ -146,6 +148,8 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "match_phrase",
         "match_phrase_prefix",
         "multi_match",
+        "prefix",
+        "wildcard",
         "neural",
         "neural_sparse",
         "neural_knn",
@@ -298,6 +302,24 @@ class Engine:
                     self._need_corpus("match_phrase_prefix"),
                     self.id_col,
                 )
+            )
+        if spec.query_type in ("prefix", "wildcard"):
+            if (
+                self.bm25_index is not None
+                and spec.filter is None
+                and allowed is None
+            ):
+                from .query.multiterm import multiterm_topk
+
+                return multiterm_topk(
+                    self.bm25_index,
+                    spec.value or "",
+                    kind=spec.query_type,
+                    k=k,
+                    boost=spec.boost,
+                ).drop("rank")
+            return _bound(
+                execute(spec, self._need_corpus(spec.query_type), self.id_col)
             )
         if spec.query_type == "multi_match":
             # always a corpus scan: the block index covers one field; the

@@ -55,6 +55,10 @@ class QuerySpec:
     fuzziness: int | str | None = None
     prefix_length: int = 0
     fuzzy_transpositions: bool = True
+    # prefix / wildcard only: the term pattern and the constant score
+    # (CONSTANT_SCORE rewrite — every matching doc scores boost)
+    value: str | None = None
+    boost: float = 1.0
     # multi_match only: field list with optional "name^boost" suffixes;
     # match_type "best_fields" (DisjunctionMaxQuery: max + tie_breaker ×
     # sum-of-others) or "most_fields" (bool-should sum) — OpenSearch's
@@ -211,6 +215,17 @@ def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFra
             scoped,
             spec.query_text or "",
             max_expansions=spec.max_expansions,
+            id_col=id_col,
+            text_col=spec.field,
+        )
+    if spec.query_type in ("prefix", "wildcard"):
+        from .multiterm import multiterm_scored_scan
+
+        return multiterm_scored_scan(
+            scoped,
+            spec.value or "",
+            kind=spec.query_type,
+            boost=spec.boost,
             id_col=id_col,
             text_col=spec.field,
         )

@@ -1,0 +1,133 @@
+"""prefix / wildcard constant-score queries (Lucene PrefixQuery /
+WildcardQuery under the CONSTANT_SCORE rewrite)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.build import IndexBuilder, doc_id_col, tokenized_turns
+from neural_search_spark.query.bm25 import BM25Index
+from neural_search_spark.query.multiterm import (
+    expand_pattern,
+    multiterm_scored_scan,
+    multiterm_topk,
+    wildcard_literal_prefix,
+    wildcard_regex,
+)
+
+
+@pytest.fixture(scope="module")
+def mt_setup(spark, transcripts_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mt") / "idx")
+    IndexBuilder(spark, d, n_shards=4, block_size=64).build(transcripts_df)
+    idx = BM25Index(spark, d)
+    tt = tokenized_turns(transcripts_df).toPandas()
+    return idx, tt
+
+
+def test_wildcard_translation():
+    assert wildcard_regex("to*") == "^to.*$"
+    assert wildcard_regex("t?ol") == "^t.ol$"
+    assert wildcard_regex("a.b*") == "^a\\.b.*$"  # dot escaped
+    assert wildcard_literal_prefix("too*x?") == "too"
+    assert wildcard_literal_prefix("*oo") == ""
+    assert wildcard_literal_prefix("tool") == "tool"
+
+
+def test_expansion_against_vocab(mt_setup):
+    idx, tt = mt_setup
+    vocab = sorted({t for l in tt.toks for t in l})
+    exp_p = [t for t, _ in expand_pattern(idx, "to", "prefix")]
+    assert exp_p == [t for t in vocab if t.startswith("to")]
+    exp_w = [t for t, _ in expand_pattern(idx, "t?ol", "wildcard")]
+    assert exp_w == [
+        t for t in vocab if len(t) == 4 and t[0] == "t" and t[2:] == "ol"
+    ]
+
+
+def brute_ids(tt, pred, k=None):
+    ids = sorted(
+        int(d) for d, l in zip(tt.doc_id, tt.toks) if any(pred(t) for t in l)
+    )
+    return ids if k is None else ids[:k]
+
+
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+def test_prefix_topk(mt_setup, mode):
+    idx, tt = mt_setup
+    exp = brute_ids(tt, lambda t: t.startswith("to"), k=10)
+    got = multiterm_topk(idx, "to", kind="prefix", k=10, mode=mode).toPandas()
+    assert got.doc_id.tolist() == exp
+    assert (got.score == 1.0).all()
+    assert got["rank"].tolist() == list(range(1, len(exp) + 1))
+
+
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+def test_wildcard_topk(mt_setup, mode):
+    import re
+
+    idx, tt = mt_setup
+    rx = re.compile("^w00.1$")
+    exp = brute_ids(tt, lambda t: rx.match(t), k=10)
+    assert exp, "fixture vocab has w00x1 tokens"
+    got = multiterm_topk(
+        idx, "w00?1", kind="wildcard", k=10, mode=mode, boost=2.0
+    ).toPandas()
+    assert got.doc_id.tolist() == exp
+    assert (got.score == 2.0).all()
+
+
+def test_no_expansion_is_empty(mt_setup):
+    idx, _ = mt_setup
+    assert multiterm_topk(idx, "zz9qx", kind="prefix", k=5).count() == 0
+    assert multiterm_topk(idx, "", kind="prefix", k=5).count() == 0
+
+
+def test_scan_matches_index(mt_setup, transcripts_df):
+    idx, tt = mt_setup
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    got = (
+        multiterm_scored_scan(docs, "to", kind="prefix")
+        .orderBy("doc_id")
+        .limit(10)
+        .toPandas()
+    )
+    want = multiterm_topk(idx, "to", kind="prefix", k=10).toPandas()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert (got.score == 1.0).all()
+
+
+def test_engine_routing_and_hybrid_compose(mt_setup, transcripts_df, spark):
+    from neural_search_spark.engine import Engine, spec_from_json
+
+    idx, tt = mt_setup
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs, bm25_index=idx)
+    got = eng.search(
+        spec_from_json({"prefix": {"value": "to"}}), k=10
+    ).toPandas()
+    assert got.doc_id.tolist() == brute_ids(
+        tt, lambda t: t.startswith("to"), k=10
+    )
+    # tombstones honored on the index route
+    idx2 = BM25Index(spark, idx.path).with_deletes(got.doc_id.iloc[:2].tolist())
+    eng2 = Engine(spark, corpus=docs, bm25_index=idx2)
+    got2 = eng2.search(spec_from_json({"prefix": {"value": "to"}}), k=10).toPandas()
+    assert set(got.doc_id.iloc[:2]).isdisjoint(set(got2.doc_id))
+    # composes as a hybrid branch (constant-score + bm25)
+    out = eng.search(
+        spec_from_json(
+            {
+                "hybrid": {
+                    "queries": [
+                        {"match": {"query_text": "tool call"}},
+                        {"wildcard": {"value": "w00?1"}},
+                    ],
+                    "normalization": "min_max",
+                    "pagination_depth": 50,
+                }
+            }
+        ),
+        k=10,
+    ).toPandas()
+    assert len(out) == 10
