@@ -15,8 +15,10 @@ Routing table (spec → plan):
                                                 | positional equi-join scan
   match_phrase_prefix → phrase_prefix_topk (dictionary prefix expansion,
                    union positions at the last offset) | prefix scan
-  prefix/wildcard → multiterm_topk (constant-score rewrite: dictionary
-                   walk → distinct postings union) | exists() token scan
+  prefix/wildcard/terms → multiterm_topk (constant-score rewrite:
+                   dictionary walk / verbatim set → distinct postings
+                   union) | exists() token scan
+  term           → term_topk (un-analyzed BM25 TermQuery) | verbatim scan
   multi_match    → per-field BM25 scans → dis-max / sum combine
                    (per-field stats, so always a corpus plan)
   neural_sparse  → sparse_index_topk            | sparse_topk corpus scan
@@ -150,6 +152,8 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "multi_match",
         "prefix",
         "wildcard",
+        "term",
+        "terms",
         "neural",
         "neural_sparse",
         "neural_knn",
@@ -303,7 +307,7 @@ class Engine:
                     self.id_col,
                 )
             )
-        if spec.query_type in ("prefix", "wildcard"):
+        if spec.query_type in ("prefix", "wildcard", "terms"):
             if (
                 self.bm25_index is not None
                 and spec.filter is None
@@ -313,13 +317,29 @@ class Engine:
 
                 return multiterm_topk(
                     self.bm25_index,
-                    spec.value or "",
+                    spec.values
+                    if spec.query_type == "terms"
+                    else (spec.value or ""),
                     kind=spec.query_type,
                     k=k,
                     boost=spec.boost,
                 ).drop("rank")
             return _bound(
                 execute(spec, self._need_corpus(spec.query_type), self.id_col)
+            )
+        if spec.query_type == "term":
+            if (
+                self.bm25_index is not None
+                and spec.filter is None
+                and allowed is None
+            ):
+                from .query.multiterm import term_topk
+
+                return term_topk(
+                    self.bm25_index, spec.value or "", k=k
+                ).drop("rank")
+            return _bound(
+                execute(spec, self._need_corpus("term"), self.id_col)
             )
         if spec.query_type == "multi_match":
             # always a corpus scan: the block index covers one field; the

@@ -59,9 +59,12 @@ def wildcard_literal_prefix(pattern: str) -> str:
 
 
 def expand_pattern(
-    index: BM25Index, pattern: str, kind: str
+    index: BM25Index, pattern, kind: str
 ) -> list[tuple[str, int]]:
-    """Dictionary terms matching a prefix/wildcard, with dfs."""
+    """Dictionary terms matching a prefix/wildcard/verbatim-set, with dfs."""
+    if kind == "terms":
+        stats = index.term_stats(sorted({str(v) for v in (pattern or [])}))
+        return sorted(stats.items())
     if kind == "prefix":
         return index.dictionary(prefix=pattern) if pattern else []
     rx = re.compile(wildcard_regex(pattern))
@@ -171,6 +174,77 @@ def _doc_ids_driver(index: BM25Index, terms: list[str]) -> np.ndarray:
     return np.concatenate(parts)
 
 
+def term_topk(
+    index: BM25Index, value: str, k: int = 10, mode: str = "auto"
+) -> DataFrame:
+    """Un-analyzed `term` query (Lucene TermQuery, BM25-scored): the
+    VERBATIM value is looked up in the dictionary — no tokenization or
+    lowercasing, so a value the analyzer would have rewritten simply
+    misses, exactly like a raw TermQuery against an analyzed field.
+    Returns (doc_id, score, rank) via the standard BM25 kernels."""
+    from .bm25 import lucene_idf, weighted_term_topk
+
+    stats = index.term_stats([value]) if value else {}
+    if value not in stats:
+        return index.spark.range(0).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).cast("float").alias("score"),
+            F.lit(0).cast("int").alias("rank"),
+        )
+    w = {value: lucene_idf(index.n_docs, stats[value])}
+    return weighted_term_topk(index, w, k=k, mode=mode)
+
+
+def term_scored_scan(
+    docs: DataFrame,
+    value: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Index-free `term` scorer → (doc_id, score double), scoped-frame
+    stats like every other scan (one tokenize pass, one doc-keyed agg)."""
+    from .. import BM25_B, BM25_K1
+
+    spark = docs.sparkSession
+    empty = spark.range(0).select(
+        F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+    )
+    if not value:
+        return empty
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_expr(text_col).alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+    srow = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"] or 1.0)
+    tf = toks.select(
+        "doc_id",
+        "dl",
+        F.size(F.filter("toks", lambda t: t == value)).alias("tf"),
+    ).filter(F.col("tf") > 0)
+    dfrow = tf.agg(F.count(F.lit(1)).alias("df")).collect()[0]
+    df = int(dfrow["df"])
+    if df == 0:
+        return empty
+    from .bm25 import lucene_idf
+
+    idf = lucene_idf(n_docs, df)
+    return tf.select(
+        "doc_id",
+        (
+            F.lit(idf)
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+            )
+        ).alias("score"),
+    )
+
+
 def multiterm_scored_scan(
     docs: DataFrame,
     value: str,
@@ -181,11 +255,17 @@ def multiterm_scored_scan(
 ) -> DataFrame:
     """Index-free constant-score scan → (doc_id, score double): a pure
     map-side `exists` over the token array — no shuffle, no stats."""
-    if kind == "prefix":
+    empty_scan = docs.sparkSession.range(0).select(
+        F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+    )
+    if kind == "terms":
+        vals = sorted({str(v) for v in (value or [])})
+        if not vals:
+            return empty_scan
+        pred = lambda t: t.isin(vals)  # noqa: E731
+    elif kind == "prefix":
         if not value:
-            return docs.sparkSession.range(0).select(
-                F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
-            )
+            return empty_scan
         pred = lambda t: t.startswith(value)  # noqa: E731
     else:
         rx = wildcard_regex(value)

@@ -55,10 +55,13 @@ class QuerySpec:
     fuzziness: int | str | None = None
     prefix_length: int = 0
     fuzzy_transpositions: bool = True
-    # prefix / wildcard only: the term pattern and the constant score
-    # (CONSTANT_SCORE rewrite — every matching doc scores boost)
+    # prefix / wildcard / term only: the verbatim (un-analyzed) term or
+    # pattern; boost is the constant score for the CONSTANT_SCORE kinds
+    # (prefix/wildcard/terms). `term` is BM25-scored like Lucene TermQuery.
     value: str | None = None
     boost: float = 1.0
+    # terms only: the verbatim value set (docs containing ANY score boost)
+    values: list[str] | None = None
     # multi_match only: field list with optional "name^boost" suffixes;
     # match_type "best_fields" (DisjunctionMaxQuery: max + tie_breaker ×
     # sum-of-others) or "most_fields" (bool-should sum) — OpenSearch's
@@ -218,16 +221,22 @@ def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFra
             id_col=id_col,
             text_col=spec.field,
         )
-    if spec.query_type in ("prefix", "wildcard"):
+    if spec.query_type in ("prefix", "wildcard", "terms"):
         from .multiterm import multiterm_scored_scan
 
         return multiterm_scored_scan(
             scoped,
-            spec.value or "",
+            spec.values if spec.query_type == "terms" else (spec.value or ""),
             kind=spec.query_type,
             boost=spec.boost,
             id_col=id_col,
             text_col=spec.field,
+        )
+    if spec.query_type == "term":
+        from .multiterm import term_scored_scan
+
+        return term_scored_scan(
+            scoped, spec.value or "", id_col=id_col, text_col=spec.field
         )
     if spec.query_type == "multi_match":
         return multi_match_scored(

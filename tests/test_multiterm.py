@@ -131,3 +131,53 @@ def test_engine_routing_and_hybrid_compose(mt_setup, transcripts_df, spark):
         k=10,
     ).toPandas()
     assert len(out) == 10
+
+
+# ---------------------------------------------------------------------------
+# term / terms (un-analyzed value queries)
+# ---------------------------------------------------------------------------
+def test_terms_constant_score(mt_setup, transcripts_df, spark):
+    from neural_search_spark.engine import Engine, spec_from_json
+
+    idx, tt = mt_setup
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs, bm25_index=idx)
+    vals = ["tool", "zz9qx"]
+    got = eng.search(
+        spec_from_json({"terms": {"values": vals, "boost": 3.0}}), k=10
+    ).toPandas()
+    exp = brute_ids(tt, lambda t: t in set(vals), k=10)
+    assert got.doc_id.tolist() == exp
+    assert (got.score == 3.0).all()
+    # scan route (filter forces it) agrees
+    spec2 = spec_from_json({"terms": {"values": vals, "boost": 3.0}})
+    spec2.filter = F.lit(True)
+    got2 = eng.search(spec2, k=10).toPandas()
+    assert got2.doc_id.tolist() == exp
+
+
+def test_term_query_bm25_scored(mt_setup, transcripts_df, spark):
+    """term == single-token match for an in-vocabulary lowercase value
+    (identical scores), but the value is NOT analyzed: an uppercase value
+    misses entirely instead of being lowercased."""
+    import numpy as np
+
+    from neural_search_spark.engine import Engine, spec_from_json
+    from neural_search_spark.query.bm25 import bm25_topk
+    from neural_search_spark.query.multiterm import term_topk
+
+    idx, tt = mt_setup
+    got = term_topk(idx, "tool", k=10).toPandas()
+    want = bm25_topk(idx, "tool", k=10).toPandas()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert np.allclose(got.score, want.score, atol=1e-6)
+    assert term_topk(idx, "Tool", k=10).count() == 0  # un-analyzed
+    # Engine route + index-free scan agree
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs, bm25_index=idx)
+    via_idx = eng.search(spec_from_json({"term": {"value": "tool"}}), k=10).toPandas()
+    spec2 = spec_from_json({"term": {"value": "tool"}})
+    spec2.filter = F.lit(True)
+    via_scan = eng.search(spec2, k=10).toPandas()
+    assert via_idx.doc_id.tolist() == via_scan.doc_id.tolist()
+    assert np.allclose(via_idx.score, via_scan.score, atol=1e-5)
