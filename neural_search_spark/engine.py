@@ -19,6 +19,8 @@ Routing table (spec → plan):
                    dictionary walk / verbatim set → distinct postings
                    union) | exists() token scan
   term           → term_topk (un-analyzed BM25 TermQuery) | verbatim scan
+  simple_query_string → parsed fold over the leaf scorers (corpus plans:
+                   AND/NOT need full matched sets)
   multi_match    → per-field BM25 scans → dis-max / sum combine
                    (per-field stats, so always a corpus plan)
   neural_sparse  → sparse_index_topk            | sparse_topk corpus scan
@@ -154,12 +156,20 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "wildcard",
         "term",
         "terms",
+        "simple_query_string",
         "neural",
         "neural_sparse",
         "neural_knn",
     }
     if qtype not in allowed:
         raise ValueError(f"unknown query type: {qtype}; valid: {sorted(allowed)}")
+    if qtype == "simple_query_string":
+        # the reference body uses 'query' / 'default_operator' field names
+        body = dict(body)
+        if "query" in body:
+            body["query_text"] = body.pop("query")
+        if "default_operator" in body:
+            body["operator"] = str(body.pop("default_operator")).lower()
     try:
         return QuerySpec(query_type=qtype, **body)
     except TypeError as ex:
@@ -340,6 +350,15 @@ class Engine:
                 ).drop("rank")
             return _bound(
                 execute(spec, self._need_corpus("term"), self.id_col)
+            )
+        if spec.query_type == "simple_query_string":
+            # always a corpus plan: the fold's AND/NOT combinators need
+            # FULL matched sets, which the index kernels' pre-truncated
+            # top-k cannot provide
+            return _bound(
+                execute(
+                    spec, self._need_corpus("simple_query_string"), self.id_col
+                )
             )
         if spec.query_type == "multi_match":
             # always a corpus scan: the block index covers one field; the

@@ -238,6 +238,16 @@ def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFra
         return term_scored_scan(
             scoped, spec.value or "", id_col=id_col, text_col=spec.field
         )
+    if spec.query_type == "simple_query_string":
+        from .sqs import sqs_scored
+
+        return sqs_scored(
+            scoped,
+            spec.query_text or "",
+            default_operator=spec.operator,
+            id_col=id_col,
+            text_col=spec.field,
+        )
     if spec.query_type == "multi_match":
         return multi_match_scored(
             scoped,

@@ -1,0 +1,148 @@
+"""simple_query_string: parser unit tests + evaluator equivalence against
+manual compositions of the individually-oracled leaf scorers."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.build import doc_id_col, tokenized_turns
+from neural_search_spark.query.sqs import Group, Leaf, parse_sqs, sqs_scored
+
+
+@pytest.fixture(scope="module")
+def docs(spark, transcripts_df):
+    return transcripts_df.withColumn("doc_id", doc_id_col())
+
+
+@pytest.fixture(scope="module")
+def tt(transcripts_df):
+    return tokenized_turns(transcripts_df).toPandas()
+
+
+def flat(g):
+    out = []
+    for op, node in g.children:
+        if isinstance(node, Group):
+            out.append((op, "(", flat(node), node.negated))
+        else:
+            out.append((op, node.kind, node.text, node.negated,
+                        node.slop, node.fuzziness))
+    return out
+
+
+def test_parser_shapes():
+    g = parse_sqs('foo +bar | -baz "the tool"~2 pre* fz~1 (a | b)')
+    k = flat(g)
+    assert k[0] == ("default", "match", "foo", False, 0, 0)
+    assert k[1] == ("and", "match", "bar", False, 0, 0)
+    assert k[2] == ("or", "match", "baz", True, 0, 0)
+    assert k[3] == ("default", "phrase", "the tool", False, 2, 0)
+    assert k[4] == ("default", "prefix", "pre", False, 0, 0)
+    assert k[5] == ("default", "fuzzy", "fz", False, 0, 1)
+    assert k[6][1] == "(" and [x[2] for x in k[6][2]] == ["a", "b"]
+
+
+def test_parser_lenient():
+    # dangling operators, unbalanced quotes/parens: degrade, never raise
+    assert flat(parse_sqs("foo +")) == [("default", "match", "foo", False, 0, 0)]
+    assert flat(parse_sqs(')foo ("bar')) [0][2] == "foo"
+    assert parse_sqs("").children == []
+    assert parse_sqs("- | + ( )").children == []
+
+
+def pdfd(df):
+    p = df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    return dict(zip(p.doc_id, p.score))
+
+
+def test_or_is_union_sum(docs):
+    from neural_search_spark.gate import bm25_scored
+
+    got = pdfd(sqs_scored(docs, "tool | call"))
+    # OR == plain two-term match (disjunctive BM25 sum)
+    want = pdfd(bm25_scored(docs, ["doc_id"], "tool call", ndp=None))
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_and_filters_to_intersection(docs, tt):
+    got = pdfd(sqs_scored(docs, "tool + call"))
+    both = {
+        int(d)
+        for d, l in zip(tt.doc_id, tt.toks)
+        if "tool" in set(l) and "call" in set(l)
+    }
+    assert set(got) == both
+    # scores equal the OR scores on the surviving docs
+    or_sc = pdfd(sqs_scored(docs, "tool | call"))
+    for d in got:
+        assert got[d] == pytest.approx(or_sc[d], rel=1e-9)
+
+
+def test_negation_excludes(docs, tt):
+    got = pdfd(sqs_scored(docs, "tool -call"))
+    have_call = {
+        int(d) for d, l in zip(tt.doc_id, tt.toks) if "call" in set(l)
+    }
+    assert set(got).isdisjoint(have_call)
+    # exclusion order-independent
+    got2 = pdfd(sqs_scored(docs, "-call tool"))
+    assert got == got2
+    # pure-negative query matches nothing
+    assert sqs_scored(docs, "-tool").count() == 0
+
+
+def test_default_operator_and(docs):
+    assert pdfd(sqs_scored(docs, "tool call", default_operator="and")) == pdfd(
+        sqs_scored(docs, "tool + call")
+    )
+
+
+def test_phrase_prefix_fuzzy_leaves(docs, tt):
+    from neural_search_spark.query.fuzzy import fuzzy_match_scored_scan
+    from neural_search_spark.query.multiterm import multiterm_scored_scan
+    from neural_search_spark.query.phrase import phrase_scored_scan
+
+    assert pdfd(sqs_scored(docs, '"the tool"')) == pdfd(
+        phrase_scored_scan(docs, "the tool")
+    )
+    assert pdfd(sqs_scored(docs, '"tool the"~2')) == pdfd(
+        phrase_scored_scan(docs, "tool the", slop=2)
+    )
+    assert pdfd(sqs_scored(docs, "to*")) == pdfd(
+        multiterm_scored_scan(docs, "to", kind="prefix")
+    )
+    assert pdfd(sqs_scored(docs, "tol~1")) == pdfd(
+        fuzzy_match_scored_scan(docs, "tol", fuzziness=1)
+    )
+
+
+def test_grouping(docs, tt):
+    got = pdfd(sqs_scored(docs, "(tool | call) + the"))
+    have = {
+        int(d)
+        for d, l in zip(tt.doc_id, tt.toks)
+        if ("tool" in set(l) or "call" in set(l)) and "the" in set(l)
+    }
+    assert set(got) == have
+
+
+def test_engine_route_and_topk(docs, spark):
+    from neural_search_spark.engine import Engine, spec_from_json
+
+    eng = Engine(spark, corpus=docs)
+    out = eng.search(
+        spec_from_json(
+            {
+                "simple_query_string": {
+                    "query": '"the tool" | call -w0001',
+                    "default_operator": "or",
+                }
+            }
+        ),
+        k=10,
+    ).toPandas()
+    assert len(out) == 10
+    assert out["rank"].tolist() == list(range(1, 11))
+    assert (np.diff(out.score.to_numpy()) <= 1e-12).all()
