@@ -229,6 +229,18 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
             phrase_topk(idx, p, k=10, mode="driver").collect()
         out["phrase_qps_driver"] = round(len(phrases) / (time.time() - t0), 2)
 
+        # fuzzy match serving (round-4 field, outside the headline):
+        # 1-edit typos of the phrase bigrams' leading words — dictionary
+        # expansion + the weighted BM25 driver kernel per query
+        from neural_search_spark.query.fuzzy import fuzzy_match_topk
+
+        typos = [p.split()[0][:-1] + "x" for p in phrases]
+        fuzzy_match_topk(idx, typos[0], k=10, fuzziness=1).collect()
+        t0 = time.time()
+        for tq in typos:
+            fuzzy_match_topk(idx, tq, k=10, fuzziness=1).collect()
+        out["fuzzy_qps"] = round(len(typos) / (time.time() - t0), 2)
+
     # --- sf-table operator queries ----------------------------------------
     extra_ops = [] if mode == "scaling" else [
         ("hybrid_minmax_arith", gate.q_hybrid_minmax_arith),

@@ -101,6 +101,10 @@ class BM25Index:
         from ..index.cache import DEFAULT_MAX_BYTES, DEFAULT_MAX_TERMS
 
         self._driver_cache: dict[int, tuple] = {}
+        # driver-resident dictionary cache (term, df) — filled on the
+        # first full dictionary() read; prefix reads bisect into it
+        self._dictionary: list[tuple[str, int]] | None = None
+        self._dict_terms: list[str] | None = None
         self.driver_cache_terms = DEFAULT_MAX_TERMS
         self.driver_cache_bytes = DEFAULT_MAX_BYTES
         # sorted int64 tombstones, or None — see with_deletes
@@ -187,7 +191,20 @@ class BM25Index:
         surface (fuzzy/wildcard enumerate the dictionary the way Lucene's
         FuzzyTermsEnum walks the terms index). Optional prefix range
         pushdown ([prefix, prefix+1) on parquet row-group stats).
-        Vocabulary-sized (≪ corpus at any scale), driver-side pyarrow."""
+        Vocabulary-sized (≪ corpus at any scale), driver-side pyarrow.
+        The full read is cached on the handle (Lucene keeps the terms
+        index resident the same way); prefix reads serve from the cache
+        via bisect when it's warm."""
+        if self._dictionary is not None:
+            if not prefix:
+                return self._dictionary
+            import bisect
+
+            terms = self._dict_terms
+            lo = bisect.bisect_left(terms, prefix)
+            hi_key = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            hi = bisect.bisect_left(terms, hi_key)
+            return self._dictionary[lo:hi]
         import pyarrow.dataset as ds
 
         if self._terms_ds is None:
@@ -197,9 +214,13 @@ class BM25Index:
             hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
             flt = (ds.field("term") >= prefix) & (ds.field("term") < hi)
         tbl = self._terms_ds.to_table(columns=["term", "df"], filter=flt)
-        return sorted(
+        out = sorted(
             zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist()))
         )
+        if not prefix:
+            self._dictionary = out
+            self._dict_terms = [t for t, _ in out]
+        return out
 
     def cache(self) -> "BM25Index":
         """Serving mode: pin the posting blocks in executor memory
