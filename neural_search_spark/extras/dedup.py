@@ -57,6 +57,39 @@ def exact_dedup(
     return keyed.join(groups, "ckey").select("doc_id", "rep_id", "group_size")
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the training-data staple of flagging
+    corpus docs that share word n-grams with an evaluation set (the
+    GPT-3/PaLM-style 'n-gram overlap with the benchmark' filter):
+    returns (doc_id, n_overlap) for corpus docs sharing ≥ ``min_overlap``
+    DISTINCT n-gram shingles with ANY benchmark doc.
+
+    100-TB shape: the benchmark side is eval-set-sized (tiny vs the
+    corpus), so its distinct shingle set broadcasts; the corpus-side
+    shingle stream is the only big scan and it carries int64 h60
+    identities, never gram strings. One broadcast semi-structured join +
+    one doc-keyed count — no corpus×corpus pairing anywhere."""
+    c_sh = shingles(corpus, text_col=text_col, id_col=id_col, n=n)
+    b_sh = (
+        shingles(benchmark, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= int(min_overlap))
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles
 # ---------------------------------------------------------------------------

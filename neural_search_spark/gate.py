@@ -893,15 +893,63 @@ FROM (SELECT len({TOK})::INTEGER AS dl FROM documents)"""
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
+_DECON_RATE = 0.05
+_DECON_N = 8
+_DECON_MIN = 3
+
+
 def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.exact_dedup(_docs(spark, sf))
+    """Two doc-keyed dedup-family variants in one slot (round-4):
+    'exact' = content-hash groups (doc_id, rep_id, group_size projected
+    to v1/v2); 'decontam' = benchmark decontamination — corpus docs
+    sharing ≥3 distinct 8-gram shingles with a deterministic 5% hash
+    sample standing in for an eval set (v1 = overlap count, v2 = -1).
+    The sampled docs themselves are contaminated by construction, so the
+    variant is never trivially empty."""
+    docs = _docs(spark, sf)
+    ex = dedup.exact_dedup(docs).select(
+        F.lit("exact").alias("variant"),
+        "doc_id",
+        F.col("rep_id").alias("v1"),
+        F.col("group_size").cast("long").alias("v2"),
+    )
+    bench = textstats.deterministic_sample(docs, _DECON_RATE, salt="decon")
+    dc = dedup.decontaminate(
+        docs, bench, n=_DECON_N, min_overlap=_DECON_MIN
+    ).select(
+        F.lit("decontam").alias("variant"),
+        "doc_id",
+        F.col("n_overlap").cast("long").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"),
+    )
+    return ex.unionByName(dc)
 
 
 def sql_exact_dedup() -> str:
+    from .extras.hashing import h60_sql, h60_unit_sql
+
+    u = h60_unit_sql("doc_id::VARCHAR", "decon")
+    n = _DECON_N
+    gram = (
+        f"CASE WHEN len(toks) >= {n} THEN list_transform("
+        f"range(1, len(toks) - {n - 2}), i -> array_to_string(toks[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string(toks, ' ')] END"
+    )
     return f"""
 WITH keyed AS (SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS ckey FROM documents),
-grp AS (SELECT ckey, min(doc_id) AS rep_id, count(*) AS group_size FROM keyed GROUP BY ckey)
-SELECT doc_id, rep_id, group_size FROM keyed JOIN grp USING (ckey)"""
+grp AS (SELECT ckey, min(doc_id) AS rep_id, count(*) AS group_size FROM keyed GROUP BY ckey),
+sh AS (
+  SELECT DISTINCT doc_id, {h60_sql('gram')} AS shingle FROM (
+    SELECT doc_id, unnest({gram}) AS gram
+    FROM (SELECT doc_id, {TOK} AS toks FROM documents))),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id IN
+        (SELECT doc_id FROM documents WHERE {u} < {_DECON_RATE})),
+dc AS (SELECT doc_id, count(*) AS n_overlap FROM sh JOIN bsh USING (shingle)
+       GROUP BY doc_id HAVING count(*) >= {_DECON_MIN})
+SELECT 'exact' AS variant, doc_id, rep_id AS v1, group_size AS v2
+FROM keyed JOIN grp USING (ckey)
+UNION ALL
+SELECT 'decontam' AS variant, doc_id, n_overlap AS v1, -1 AS v2 FROM dc"""
 
 
 _SHINGLE_SQL = f"""

@@ -398,3 +398,31 @@ def test_ann_store_rebuild_determinism(emb_df, spark, tmp_path):
     similarity.IvfAnnIndex.write(one, ia, n_lists=8)
     similarity.IvfAnnIndex.write(one, ib, n_lists=8)
     assert tree_hash(ia) == tree_hash(ib)
+
+
+def test_decontaminate(spark, docs_df):
+    """Benchmark decontamination: docs sharing >= min_overlap distinct
+    n-gram shingles with the eval set are flagged with the right count;
+    unrelated docs never appear."""
+    from neural_search_spark.extras import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = (
+        dedup.decontaminate(docs_df, bench, n=3, min_overlap=1)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # docs 0/1/2 are exact/normalized copies: ALL 7 trigram shingles hit;
+    # doc 3 (one word changed) shares the grams not covering 'leaps'
+    flagged = dict(zip(got.doc_id, got.n_overlap))
+    assert flagged[0] == flagged[1] == flagged[2] == 7
+    assert 0 < flagged[3] < 7
+    assert set(flagged) == {0, 1, 2, 3}
+    # threshold excludes the near-dup but keeps the copies
+    strict = dedup.decontaminate(docs_df, bench, n=3, min_overlap=7)
+    assert sorted(
+        r.doc_id for r in strict.select("doc_id").collect()
+    ) == [0, 1, 2]
