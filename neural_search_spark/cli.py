@@ -142,6 +142,32 @@ def cmd_phrase(args) -> None:
         print(json.dumps(row.asDict()))
 
 
+def cmd_suggest(args) -> None:
+    from .query.bm25 import BM25Index
+    from .query.suggest import term_suggest
+
+    spark = _get_session(args)
+    idx = BM25Index(spark, args.index)
+    out = term_suggest(
+        idx,
+        args.text,
+        size=args.size,
+        suggest_mode=args.mode,
+        sort=args.sort,
+    )
+    print(
+        json.dumps(
+            {
+                tok: [
+                    {"term": s.term, "score": round(s.score, 4), "freq": s.freq}
+                    for s in opts
+                ]
+                for tok, opts in out.items()
+            }
+        )
+    )
+
+
 def cmd_query_batch(args) -> None:
     from .query.bm25 import BM25Index, bm25_topk_batch
 
@@ -313,6 +339,18 @@ def main(argv=None) -> None:
                     dest="max_expansions",
                     help="dictionary-expansion cap for --prefix (default 50)")
     ph.set_defaults(fn=cmd_phrase)
+
+    sg = sub.add_parser(
+        "suggest", help="term suggester (did-you-mean) from the dictionary"
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--text", required=True)
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--mode", default="missing",
+                    choices=["missing", "popular", "always"])
+    sg.add_argument("--sort", default="score",
+                    choices=["score", "frequency"])
+    sg.set_defaults(fn=cmd_suggest)
 
     qb = sub.add_parser("query-batch", help="batched top-k BM25")
     qb.add_argument("--index", required=True)

@@ -157,6 +157,7 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "term",
         "terms",
         "simple_query_string",
+        "match_bool_prefix",
         "neural",
         "neural_sparse",
         "neural_knn",
@@ -351,13 +352,13 @@ class Engine:
             return _bound(
                 execute(spec, self._need_corpus("term"), self.id_col)
             )
-        if spec.query_type == "simple_query_string":
-            # always a corpus plan: the fold's AND/NOT combinators need
-            # FULL matched sets, which the index kernels' pre-truncated
-            # top-k cannot provide
+        if spec.query_type in ("simple_query_string", "match_bool_prefix"):
+            # always a corpus plan: the fold's combinators need FULL
+            # matched sets, which the index kernels' pre-truncated top-k
+            # cannot provide
             return _bound(
                 execute(
-                    spec, self._need_corpus("simple_query_string"), self.id_col
+                    spec, self._need_corpus(spec.query_type), self.id_col
                 )
             )
         if spec.query_type == "multi_match":
@@ -679,6 +680,16 @@ class Engine:
             .limit(k)
             .withColumn("rank", F.row_number().over(w).cast("int"))
         )
+
+    def suggest(self, text: str, **kw):
+        """Term suggester (did-you-mean; Lucene DirectSpellChecker analog)
+        over the attached BM25 index's dictionary — driver-side, no Spark
+        job. Returns {token: [Suggestion(term, score, freq), ...]}."""
+        if self.bm25_index is None:
+            raise ValueError("suggest needs an attached bm25_index")
+        from .query.suggest import term_suggest
+
+        return term_suggest(self.bm25_index, text, **kw)
 
     def msearch(
         self, specs: dict[str, QuerySpec | dict | str], k: int = 10

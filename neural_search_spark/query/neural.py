@@ -248,6 +248,29 @@ def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFra
             id_col=id_col,
             text_col=spec.field,
         )
+    if spec.query_type == "match_bool_prefix":
+        # autocomplete form (MatchBoolPrefixQueryBuilder): every token a
+        # SHOULD term clause except the last, which matches as a prefix
+        # (constant score) — exactly the sqs fold over 'tok1 tok2 last*'
+        # (tokens are [a-z0-9]+ so the rebuilt string re-analyzes to the
+        # same clause list)
+        from ..tokenizer import tokenize_py
+        from .sqs import sqs_scored
+
+        toks = tokenize_py(spec.query_text or "")
+        if not toks:
+            return docs.sparkSession.range(0).select(
+                F.col("id").alias("doc_id"),
+                F.lit(0.0).cast("double").alias("score"),
+            )
+        q = " ".join(toks[:-1] + [toks[-1] + "*"])
+        return sqs_scored(
+            scoped,
+            q,
+            default_operator=spec.operator,
+            id_col=id_col,
+            text_col=spec.field,
+        )
     if spec.query_type == "multi_match":
         return multi_match_scored(
             scoped,

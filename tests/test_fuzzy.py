@@ -184,3 +184,34 @@ def test_fuzzy_exact_token_dominates(fz_setup):
         tt[tt.doc_id == got.doc_id.iloc[0]].toks.iloc[0]
     )
     assert "tool" in top_doc_toks
+
+
+def test_term_suggest(fz_setup):
+    """did-you-mean over the dictionary: a misspelled token suggests its
+    real neighbors closest-first; in-vocabulary tokens get no suggestions
+    under suggest_mode='missing' but do under 'always'."""
+    from neural_search_spark.query.suggest import term_suggest
+
+    idx, tt = fz_setup
+    out = term_suggest(idx, "tol the", size=3)
+    assert out["the"] == []  # in vocabulary, mode=missing
+    sugg = out["tol"]
+    assert sugg, "1-edit neighbors of 'tol' exist (tool/to)"
+    assert all(s.score >= sugg[-1].score for s in sugg)
+    terms = [s.term for s in sugg]
+    assert "tool" in terms or "to" in terms
+    vocab_df = {t: int(sum(t in set(l) for l in tt.toks))
+                for t in {s.term for s in sugg}}
+    for s in sugg:
+        assert s.freq == vocab_df[s.term]
+    # 'always' suggests even for valid tokens: the synthetic vocab's
+    # wNNNN family guarantees 1-substitution neighbors of w0001
+    out2 = term_suggest(idx, "w0001", suggest_mode="always", size=5)
+    assert len(out2["w0001"]) > 0
+    assert all(s.term != "w0001" for s in out2["w0001"])
+    # 'popular' keeps only candidates with df above the token's own
+    out3 = term_suggest(idx, "w0001", suggest_mode="popular", size=5)
+    own = int(sum("w0001" in set(l) for l in tt.toks))
+    assert all(s.freq > own for s in out3["w0001"])
+    with pytest.raises(ValueError):
+        term_suggest(idx, "x", suggest_mode="bogus")

@@ -146,3 +146,22 @@ def test_engine_route_and_topk(docs, spark):
     assert len(out) == 10
     assert out["rank"].tolist() == list(range(1, 11))
     assert (np.diff(out.score.to_numpy()) <= 1e-12).all()
+
+
+def test_match_bool_prefix(docs, tt, spark):
+    """match_bool_prefix = SHOULD term clauses + trailing prefix clause:
+    equals the manual union-sum of the match part and the prefix part."""
+    from neural_search_spark.engine import Engine, spec_from_json
+
+    eng = Engine(spark, corpus=docs)
+    got = pdfd(
+        eng.search(
+            spec_from_json({"match_bool_prefix": {"query_text": "call to"}}),
+            k=10**9,
+        ).drop("rank")
+    )
+    want = pdfd(sqs_scored(docs, "call | to*"))
+    # engine path is k-bounded; compare on the docs it returned
+    for d, s in got.items():
+        assert s == pytest.approx(want[d], rel=1e-9)
+    assert set(got) == set(want)
