@@ -179,6 +179,41 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         raise ValueError(f"invalid {qtype} query body: {ex}") from None
 
 
+def _sqs_as_flat_match(query: str, default_op: str) -> tuple[str, str] | None:
+    """If a simple_query_string is one flat level of positive,
+    single-token match leaves joined by a UNIFORM operator, it's exactly
+    a match query — return (query_text, operator) for the index route;
+    None otherwise. Conservative: any phrase/prefix/fuzzy leaf, group,
+    negation, duplicate token, or mixed operators falls back to the
+    corpus fold (identical semantics, just not index-served)."""
+    from .query.sqs import Leaf, parse_sqs
+    from .tokenizer import tokenize_py
+
+    g = parse_sqs(query)
+    if not g.children:
+        return None
+    toks: list[str] = []
+    eff_ops: set[str] = set()
+    for i, (op, node) in enumerate(g.children):
+        if not isinstance(node, Leaf) or node.kind != "match" or node.negated:
+            return None
+        words = tokenize_py(node.text)
+        if len(words) != 1:
+            return None
+        toks.append(words[0])
+        if i > 0:  # the first clause's preceding operator is meaningless
+            eff_ops.add(default_op if op == "default" else op)
+    if len(toks) != len(set(toks)):
+        return None  # sqs AND counts per-clause; msm counts distinct terms
+    if len(toks) == 1:
+        return toks[0], "or"
+    if eff_ops == {"or"}:
+        return " ".join(toks), "or"
+    if eff_ops == {"and"}:
+        return " ".join(toks), "and"
+    return None
+
+
 class Engine:
     """Search facade binding the physical assets (indexes / corpus)."""
 
@@ -353,9 +388,27 @@ class Engine:
                 execute(spec, self._need_corpus("term"), self.id_col)
             )
         if spec.query_type in ("simple_query_string", "match_bool_prefix"):
-            # always a corpus plan: the fold's combinators need FULL
-            # matched sets, which the index kernels' pre-truncated top-k
-            # cannot provide
+            # flat term-only queries (the common case: "foo bar baz") are
+            # exactly a match query — serve them from the index; anything
+            # with phrases/prefixes/fuzzy/negation/groups needs the
+            # corpus fold (its combinators want FULL matched sets, which
+            # the index kernels' pre-truncated top-k cannot provide)
+            if (
+                spec.query_type == "simple_query_string"
+                and self.bm25_index is not None
+                and spec.filter is None
+                and allowed is None
+            ):
+                flat = _sqs_as_flat_match(
+                    spec.query_text or "", spec.operator
+                )
+                if flat is not None:
+                    from .query.bm25 import bm25_topk
+
+                    text, op = flat
+                    return bm25_topk(
+                        self.bm25_index, text, k=k, operator=op
+                    ).drop("rank")
             return _bound(
                 execute(
                     spec, self._need_corpus(spec.query_type), self.id_col

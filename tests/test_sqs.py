@@ -165,3 +165,41 @@ def test_match_bool_prefix(docs, tt, spark):
     for d, s in got.items():
         assert s == pytest.approx(want[d], rel=1e-9)
     assert set(got) == set(want)
+
+
+def test_flat_sqs_routes_to_index(docs, spark, tmp_path_factory):
+    """A flat OR/AND of single-token positive terms serves from the BM25
+    index, identical results to the corpus fold; non-flat shapes fall
+    back."""
+    from neural_search_spark.engine import Engine, _sqs_as_flat_match, spec_from_json
+    from neural_search_spark.index.build import IndexBuilder
+    from neural_search_spark.query.bm25 import BM25Index
+
+    assert _sqs_as_flat_match("tool call the", "or") == ("tool call the", "or")
+    assert _sqs_as_flat_match("tool + call", "or") == ("tool call", "and")
+    assert _sqs_as_flat_match("tool call", "and") == ("tool call", "and")
+    assert _sqs_as_flat_match("tool", "or") == ("tool", "or")
+    for bad in ('"tool call"', "to*", "tol~1", "tool -call",
+                "(tool) call", "tool | call + the", "tool tool"):
+        assert _sqs_as_flat_match(bad, "or") is None, bad
+
+    d = str(tmp_path_factory.mktemp("sqsidx") / "idx")
+    IndexBuilder(spark, d, n_shards=4, block_size=64).build(
+        docs.drop("doc_id")
+    )
+    eng = Engine(spark, corpus=docs, bm25_index=BM25Index(spark, d))
+    eng_scan = Engine(spark, corpus=docs)
+    for q, op in [("tool call", "or"), ("tool + call", "or"),
+                  ("tool call", "and")]:
+        spec = {"simple_query_string": {"query": q, "default_operator": op}}
+        via_idx = eng.search(spec_from_json(spec), k=10).toPandas()
+        via_scan = eng_scan.search(spec_from_json(spec), k=10).toPandas()
+        # canonicalize on f32 (index) vs double (scan) tie ordering
+        def canon(df):
+            f32 = df.score.to_numpy().astype(np.float32)
+            o = np.lexsort((df.doc_id.to_numpy(), -f32.astype(np.float64)))
+            return df.doc_id.to_numpy()[o].tolist(), f32[o]
+
+        ii, si = canon(via_idx), canon(via_scan)
+        assert ii[0] == si[0], (q, op)
+        assert np.allclose(ii[1], si[1], atol=1e-5)
