@@ -203,3 +203,52 @@ def test_flat_sqs_routes_to_index(docs, spark, tmp_path_factory):
         ii, si = canon(via_idx), canon(via_scan)
         assert ii[0] == si[0], (q, op)
         assert np.allclose(ii[1], si[1], atol=1e-5)
+
+
+def test_kitchen_sink_hybrid_composition(docs, spark, tmp_path_factory):
+    """Every new leaf type composes as a hybrid branch and inside bool:
+    fuzzy match + sloppy phrase + prefix + simple_query_string in one
+    hybrid request, and a bool with a terms filter gating a fuzzy must."""
+    from neural_search_spark.engine import Engine, spec_from_json
+    from neural_search_spark.index.build import IndexBuilder
+    from neural_search_spark.index.positions import build_positions
+    from neural_search_spark.query.bm25 import BM25Index
+
+    d = str(tmp_path_factory.mktemp("sink") / "idx")
+    raw = docs.drop("doc_id")
+    IndexBuilder(spark, d, n_shards=4, block_size=64).build(raw)
+    build_positions(spark, d, raw)
+    eng = Engine(spark, corpus=docs, bm25_index=BM25Index(spark, d))
+    out = eng.search(
+        spec_from_json(
+            {
+                "hybrid": {
+                    "queries": [
+                        {"match": {"query_text": "tol", "fuzziness": 1}},
+                        {"match_phrase": {"query_text": "tool the", "slop": 2}},
+                        {"prefix": {"value": "w00"}},
+                        {"simple_query_string": {"query": "call | to*"}},
+                    ],
+                    "normalization": "min_max",
+                    "combination": "arithmetic_mean",
+                    "pagination_depth": 50,
+                }
+            }
+        ),
+        k=10,
+    ).toPandas()
+    assert len(out) == 10
+    assert out["rank"].tolist() == list(range(1, 11))
+    b = eng.search(
+        spec_from_json(
+            {
+                "bool": {
+                    "must": [{"match": {"query_text": "tol", "fuzziness": 1}}],
+                    "must_not": [{"wildcard": {"value": "w00?1"}}],
+                    "filter": [{"terms": {"values": ["the", "tool"]}}],
+                }
+            }
+        ),
+        k=10,
+    ).toPandas()
+    assert len(b) > 0
