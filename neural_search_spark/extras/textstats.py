@@ -103,6 +103,89 @@ def fingerprint(col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# repetition signals (Gopher-style repetitious-content filters)
+# ---------------------------------------------------------------------------
+def _bigrams(toks: Column) -> Column:
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add the Gopher-style repetition signals used to drop
+    machine-generated / boilerplate docs from training corpora:
+
+    * dup_token_frac   — 1 − distinct/total tokens;
+    * dup_bigram_frac  — 1 − distinct/total token bigrams;
+    * top_bigram_frac  — occurrences of the modal bigram / total bigrams.
+
+    Pure map-side array expressions (whole-stage codegen, zero shuffle):
+    the modal count folds over the distinct bigrams per doc, O(d·n) in
+    document length — bounded work per row at any corpus scale."""
+    toks = tokenize_expr(text_col)
+    bi = _bigrams(toks)
+    n_t, n_b = F.size(toks), F.size(bi)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bi),
+            lambda b: F.size(F.filter(bi, lambda x: x == b)),
+        )
+    )
+    return (
+        df.withColumn(
+            "dup_token_frac",
+            F.when(
+                n_t > 0, 1.0 - F.size(F.array_distinct(toks)) / n_t
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_bigram_frac",
+            F.when(
+                n_b > 0, 1.0 - F.size(F.array_distinct(bi)) / n_b
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(n_b > 0, top / n_b).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (map-side regex redaction)
+# ---------------------------------------------------------------------------
+# conservative patterns valid in BOTH Java regex (Spark) and RE2 (the
+# DuckDB oracle): no lookarounds, no backreferences
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "long_number": (r"\b\d{13,19}\b", "<NUM>"),  # card/account-shaped runs
+}
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``redacted`` (every PII pattern replaced by its placeholder,
+    applied in PII_PATTERNS order over the lowercased text) and one
+    ``n_<kind>`` match-count column per pattern. Map-side regexes only —
+    the standard pre-training scrub pass shape."""
+    low = F.lower(F.col(text_col))
+    out = df
+    red = low
+    for kind, (pat, rep) in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0)))
+        )
+        red = F.regexp_replace(red, pat, rep)
+    return out.withColumn("redacted", red)
+
+
+# ---------------------------------------------------------------------------
 # SQL oracle twins (DuckDB fragments)
 # ---------------------------------------------------------------------------
 def _sql_list(words: list[str]) -> str:

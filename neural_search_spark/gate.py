@@ -3381,24 +3381,105 @@ def sql_hybrid_norm_matrix() -> str:
     )
 
 
+def _pii_seeded(spark: SparkSession, sf: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended to every 7th
+    doc (the corpus itself is PII-free, so the redaction gate would
+    otherwise be vacuous); the SQL oracle rebuilds the identical text."""
+    return _docs(spark, sf).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0.0."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+_PII_SEEDED_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'"
+    " || doc_id::VARCHAR || '@example.com from 10.0.0.'"
+    " || (doc_id % 256)::VARCHAR ELSE text END AS text FROM documents)"
+)
+
+
 def q_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID + quality features (incl. token counts) + document
-    fingerprint joined into one per-doc profile — the text-analysis family
-    as a single wide oracle-checked table."""
+    fingerprint + Gopher-style repetition signals + PII scrub results
+    (over the seeded frame: counts per pattern + md5 of the redacted
+    text, so the replacement bytes themselves are value-checked) — the
+    text-analysis family as a single wide oracle-checked table."""
+    rep = textstats.repetition_features(_docs(spark, sf)).select(
+        "doc_id", "dup_token_frac", "dup_bigram_frac", "top_bigram_frac"
+    )
+    pii = textstats.pii_redact(_pii_seeded(spark, sf)).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_long_number",
+        F.md5(F.col("redacted").cast("binary")).alias("redact_fp"),
+    )
     return (
         q_lang_id(spark, sf)
         .join(q_quality(spark, sf), "doc_id")
         .join(q_fingerprints(spark, sf), "doc_id")
+        .join(rep, "doc_id")
+        .join(pii, "doc_id")
     )
+
+
+def _sql_repetition() -> str:
+    return f"""
+SELECT doc_id,
+  CASE WHEN len(toks) > 0
+    THEN 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+    ELSE 0.0 END AS dup_token_frac,
+  CASE WHEN len(bi) > 0
+    THEN 1.0 - len(list_distinct(bi)) / CAST(len(bi) AS DOUBLE)
+    ELSE 0.0 END AS dup_bigram_frac,
+  CASE WHEN len(bi) > 0
+    THEN list_max(list_transform(list_distinct(bi),
+           x -> len(list_filter(bi, y -> y = x)))) / CAST(len(bi) AS DOUBLE)
+    ELSE 0.0 END AS top_bigram_frac
+FROM (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1]) ELSE []::VARCHAR[] END AS bi
+  FROM (SELECT doc_id, {TOK} AS toks FROM documents))"""
+
+
+def _sql_pii() -> str:
+    from .extras.textstats import PII_PATTERNS
+
+    pats = {k: p for k, (p, _) in PII_PATTERNS.items()}
+    reps = {k: r for k, (_, r) in PII_PATTERNS.items()}
+    red = "t"
+    for k in PII_PATTERNS:  # same application order as pii_redact
+        red = f"regexp_replace({red}, '{pats[k]}', '{reps[k]}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pats[k]}')) AS n_{k}"
+        for k in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id, {counts}, md5({red}) AS redact_fp
+FROM (SELECT doc_id, lower(text) AS t FROM {_PII_SEEDED_SQL})"""
 
 
 def sql_text_analysis() -> str:
     return f"""
 SELECT l.*, q.n_tokens, q.mean_token_len, q.stopword_ratio,
-       q.non_alnum_ratio, q.quality_ok, f.fp
+       q.non_alnum_ratio, q.quality_ok, f.fp,
+       r.dup_token_frac, r.dup_bigram_frac, r.top_bigram_frac,
+       p.n_email, p.n_ipv4, p.n_long_number, p.redact_fp
 FROM ({sql_lang_id()}) l
 JOIN ({sql_quality()}) q USING (doc_id)
-JOIN ({sql_fingerprints()}) f USING (doc_id)"""
+JOIN ({sql_fingerprints()}) f USING (doc_id)
+JOIN ({_sql_repetition()}) r USING (doc_id)
+JOIN ({_sql_pii()}) p USING (doc_id)"""
 
 
 def q_embedding_processors(spark: SparkSession, sf: str) -> DataFrame:

@@ -426,3 +426,49 @@ def test_decontaminate(spark, docs_df):
     assert sorted(
         r.doc_id for r in strict.select("doc_id").collect()
     ) == [0, 1, 2]
+
+
+def test_repetition_features(spark):
+    from neural_search_spark.extras import textstats
+
+    rows = [
+        (0, "a b c d e"),                 # all distinct
+        (1, "a a a a"),                   # maximal repetition
+        (2, "x y x y x y"),               # alternating: bigrams xy/yx repeat
+        (3, ""),                          # empty
+        (4, "solo"),                      # one token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.repetition_features(df).collect()
+    }
+    assert got[0]["dup_token_frac"] == 0.0
+    assert got[0]["dup_bigram_frac"] == 0.0
+    assert got[0]["top_bigram_frac"] == pytest.approx(0.25)  # 4 distinct of 4
+    assert got[1]["dup_token_frac"] == pytest.approx(0.75)   # 1 distinct of 4
+    assert got[1]["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert got[1]["top_bigram_frac"] == 1.0                  # 'a a' x3
+    # 'x y x y x y': bigrams = xy yx xy yx xy -> top 'x y' = 3/5
+    assert got[2]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert got[3]["dup_token_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["dup_bigram_frac"] == 0.0
+
+
+def test_pii_redact(spark):
+    from neural_search_spark.extras import textstats
+
+    rows = [
+        (0, "email Bob.Smith+x@Example.COM and ip 10.1.2.3 card 4111111111111111"),
+        (1, "nothing sensitive here"),
+        (2, "two mails a@b.io c@d.org, short num 123"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in textstats.pii_redact(df).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_ipv4"] == 1
+    assert got[0]["n_long_number"] == 1
+    assert "<EMAIL>" in got[0]["redacted"]
+    assert "<IP>" in got[0]["redacted"] and "<NUM>" in got[0]["redacted"]
+    assert "example.com" not in got[0]["redacted"]
+    assert got[1]["n_email"] == 0 and got[1]["redacted"] == rows[1][1]
+    assert got[2]["n_email"] == 2 and got[2]["n_long_number"] == 0
