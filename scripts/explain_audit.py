@@ -173,6 +173,46 @@ def main():
     assert "CartesianProduct" not in mm_text
     print("bool/multi_match plans: single-aggregation combine, join gates — ok")
 
+    # round-4 text-query family: fuzzy rides the SAME pruned postings scan
+    # as plain BM25 (weights replace idf — no new plan shape), multiterm's
+    # doc-set union is partition-pruned, and the sqs fold is keyed
+    # aggregation + anti-join only
+    from neural_search_spark.query.fuzzy import fuzzy_match_topk
+    from neural_search_spark.query.multiterm import multiterm_topk
+    from neural_search_spark.query.sqs import sqs_scored
+
+    fz_plan = fuzzy_match_topk(
+        idx, "spakr", k=10, fuzziness=1, mode="distributed"
+    )
+    plans[
+        "fuzzy match distributed (blended weights over the pruned postings scan)"
+    ] = fz_plan
+    fz_text = cap(fz_plan)
+    assert "PartitionFilters" in fz_text, "fuzzy postings scan not pruned"
+    assert "CartesianProduct" not in fz_text
+    mt_plan = multiterm_topk(
+        idx, "spa", kind="prefix", k=10, mode="distributed"
+    )
+    plans[
+        "prefix/wildcard (pruned postings union → distinct constant-score set)"
+    ] = mt_plan
+    mt_text = cap(mt_plan)
+    assert "PartitionFilters" in mt_text, "multiterm postings scan not pruned"
+    sq_plan = sqs_scored(
+        gate.derived_transcripts(spark, sf).withColumn(
+            "doc_id", F.monotonically_increasing_id()
+        ),
+        '"spark join" | window -merge',
+    )
+    plans[
+        "simple_query_string fold (keyed union-sum, anti-join exclusion)"
+    ] = sq_plan
+    sq_text = cap(sq_plan)
+    assert "CartesianProduct" not in sq_text
+    assert "BroadcastNestedLoop" not in sq_text
+    assert "LeftAnti" in sq_text, "sqs exclusion not an anti-join"
+    print("fuzzy/multiterm/sqs plans: pruned scans, keyed folds — ok")
+
     plans["PQ ADC top-k + exact refine (broadcast candidate join)"] = pq_plan
     pq_text = cap(pq_plan)
     assert "TakeOrderedAndProject" in pq_text, "PQ candidate gen plans a full sort"
