@@ -155,9 +155,28 @@ def parse_sqs(query: str) -> Group:
 # ---------------------------------------------------------------------------
 
 
+def _match_leaves(g: Group) -> list[Leaf]:
+    out = []
+    for _, node in g.children:
+        if isinstance(node, Group):
+            out.extend(_match_leaves(node))
+        elif node.kind == "match":
+            out.append(node)
+    return out
+
+
 def _eval_leaf(
-    leaf: Leaf, docs: DataFrame, id_col: str, text_col: str
+    leaf: Leaf,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    match_tall=None,
 ) -> DataFrame:
+    if leaf.kind == "match" and match_tall is not None:
+        tall, index_of = match_tall
+        return tall.filter(
+            F.col("subq") == index_of[id(leaf)]
+        ).select("doc_id", "score")
     if text_col != "text":
         docs = docs.withColumnRenamed(text_col, "text")
         text_col = "text"
@@ -225,7 +244,28 @@ def sqs_scored(
     if default_operator not in ("or", "and"):
         raise ValueError("default_operator must be 'or' or 'and'")
     ast = parse_sqs(query or "")
-    out = _eval_group(ast, docs, default_operator, id_col, text_col)
+    # amortize the corpus scan: ≥2 match leaves anywhere in the tree score
+    # in ONE tokenize pass (bm25_scored_tall's broadcast (subq, term) tag
+    # table), then each leaf filters its tag out of the shared tall frame
+    # — at 100 TB the corpus scan dominates, so a 3-leaf query must not
+    # pay 3 scans. Phrase/prefix/fuzzy leaves keep their own plans.
+    match_tall = None
+    leaves = _match_leaves(ast)
+    if len(leaves) >= 2:
+        from ..gate import bm25_scored_tall
+
+        base = docs
+        if text_col != "text":
+            base = base.withColumnRenamed(text_col, "text")
+        if id_col != "doc_id":
+            base = base.withColumnRenamed(id_col, "doc_id")
+        tall = bm25_scored_tall(
+            base, ["doc_id"], [lf.text for lf in leaves], ndp=None
+        )
+        match_tall = (tall, {id(lf): j for j, lf in enumerate(leaves)})
+    out = _eval_group(
+        ast, docs, default_operator, id_col, text_col, match_tall
+    )
     return out if out is not None else empty
 
 
@@ -235,15 +275,20 @@ def _eval_group(
     default_op: str,
     id_col: str,
     text_col: str,
+    match_tall=None,
 ) -> DataFrame | None:
     acc: DataFrame | None = None
     pending_neg: list[DataFrame] = []
     for op, node in g.children:
         if isinstance(node, Group):
-            cur = _eval_group(node, docs, default_op, id_col, text_col)
+            cur = _eval_group(
+                node, docs, default_op, id_col, text_col, match_tall
+            )
             negated = node.negated
         else:
-            cur = _eval_leaf(node, docs, id_col, text_col).select(
+            cur = _eval_leaf(
+                node, docs, id_col, text_col, match_tall
+            ).select(
                 "doc_id", F.col("score").cast("double").alias("score")
             )
             negated = node.negated
