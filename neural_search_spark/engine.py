@@ -544,11 +544,59 @@ class Engine:
         msm = spec.minimum_should_match
         if msm is None:
             msm = 0 if (spec.must or spec.filter) else 1
+
+        # amortize the corpus scan: every PLAIN match clause (default
+        # field, no filter/fuzziness/coverage options) anywhere in the
+        # bool — scoring, must_not, or filter list — scores in ONE
+        # tokenize pass via the tall tag-table scorer; per-clause values
+        # are identical to the per-clause plan's
+        def _plain_match(c) -> bool:
+            return (
+                not isinstance(c, BoolSpec)
+                and c.query_type == "match"
+                and c.field == "text"
+                and c.filter is None
+                and c.fuzziness is None
+                and c.operator == "or"
+                and c.minimum_should_match is None
+            )
+
+        flist = spec.filter if isinstance(spec.filter, list) else []
+        plain = [
+            c
+            for c in (spec.must + spec.should + spec.must_not + flist)
+            if _plain_match(c)
+        ]
+        shared: dict[int, DataFrame] = {}
+        if len(plain) >= 2:
+            from .gate import bm25_scored_tall
+
+            base = (
+                corpus
+                if self.id_col == "doc_id"
+                else corpus.withColumnRenamed(self.id_col, "doc_id")
+            )
+            tall0 = bm25_scored_tall(
+                base, ["doc_id"], [c.query_text or "" for c in plain],
+                ndp=None,
+            )
+            shared = {
+                id(c): tall0.filter(F.col("subq") == j).select(
+                    "doc_id", "score"
+                )
+                for j, c in enumerate(plain)
+            }
+
+        def _clause(c) -> DataFrame:
+            if id(c) in shared:
+                return shared[id(c)]
+            return execute(c, corpus, self.id_col)
+
         parts = []
         for is_must, clauses in ((1, spec.must), (0, spec.should)):
             for c in clauses:
                 parts.append(
-                    execute(c, corpus, self.id_col).select(
+                    _clause(c).select(
                         "doc_id",
                         F.col("score").cast("double").alias("score"),
                         F.lit(is_must).alias("is_must"),
@@ -572,7 +620,7 @@ class Engine:
         )
         for c in spec.must_not:
             scored = scored.join(
-                execute(c, corpus, self.id_col).select("doc_id"),
+                _clause(c).select("doc_id"),
                 "doc_id",
                 "left_anti",
             )
@@ -580,7 +628,7 @@ class Engine:
             if isinstance(spec.filter, list):
                 for c in spec.filter:
                     scored = scored.join(
-                        execute(c, corpus, self.id_col).select("doc_id"),
+                        _clause(c).select("doc_id"),
                         "doc_id",
                         "left_semi",
                     )
