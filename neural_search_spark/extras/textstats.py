@@ -157,6 +157,35 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, unigram_logprob): mean log10 probability of the doc's
+    token occurrences under the corpus's OWN unigram MLE model
+    (cf_t / total_cf) — the CCNet/RedPajama-style LM-perplexity quality
+    gate, self-trained on the corpus since no external KenLM is available
+    here; the pipeline shape (LM join + per-doc aggregate) is the same.
+    Lower (more negative) = rarer vocabulary; boilerplate scores high.
+
+    Two passes: corpus unigram counts (vocabulary-sized), then one
+    explode + term-keyed join + doc-keyed mean. Docs with zero tokens are
+    absent from the result (no occurrences to average)."""
+    tall = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(text_col)).alias("term")
+    )
+    cf = tall.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    total = cf.agg(F.sum("cf")).collect()[0][0]
+    return (
+        tall.join(cf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.avg(F.log10(F.col("cf") / F.lit(float(total)))).alias(
+                "unigram_logprob"
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (map-side regex redaction)
 # ---------------------------------------------------------------------------

@@ -3423,12 +3423,16 @@ def q_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
         "n_long_number",
         F.md5(F.col("redacted").cast("binary")).alias("redact_fp"),
     )
+    lm = textstats.unigram_logprob(_docs(spark, sf)).select(
+        "doc_id", F.round("unigram_logprob", 4).alias("unigram_logprob")
+    )
     return (
         q_lang_id(spark, sf)
         .join(q_quality(spark, sf), "doc_id")
         .join(q_fingerprints(spark, sf), "doc_id")
         .join(rep, "doc_id")
         .join(pii, "doc_id")
+        .join(lm, "doc_id")
     )
 
 
@@ -3469,17 +3473,32 @@ SELECT doc_id, {counts}, md5({red}) AS redact_fp
 FROM (SELECT doc_id, lower(text) AS t FROM {_PII_SEEDED_SQL})"""
 
 
+def _sql_unigram_lm() -> str:
+    return f"""
+SELECT doc_id, round(avg(log10(cf / total)), 4) AS unigram_logprob
+FROM (
+  SELECT t.doc_id, c.cf, (SELECT CAST(count(*) AS DOUBLE) FROM
+         (SELECT unnest({TOK}) FROM documents AS r)) AS total
+  FROM (SELECT doc_id, unnest({TOK}) AS term FROM documents AS r) t
+  JOIN (SELECT term, count(*) AS cf FROM
+        (SELECT unnest({TOK}) AS term FROM documents AS r) GROUP BY term) c
+    USING (term))
+GROUP BY doc_id"""
+
+
 def sql_text_analysis() -> str:
     return f"""
 SELECT l.*, q.n_tokens, q.mean_token_len, q.stopword_ratio,
        q.non_alnum_ratio, q.quality_ok, f.fp,
        r.dup_token_frac, r.dup_bigram_frac, r.top_bigram_frac,
-       p.n_email, p.n_ipv4, p.n_long_number, p.redact_fp
+       p.n_email, p.n_ipv4, p.n_long_number, p.redact_fp,
+       u.unigram_logprob
 FROM ({sql_lang_id()}) l
 JOIN ({sql_quality()}) q USING (doc_id)
 JOIN ({sql_fingerprints()}) f USING (doc_id)
 JOIN ({_sql_repetition()}) r USING (doc_id)
-JOIN ({_sql_pii()}) p USING (doc_id)"""
+JOIN ({_sql_pii()}) p USING (doc_id)
+JOIN ({_sql_unigram_lm()}) u USING (doc_id)"""
 
 
 def q_embedding_processors(spark: SparkSession, sf: str) -> DataFrame:

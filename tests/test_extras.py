@@ -472,3 +472,24 @@ def test_pii_redact(spark):
     assert "example.com" not in got[0]["redacted"]
     assert got[1]["n_email"] == 0 and got[1]["redacted"] == rows[1][1]
     assert got[2]["n_email"] == 2 and got[2]["n_long_number"] == 0
+
+
+def test_unigram_logprob(spark):
+    """Self-trained unigram LM quality proxy: hand-computable on a tiny
+    corpus; rarer vocabulary scores lower (more negative)."""
+    import math
+
+    from neural_search_spark.extras import textstats
+
+    rows = [(0, "a a b"), (1, "a a a"), (2, "c")]
+    # counts: a=5, b=1, c=1, total=7
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["unigram_logprob"]
+        for r in textstats.unigram_logprob(df).collect()
+    }
+    la, lb, lc = (math.log10(x / 7) for x in (5, 1, 1))
+    assert got[0] == pytest.approx((2 * la + lb) / 3)
+    assert got[1] == pytest.approx(la)
+    assert got[2] == pytest.approx(lc)
+    assert got[1] > got[0] > got[2]  # common > mixed > rare
