@@ -813,6 +813,11 @@ class Engine:
             and s.query_type == "match"
             and s.filter is None
             and s.post_filter is None  # collect-time filter needs search()
+            # the batch kernel scores plain disjunctions only — coverage
+            # gates / fuzzy expansion must route through search()
+            and s.operator == "or"
+            and s.minimum_should_match is None
+            and s.fuzziness is None
             and self.bm25_index is not None
         }
         parts: list[DataFrame] = []

@@ -232,3 +232,27 @@ def test_min_match_engine_scan_matches_index(spark, index, transcripts_df, oracl
     ids_s, sc_s = canon(via_scan)
     assert ids_i == ids_s
     np.testing.assert_allclose(sc_i, sc_s, rtol=1e-5)
+
+
+def test_msearch_does_not_batch_option_carrying_match(spark, index, oracle, transcripts_df):
+    """msearch must route match specs carrying operator/msm/fuzziness
+    through search() (the batch kernel is a plain disjunction): an AND
+    spec in a batch returns the AND results, not the OR results."""
+    from neural_search_spark.engine import Engine
+
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs, bm25_index=index)
+    out = eng.msearch(
+        {
+            "plain": {"match": {"query_text": "the tool call"}},
+            "anded": {"match": {"query_text": "the tool call",
+                                 "operator": "and"}},
+        },
+        k=10,
+    ).toPandas()
+    got_and = out[out.query_id == "anded"].sort_values("rank")
+    exp_and = oracle.topk("the tool call", k=10, min_match=3)
+    assert got_and.doc_id.tolist() == exp_and.doc_id.tolist()
+    got_or = out[out.query_id == "plain"].sort_values("rank")
+    exp_or = oracle.topk("the tool call", k=10)
+    assert got_or.doc_id.tolist() == exp_or.doc_id.tolist()
