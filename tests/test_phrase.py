@@ -462,3 +462,43 @@ def test_sloppy_engine_routing_and_repeats_raise(ph_setup, transcripts_df, spark
     assert got.doc_id.tolist() == exp.doc_id.tolist()
     with pytest.raises(ValueError, match="repeated"):
         phrase_topk(idx, "the the", slop=1)
+
+
+# ---------------------------------------------------------------------------
+# property tests: the sloppy sweep vs the independent exact kernel
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _pos_lists = st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=8
+        ).map(lambda xs: np.unique(np.asarray(xs, dtype=np.int64))),
+        min_size=2,
+        max_size=4,
+    )
+
+    @given(_pos_lists)
+    @settings(max_examples=200, deadline=None)
+    def test_sloppy_slop0_equals_exact_kernel(pos_by):
+        """At slop 0 the greedy sweep must count EXACTLY the aligned
+        positions the independent sorted-intersection kernel counts —
+        two different algorithms, one answer."""
+        from neural_search_spark.query.phrase import sloppy_phrase_freq
+
+        assert sloppy_phrase_freq(pos_by, 0) == float(phrase_freq(pos_by))
+
+    @given(_pos_lists, st.integers(min_value=0, max_value=6))
+    @settings(max_examples=200, deadline=None)
+    def test_sloppy_freq_monotone_in_slop(pos_by, slop):
+        """slop only gates which sweep segments emit, so freq is
+        non-decreasing in slop and always non-negative."""
+        from neural_search_spark.query.phrase import sloppy_phrase_freq
+
+        a = sloppy_phrase_freq(pos_by, slop)
+        b = sloppy_phrase_freq(pos_by, slop + 1)
+        assert 0.0 <= a <= b
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
