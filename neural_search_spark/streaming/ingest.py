@@ -402,3 +402,47 @@ def compact_segments(spark: SparkSession, segments_root: str, dst: str, **kw):
     if not segs:
         raise ValueError(f"no batch_* segment indexes under {segments_root}")
     return merge_indexes(spark, segs, dst, **kw)
+
+
+def assemble_context(
+    turns: DataFrame,
+    n_prev: int = 3,
+    sep: str = "\n",
+    with_roles: bool = True,
+) -> DataFrame:
+    """Turn-context assembly — the training-pair construction primitive
+    over conversation transcripts: for EVERY turn, the concatenation of
+    its previous ``n_prev`` turns plus itself, in turn order (the context
+    window an instruction-tuning / RAG pipeline feeds a model alongside
+    the target turn).
+
+    Returns (conv_id, turn_idx, role, text, context) where ``context``
+    joins up to n_prev+1 turns with ``sep``, each rendered as
+    ``role: text`` when with_roles else the bare text.
+
+    One window over (conv_id ordered by turn_idx, ROWS n_prev PRECEDING)
+    — conversations are the natural partition key, so the shuffle is
+    conversation-keyed and each partition's state is bounded by
+    conversation length, never corpus size. Pure Catalyst (collect_list
+    over the frame + array_join)."""
+    from pyspark.sql import Window
+
+    rendered = (
+        F.concat_ws(": ", F.col("role"), F.col("text"))
+        if with_roles
+        else F.col("text")
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-int(n_prev), 0)
+    )
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.array_join(
+            F.collect_list(rendered.alias("r")).over(w), sep
+        ).alias("context"),
+    )

@@ -359,3 +359,52 @@ def test_index_stream_segments_then_compact(spark, stream_dirs, tmp_path):
         b = bm25_topk(BM25Index(spark, full_dir), query, k=20).toPandas()
         assert (a.doc_id.to_numpy() == b.doc_id.to_numpy()).all()
         assert np.allclose(a.score, b.score, atol=0)  # bit-identical f32
+
+
+def test_assemble_context(spark):
+    """Turn-context assembly: exact window contents per turn, verified
+    against a DuckDB window twin (the in-test oracle) and hand cases."""
+    import duckdb
+
+    from neural_search_spark.streaming.ingest import assemble_context
+
+    rows = [
+        ("c1", 0, "user", "hello"),
+        ("c1", 1, "assistant", "hi"),
+        ("c1", 2, "user", "run the tool"),
+        ("c1", 3, "assistant", "done"),
+        ("c2", 0, "user", "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["context"]
+        for r in assemble_context(df, n_prev=2).collect()
+    }
+    assert got[("c1", 0)] == "user: hello"
+    assert got[("c1", 2)] == "user: hello\nassistant: hi\nuser: run the tool"
+    assert got[("c1", 3)] == "assistant: hi\nuser: run the tool\nassistant: done"
+    assert got[("c2", 0)] == "user: solo"
+    # DuckDB window twin over the same rows
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {
+        (cid, ti): ctx
+        for cid, ti, ctx in con.sql(
+            """
+            SELECT conv_id, turn_idx,
+                   string_agg(role || ': ' || text, chr(10)) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ctx
+            FROM t
+            """
+        ).fetchall()
+    }
+    assert got == oracle
+    # bare-text form
+    bare = {
+        (r["conv_id"], r["turn_idx"]): r["context"]
+        for r in assemble_context(df, n_prev=1, with_roles=False).collect()
+    }
+    assert bare[("c1", 1)] == "hello\nhi"
