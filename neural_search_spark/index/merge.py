@@ -118,6 +118,12 @@ def merge_indexes(
 ) -> dict:
     """Merge ≥2 block indexes into ``out_dir`` (see module docstring).
 
+    Positions sidecars are NOT merged: the merged index has no
+    ``positions/`` directory and phrase queries against it raise until
+    ``index.positions.build_positions`` runs over the merged corpus
+    (positions are an opt-in sidecar derived from the corpus, not from
+    the block postings this merge recombines).
+
     ``deletes`` (a DataFrame with a ``doc_id`` column) EXPUNGES those docs
     during the merge — the Lucene forceMerge/expungeDeletes analog that
     makes ``BM25Index.with_deletes`` tombstones permanent: the deleted
