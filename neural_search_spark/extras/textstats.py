@@ -31,6 +31,30 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize_expr(col))
 
 
+# GPT-2-style pretokenizer pattern, simplified to the subset valid in BOTH
+# Java regex (Spark) and RE2 (the DuckDB oracle): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs — no lookahead
+# (RE2 has none), applied to lowercased text. Whitespace-only spans are
+# simply left unmatched (extract_all skips gaps), so the count is
+# content-token-shaped like a BPE tokenizer's.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer regex
+    — the cheap LLM-token budget estimator pipelines use when the real
+    tokenizer is too expensive to run over 100 TB. Counts contractions,
+    word runs, number runs, and punctuation runs as separate tokens
+    (upper-bounds the real BPE count, which splits these further)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(col) if isinstance(col, str) else col),
+            F.lit(BPE_TOKEN_PATTERN),
+            F.lit(0),
+        )
+    )
+
+
 def _ratio_in(tokens: Column, words: list[str]) -> Column:
     hits = F.size(F.filter(tokens, lambda t: t.isin(words)))
     return F.when(F.size(tokens) > 0, hits / F.size(tokens)).otherwise(

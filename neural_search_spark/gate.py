@@ -3426,6 +3426,9 @@ def q_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
     lm = textstats.unigram_logprob(_docs(spark, sf)).select(
         "doc_id", F.round("unigram_logprob", 4).alias("unigram_logprob")
     )
+    bpe = _docs(spark, sf).select(
+        "doc_id", textstats.bpe_token_count("text").alias("bpe_tokens")
+    )
     return (
         q_lang_id(spark, sf)
         .join(q_quality(spark, sf), "doc_id")
@@ -3433,6 +3436,7 @@ def q_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
         .join(rep, "doc_id")
         .join(pii, "doc_id")
         .join(lm, "doc_id")
+        .join(bpe, "doc_id")
     )
 
 
@@ -3486,19 +3490,30 @@ FROM (
 GROUP BY doc_id"""
 
 
+def _sql_bpe() -> str:
+    from .extras.textstats import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")  # SQL-literal apostrophes
+    return (
+        "SELECT doc_id, len(regexp_extract_all(lower(text), "
+        f"'{pat}')) AS bpe_tokens FROM documents"
+    )
+
+
 def sql_text_analysis() -> str:
     return f"""
 SELECT l.*, q.n_tokens, q.mean_token_len, q.stopword_ratio,
        q.non_alnum_ratio, q.quality_ok, f.fp,
        r.dup_token_frac, r.dup_bigram_frac, r.top_bigram_frac,
        p.n_email, p.n_ipv4, p.n_long_number, p.redact_fp,
-       u.unigram_logprob
+       u.unigram_logprob, b.bpe_tokens
 FROM ({sql_lang_id()}) l
 JOIN ({sql_quality()}) q USING (doc_id)
 JOIN ({sql_fingerprints()}) f USING (doc_id)
 JOIN ({_sql_repetition()}) r USING (doc_id)
 JOIN ({_sql_pii()}) p USING (doc_id)
-JOIN ({_sql_unigram_lm()}) u USING (doc_id)"""
+JOIN ({_sql_unigram_lm()}) u USING (doc_id)
+JOIN ({_sql_bpe()}) b USING (doc_id)"""
 
 
 def q_embedding_processors(spark: SparkSession, sf: str) -> DataFrame:

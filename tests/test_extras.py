@@ -493,3 +493,25 @@ def test_unigram_logprob(spark):
     assert got[1] == pytest.approx(la)
     assert got[2] == pytest.approx(lc)
     assert got[1] > got[0] > got[2]  # common > mixed > rare
+
+
+def test_bpe_token_count(spark):
+    from neural_search_spark.extras import textstats
+
+    rows = [
+        (0, "hello world"),            # 2 word runs
+        (1, "don't stop"),             # don + 't + stop
+        (2, "x2 3.14!"),               # x + 2, space+3 + . + 14 + !
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", textstats.bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    assert got[0] == 2
+    assert got[1] == 3      # don | 't | stop
+    assert got[2] == 6      # x | 2 | ' 3' | . | 14 | !
+    assert got[3] == 0
