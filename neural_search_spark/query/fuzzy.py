@@ -27,6 +27,14 @@ Spark-first shape: expansion is a DRIVER-side walk of the vocabulary-
 sized dictionary (the coordinator-cheap pattern — Lucene's FuzzyTermsEnum
 walks the terms index the same way; vocabulary ≪ corpus at any scale,
 and prefix_length > 0 prunes the read to a parquet row-group range).
+Web-scale caveat, stated honestly: a 100 TB text corpus's raw vocabulary
+(typos included) can reach 10^8+ terms, where an unpruned per-query DP
+walk stops being coordinator-cheap — set prefix_length ≥ 1 (the standard
+operational guidance for fuzzy queries; 1 char ≈ 36× less dictionary per
+query under this tokenizer, 2 chars ≈ 1300×), or pre-filter the
+dictionary by df floor. Lucene's answer is Levenshtein AUTOMATA
+intersected with the terms FST — the same pruning expressed as a trie
+walk; the banded-DP + prefix-range walk here is the columnar equivalent.
 Serving reuses the BM25 kernels verbatim with per-term weights
 w = boost · idf_blend (`bm25.weighted_term_topk`), so fuzzy queries get
 the same MaxScore/driver paths as plain match. The index-free corpus
