@@ -357,6 +357,41 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
                 }
             )
 
+        # filtered-ANN ('efficient filtering') recall: the Engine's
+        # over-fetch + semi-join route (forced past the exact threshold)
+        # vs the exact FILTERED scan, doc_id%2 filter, same probe set.
+        # The exact backstop can only raise this (an under-filled page
+        # falls back to exact), so it measures the shipped system's
+        # recall, not just the raw over-fetch's.
+        from neural_search_spark.engine import Engine
+        from neural_search_spark.extras.similarity import cosine_expr
+        from neural_search_spark.query.neural import QuerySpec
+
+        corpus_f = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+        engf = Engine(spark, corpus=corpus_f, ann_index=disk2)
+        engf.ann_filtered_exact_threshold = 0  # always take the ANN route
+        hits = 0
+        for qid, v in qvecs.items():
+            spec = QuerySpec(
+                query_type="neural_knn", field="embedding", vector=v,
+                filter=F.col("doc_id") % 2 == 0,
+            )
+            got = {r["doc_id"] for r in engf.search(spec, k=10).collect()}
+            qcol = F.array(*[F.lit(float(x)).cast("float") for x in v])
+            want = {
+                r["doc_id"]
+                for r in corpus_f.filter(F.col("doc_id") % 2 == 0)
+                .select(
+                    "doc_id",
+                    cosine_expr(F.col("embedding"), qcol).alias("c"),
+                )
+                .orderBy(F.desc("c"), F.asc("doc_id"))
+                .limit(10)
+                .collect()
+            }
+            hits += len(got & want)
+        recall["filtered_overfetch"] = round(hits / (10.0 * len(qvecs)), 3)
+
         # per-partition HNSW graphs (the Lucene-segment model): build is
         # one applyInPandas task per graph; the 8-query batch amortizes
         # the graph scan the way the segment searcher amortizes it
