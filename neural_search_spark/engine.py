@@ -782,6 +782,87 @@ class Engine:
             .withColumn("rank", F.row_number().over(w).cast("int"))
         )
 
+    def explain_route(self, spec) -> dict:
+        """Which physical route a spec takes, WITHOUT running it — the
+        ops-facing analog of `.explain()` one level up: {'route':
+        'index'|'corpus'|'ann'|'ann_filtered'|'composite', 'reason': str}.
+        Mirrors `_branch_topk`'s guards exactly (field/filter/positions/
+        option checks), so a surprising corpus fallback is diagnosable
+        before paying for it."""
+        if isinstance(spec, (dict, str)):
+            spec = spec_from_json(spec)
+        if isinstance(spec, HybridSpec):
+            return {
+                "route": "composite",
+                "reason": "hybrid: each branch routes independently",
+                "branches": [
+                    self.explain_route(s) for s in spec.sub_queries
+                ],
+            }
+        if isinstance(spec, BoolSpec):
+            return {
+                "route": "composite",
+                "reason": "bool: corpus clause fold (shared-scan for "
+                "plain match clauses), gates as anti/semi joins",
+            }
+        unfiltered = spec.filter is None and spec.post_filter is None
+        qt = spec.query_type
+        if qt == "match":
+            if self.bm25_index is None:
+                return {"route": "corpus", "reason": "no bm25_index attached"}
+            if not unfiltered:
+                return {"route": "corpus", "reason": "filter/post_filter set"}
+            if spec.fuzziness is not None:
+                return {"route": "index", "reason": "fuzzy dictionary "
+                        "expansion + weighted BM25 kernels"}
+            return {"route": "index", "reason": "block-max BM25 kernels"}
+        if qt in ("match_phrase", "match_phrase_prefix"):
+            from .index.positions import has_positions
+
+            if self.bm25_index is None or not unfiltered:
+                return {"route": "corpus",
+                        "reason": "no index / filtered: positional scan"}
+            if not has_positions(self.bm25_index.path):
+                return {"route": "corpus",
+                        "reason": "index lacks the positions sidecar"}
+            return {"route": "index", "reason": "positions-sidecar kernels"}
+        if qt in ("prefix", "wildcard", "terms", "term"):
+            if self.bm25_index is None or not unfiltered:
+                return {"route": "corpus", "reason": "no index / filtered"}
+            return {"route": "index", "reason": "dictionary walk + postings"}
+        if qt == "simple_query_string":
+            flat = _sqs_as_flat_match(spec.query_text or "", spec.operator)
+            if flat is not None and self.bm25_index is not None and unfiltered:
+                return {"route": "index",
+                        "reason": f"flat term query ⇒ match({flat[1]})"}
+            return {"route": "corpus",
+                    "reason": "fold needs full matched sets"}
+        if qt in ("match_bool_prefix", "multi_match"):
+            return {"route": "corpus",
+                    "reason": "per-field stats / fold semantics"}
+        if qt in ("neural", "neural_knn"):
+            if self.ann_index is None:
+                return {"route": "corpus", "reason": "no ANN asset attached"}
+            if spec.min_score is not None or spec.max_distance is not None:
+                return {"route": "corpus",
+                        "reason": "radius query: exact scan required"}
+            if spec.field != getattr(self.ann_index, "vec_col", None):
+                return {"route": "corpus",
+                        "reason": "field != ANN asset's vec_col"}
+            if not unfiltered:
+                return {"route": "ann_filtered",
+                        "reason": "efficient filtering: cardinality-routed "
+                        "exact scan or over-fetch"}
+            return {"route": "ann", "reason": "delegated to the ANN asset"}
+        if qt == "neural_sparse":
+            return {
+                "route": "index" if self.sparse_index is not None else "corpus",
+                "reason": "sparse postings index"
+                if self.sparse_index is not None
+                else "no sparse_index attached",
+            }
+        return {"route": "corpus", "reason": f"{qt}: corpus plan"}
+
     def suggest(self, text: str, **kw):
         """Term suggester (did-you-mean; Lucene DirectSpellChecker analog)
         over the attached BM25 index's dictionary — driver-side, no Spark

@@ -613,3 +613,52 @@ def test_ann_filtered_efficient_filtering(spark, eng):
     exact3 = ids[keep3][o3][:5].tolist()
     got3 = eng2.search(spec3, k=5).toPandas()
     assert got3.doc_id.tolist() == exact3
+
+
+def test_explain_route(spark, eng):
+    """Route explanation mirrors the dispatcher's guards."""
+    r = eng.explain_route({"match": {"query_text": "the tool"}})
+    assert r["route"] == "index"
+    r = eng.explain_route(
+        {"match": {"query_text": "tol", "fuzziness": 1}}
+    )
+    assert r["route"] == "index" and "fuzzy" in r["reason"]
+    # phrase without a sidecar -> corpus
+    r = eng.explain_route({"match_phrase": {"query_text": "the tool"}})
+    assert r["route"] == "corpus" and "sidecar" in r["reason"]
+    # radius neural query -> exact corpus scan even with an ANN asset
+    from neural_search_spark.extras.similarity import LshAnnIndex
+
+    emb = eng.corpus.select(F.col("doc_id").alias("vec_id"), "embedding")
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    eng2 = Engine(
+        spark, corpus=eng.corpus, ann_index=LshAnnIndex(emb, n_planes=4)
+    )
+    assert eng2.explain_route(
+        QuerySpec(query_type="neural_knn", field="embedding", vector=qv)
+    )["route"] == "ann"
+    assert eng2.explain_route(
+        QuerySpec(
+            query_type="neural_knn", field="embedding", vector=qv,
+            min_score=0.5,
+        )
+    )["route"] == "corpus"
+    assert eng2.explain_route(
+        QuerySpec(
+            query_type="neural_knn", field="embedding", vector=qv,
+            filter=F.col("doc_id") > 0,
+        )
+    )["route"] == "ann_filtered"
+    # flat vs non-flat sqs
+    assert eng.explain_route(
+        {"simple_query_string": {"query": "tool call"}}
+    )["route"] == "index"
+    assert eng.explain_route(
+        {"simple_query_string": {"query": "tool -call"}}
+    )["route"] == "corpus"
+    # hybrid explains per branch
+    h = eng.explain_route(
+        {"hybrid": {"queries": [{"match": {"query_text": "a"}},
+                                 {"match_phrase": {"query_text": "a b"}}]}}
+    )
+    assert h["route"] == "composite" and len(h["branches"]) == 2
