@@ -203,8 +203,11 @@ def merge_indexes(
         from .build import compute_term_stats
 
         # the decoded stream feeds three passes now (delete stats, term
-        # stats, block rebuild) — persist it once
-        dec = dec.persist(StorageLevel.MEMORY_AND_DISK)
+        # stats, block rebuild) — persist it once; keep the persisted
+        # frame in its own name so the left-anti reassignment below
+        # doesn't orphan the cached blocks (the unpersist targets this)
+        dec_cached = dec.persist(StorageLevel.MEMORY_AND_DISK)
+        dec = dec_cached
         dels = deletes.select(F.col("doc_id").cast("long")).distinct()
         # corpus-stat corrections from the deleted docs' own postings:
         # dl repeats identically on each of a doc's postings, so distinct
@@ -265,7 +268,7 @@ def merge_indexes(
         .parquet(os.path.join(out_dir, "postings"))
     )
     if deletes is not None:
-        dec.unpersist()
+        dec_cached.unpersist()
 
     written = spark.read.parquet(os.path.join(out_dir, "postings"))
     lineage_frame(written, term_stats, run_id).write.mode("append").parquet(

@@ -414,9 +414,11 @@ def parse_min_match(
     operator 'and' requires every clause (Lucene BooleanQuery MUST);
     otherwise minimum_should_match may be an int (negative = n − |m|,
     like Lucene's Queries.calculateMinShouldMatch) or an 'N%' /' -N%'
-    string (percentage of clause count, rounded DOWN). Results clamp to
-    [1, n_clauses] — OpenSearch treats msm > clause count as unmatchable,
-    which the callers realize by returning empty when n_clauses = 0."""
+    string (percentage of clause count, truncated toward zero like Java's
+    int cast). The result is floored at 1 but NOT capped at n_clauses:
+    Lucene/OpenSearch treat msm > optional-clause count as unmatchable,
+    and every caller realizes that by returning empty (`bm25_topk`'s
+    `min_match > len(terms)` check; `bm25_scored`'s coverage HAVING)."""
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
     if operator == "and":
@@ -428,18 +430,17 @@ def parse_min_match(
         s = m.strip()
         if s.endswith("%"):
             pct = float(s[:-1])
-            got = (
-                int(n_clauses * pct // 100)
-                if pct >= 0
-                else n_clauses + int(n_clauses * pct // 100)
-            )
+            # int() truncates toward zero — '-25%' of 10 clauses is
+            # 10 + trunc(-2.5) = 8, matching Queries.calculateMinShouldMatch
+            calc = int(n_clauses * pct / 100)
+            got = n_clauses + calc if pct < 0 else calc
         else:
             got = int(s)
     else:
         got = int(m)
     if got < 0:
         got = n_clauses + got
-    return max(1, min(got, n_clauses)) if n_clauses else 0
+    return max(1, got) if n_clauses else 0
 
 
 def _msm_shard_scorer(

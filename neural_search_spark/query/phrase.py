@@ -83,62 +83,160 @@ def phrase_freq(pos_by_offset: list[np.ndarray]) -> int:
     return int(P.size)
 
 
-def sloppy_phrase_freq(pos_by_offset: list[np.ndarray], slop: int) -> float:
-    """Sloppy phrase frequency — faithful to Lucene's
-    ``SloppyPhraseScorer.phraseFreq`` sweep for phrases WITHOUT repeated
-    terms (the no-repeats path; repeats take Lucene's collision machinery,
-    which callers exclude by raising):
+class _PP:
+    """One phrase position (Lucene ``PhrasePositions``): a cursor over one
+    offset's position stream. ``pos`` is offset-adjusted (doc position −
+    phrase offset), ``tp`` the actual doc position — two cursors of a
+    repeated term collide when their ``tp`` coincide."""
 
-    * per-offset streams Q_j = positions − j, each strictly increasing;
-    * keep every stream's current value in a min-heap, ``end`` = max seen;
-    * repeatedly advance the MINIMUM stream; while its new value stays ≤
+    __slots__ = ("arr", "off", "idx", "pos", "rpt_group", "rpt_ind")
+
+    def __init__(self, arr: np.ndarray, off: int):
+        self.arr = arr
+        self.off = off
+        self.idx = 0
+        self.pos = 0
+        self.rpt_group = -1
+        self.rpt_ind = 0
+
+    def next_position(self) -> bool:
+        if self.idx >= self.arr.size:
+            return False
+        self.pos = int(self.arr[self.idx]) - self.off
+        self.idx += 1
+        return True
+
+    @property
+    def tp(self) -> int:
+        return self.pos + self.off
+
+    def __lt__(self, other: "_PP") -> bool:
+        return (self.pos, self.off) < (other.pos, other.off)
+
+
+def sloppy_phrase_freq(
+    pos_by_offset: list[np.ndarray],
+    slop: int,
+    repeat_groups: list[list[int]] | None = None,
+) -> float:
+    """Sloppy phrase frequency — faithful to Lucene's
+    ``SloppyPhraseScorer.phraseFreq`` sweep, including the repeated-term
+    collision machinery (``advanceRpts``/``collide``/``lesser``):
+
+    * per-offset cursors hold position − offset, each strictly increasing;
+    * keep every cursor in a min-heap, ``end`` = max seen;
+    * repeatedly advance the MINIMUM cursor; while its new value stays ≤
       the second-smallest, only shrink the pending match length
       (min over the segment of ``end − value``); once it passes, emit at
       most ONE match for the segment — weight 1/(1+matchLength) when
       matchLength ≤ slop — and swap in the new minimum;
-    * a trailing segment emits on stream exhaustion.
+    * a trailing segment emits on cursor exhaustion.
+
+    ``repeat_groups`` lists, per repeated term, the offsets sharing it
+    (ascending). Lucene's init staggers the j-th member j extra advances
+    (``advanceRepeatGroups``, the single-term case) so cursors start on
+    distinct doc positions; after every advance, colliding cursors (same
+    actual position within a group) push the LESSER one forward
+    (``lesser``: smaller adjusted position, tie → smaller offset) until
+    the group is collision-free, mirroring ``advanceRpts``.
 
     slop=0 reduces to the exact aligned count (each emitted weight is 1).
     A single-offset phrase is a term query: freq = the position count."""
     n = len(pos_by_offset)
-    streams = [
-        np.asarray(p, dtype=np.int64) - j for j, p in enumerate(pos_by_offset)
-    ]
+    streams = [np.asarray(p, dtype=np.int64) for p in pos_by_offset]
     if any(s.size == 0 for s in streams):
         return 0.0
     if n == 1:
         return float(streams[0].size)
     import heapq
 
-    nxt = [1] * n  # index of each stream's next UNCONSUMED value
-    heap = [(int(s[0]), i) for i, s in enumerate(streams)]
+    pps = [_PP(s, j) for j, s in enumerate(streams)]
+    groups: list[list[_PP]] = []
+    if repeat_groups:
+        for g, offs in enumerate(repeat_groups):
+            members = [pps[j] for j in sorted(offs)]
+            for k, pp in enumerate(members):
+                pp.rpt_group, pp.rpt_ind = g, k
+            groups.append(members)
+    # placeFirstPositions
+    for pp in pps:
+        pp.next_position()  # arrays are non-empty (guard above)
+    # advanceRepeatGroups (single-term repeats): stagger member j by j
+    # extra advances so initial actual positions are distinct — repeated
+    # terms share ONE postings stream, so this lands them on successive
+    # occurrences
+    for rg in groups:
+        for j in range(1, len(rg)):
+            for _ in range(j):
+                if not rg[j].next_position():
+                    return 0.0
+    heap = list(pps)
     heapq.heapify(heap)
-    end = max(p for p, _ in heap)
-    pos, i = heapq.heappop(heap)
-    match_length = end - pos
-    second = heap[0][0]
+    end = max(pp.pos for pp in pps)
+
+    def advance_pp(pp: _PP) -> bool:
+        nonlocal end
+        if not pp.next_position():
+            return False
+        if pp.pos > end:
+            end = pp.pos
+        return True
+
+    def advance_rpts(pp: _PP) -> bool:
+        # resolve collisions in pp's repeat group by advancing the lesser
+        # of each colliding pair; moved in-heap cursors invalidate heap
+        # order, so re-heapify (Lucene's bits + re-queue dance)
+        if pp.rpt_group < 0:
+            return True
+        rg = groups[pp.rpt_group]
+        moved_in_heap = False
+        while True:
+            hit = next(
+                (p2 for p2 in rg if p2 is not pp and p2.tp == pp.tp), None
+            )
+            if hit is None:
+                break
+            lp = pp if (pp.pos, pp.off) < (hit.pos, hit.off) else hit
+            if not advance_pp(lp):
+                return False
+            if lp is not pp:
+                moved_in_heap = True
+        if moved_in_heap:
+            heapq.heapify(heap)
+        return True
+
+    pp = heapq.heappop(heap)
+    match_length = end - pp.pos
+    nxt = heap[0].pos
     freq = 0.0
     while True:
-        if nxt[i] >= streams[i].size:
+        if not advance_pp(pp):
             break
-        pos = int(streams[i][nxt[i]])
-        nxt[i] += 1
-        if pos > end:
-            end = pos
-        if pos > second:
+        if groups and not advance_rpts(pp):
+            break
+        if pp.pos > nxt:
             if match_length <= slop:
                 freq += 1.0 / (1.0 + match_length)
-            heapq.heappush(heap, (pos, i))
-            pos, i = heapq.heappop(heap)
-            second = heap[0][0]
-            match_length = end - pos
+            heapq.heappush(heap, pp)
+            pp = heapq.heappop(heap)
+            nxt = heap[0].pos
+            match_length = end - pp.pos
         else:
-            ml2 = end - pos
+            ml2 = end - pp.pos
             if ml2 < match_length:
                 match_length = ml2
     if match_length <= slop:
         freq += 1.0 / (1.0 + match_length)
     return freq
+
+
+def repeat_groups_of(tokens: list[str]) -> list[list[int]]:
+    """Offsets sharing a term, for terms appearing ≥2 times (ascending
+    within each group) — the ``repeat_groups`` input to the sloppy sweep."""
+    by_term: dict[str, list[int]] = {}
+    for j, t in enumerate(tokens):
+        by_term.setdefault(t, []).append(j)
+    return [offs for offs in by_term.values() if len(offs) > 1]
 
 
 def _empty_topk(spark) -> DataFrame:
@@ -304,6 +402,7 @@ def _scan_scored_sloppy(
     from .. import BM25_B, BM25_K1
 
     k1, b = BM25_K1, BM25_B
+    rpt_groups = repeat_groups_of(tokens)
     hits = tokpos.withColumn(
         "doc_shard",
         F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(64)).cast("int"),
@@ -320,7 +419,9 @@ def _scan_scored_sloppy(
                 }
                 if any(t not in by_term for t in tokens):
                     continue
-                fr = sloppy_phrase_freq([by_term[t] for t in tokens], slop)
+                fr = sloppy_phrase_freq(
+                    [by_term[t] for t in tokens], slop, rpt_groups
+                )
                 if fr:
                     dl = int(g["dl"].iloc[0])
                     tfn = fr / (fr + k1 * (1.0 - b + b * dl / avgdl))
@@ -397,9 +498,9 @@ def phrase_topk(
 
     slop: Lucene sloppy-phrase tolerance (``SloppyPhraseScorer``): freq
     sums 1/(1+matchLength) over the sweep's matches instead of counting
-    exact alignments; slop=0 is the exact scorer. Only distinct-term
-    phrases are supported with slop>0 (Lucene's repeats machinery is out
-    of scope — raises ValueError)."""
+    exact alignments; slop=0 is the exact scorer. Repeated phrase terms
+    ("to be or not to be") take the collision machinery
+    (``advanceRpts``/``lesser``) — see ``sloppy_phrase_freq``."""
     spark = index.spark
     _require_positions(index)
     tokens = tokenize_py(phrase_text)
@@ -421,12 +522,6 @@ def phrase_topk(
 def _check_slop(tokens: list[str], slop: int) -> None:
     if slop < 0:
         raise ValueError("slop must be >= 0")
-    if slop > 0 and len(tokens) != len(set(tokens)):
-        raise ValueError(
-            "slop > 0 with repeated phrase terms is not supported (the "
-            "engine implements Lucene's no-repeats sloppy sweep; repeated "
-            "terms take SloppyPhraseScorer's collision machinery)"
-        )
 
 
 def phrase_prefix_topk(
@@ -587,6 +682,19 @@ def _mphrase_topk_driver(
         cand = cand[_member(gdocs, cand)]
     if cand.size == 0:
         return empty
+    # int64 band safety for the tagged kernel below: tags are
+    # candidate_index·2^40 + (pos − offset), so candidate count must stay
+    # under 2^23 and positions under 2^40. Auto mode guarantees the former
+    # via DRIVER_MAX_POSTINGS; an explicit mode='driver' over very hot
+    # terms could breach it and silently wrap tags into wrong freqs.
+    if cand.size >= (1 << 23):
+        raise ValueError(
+            f"driver phrase kernel got {cand.size} candidate docs "
+            "(≥ 2^23, the tagged-stream band limit) — use "
+            "mode='distributed' for this query"
+        )
+    if dl_arr.size and int(dl_arr.max()) >= int(_STRIDE):
+        raise ValueError("document positions exceed the 2^40 tag stride")
     # per-tid candidate coverage: (candidate indices, sidecar rows) for the
     # subset of candidates containing that term (full for required terms)
     cov: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -604,8 +712,11 @@ def _mphrase_topk_driver(
         # sloppy path: the heap sweep is inherently sequential per doc, so
         # loop the (conjunction-bounded) candidates — driver-scale work;
         # heavy queries take the distributed mode. Offsets are singleton
-        # tids here (slop excludes prefix unions and repeated terms).
+        # tids here (slop arrives only via match_phrase, never prefix
+        # unions); repeated tids share a stream and take the collision
+        # machinery.
         tid_by_off = [g[0] for g in groups]
+        rpt_groups = repeat_groups_of(tid_by_off)
         row_of = {
             t: dict(zip(cov[t][0].tolist(), cov[t][1].tolist()))
             for t in tids
@@ -618,7 +729,7 @@ def _mphrase_topk_driver(
                 ]
                 for t in tid_by_off
             ]
-            freqs[ci] = sloppy_phrase_freq(pos_by, slop)
+            freqs[ci] = sloppy_phrase_freq(pos_by, slop, rpt_groups)
         hit = freqs > 0
         if not hit.any():
             return empty
@@ -732,69 +843,141 @@ def _mphrase_topk_distributed(
     k1, b, avgdl = index.k1, index.b, index.avgdl
     deletes = index.deletes
     groups = [sorted(set(g)) for g in offset_tids]
+    # repeated singleton tids (e.g. "to be or not to be") share a stream;
+    # union groups get unique tuple keys so they never alias a repeat
+    rpt_groups = repeat_groups_of([tuple(g) for g in groups])
 
     def verify_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        if len(pdf):
-            pdf = pdf.sort_values(["doc_id", "tid"], kind="mergesort")
-            docs = pdf["doc_id"].to_numpy()
-            tid_a = pdf["tid"].to_numpy()
-            dl_a = pdf["dl"].to_numpy()
-            pos_a = pdf["positions"].to_numpy()
+        """Vectorized phrase verify over one doc shard — the SAME
+        tagged-stream kernel as the driver path (candidate_index·2^40
+        tags, one sorted-intersection chain, bincount of survivors),
+        applied to the shard's local candidates. No per-doc Python loop
+        on the exact path; the sloppy sweep (inherently sequential per
+        doc) loops covered candidates only."""
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float32"),
+            }
+        )
+        if not len(pdf):
+            return empty
+        pdf = pdf.sort_values(["doc_id", "tid"], kind="mergesort")
+        docs = pdf["doc_id"].to_numpy()
+        tid_a = pdf["tid"].to_numpy()
+        dl_a = pdf["dl"].to_numpy()
+        pos_col = pdf["positions"].to_numpy()
+        cand, first_rows = np.unique(docs, return_index=True)
+        inv = np.searchsorted(cand, docs)  # docs sorted ⇒ cheap inverse
+        n_cand = cand.size
+        # coverage: every offset group must be present in the doc
+        covered = np.ones(n_cand, dtype=bool)
+        masks: list[np.ndarray] = []
+        for g in groups:
+            m = np.isin(tid_a, g)
+            masks.append(m)
+            covered &= np.bincount(inv[m], minlength=n_cand).astype(bool)
+        live = _live_mask(cand, deletes)
+        if live is not None:
+            covered &= live
+        if not covered.any():
+            return empty
+        dl_cand = dl_a[first_rows]
+        if slop > 0:
+            # sloppy sweep — sequential per doc by nature; candidates are
+            # already bounded by the leading-term semi-join
             starts = np.flatnonzero(
                 np.concatenate(([True], docs[1:] != docs[:-1]))
             )
             ends = np.concatenate((starts[1:], [len(docs)]))
-            o_doc, o_freq, o_dl = [], [], []
-            for s, e in zip(starts, ends):
-                present = {int(tid_a[i]): pos_a[i] for i in range(s, e)}
-                by_off: list[np.ndarray] = []
-                ok = True
-                for g in groups:
-                    parts = [
-                        np.asarray(present[t], dtype=np.int64)
-                        for t in g
-                        if t in present
-                    ]
-                    if not parts:
-                        ok = False
-                        break
-                    by_off.append(
-                        parts[0]
-                        if len(parts) == 1
-                        else np.sort(np.concatenate(parts))
+            o_doc, o_fr, o_dl = [], [], []
+            for ci in np.flatnonzero(covered):
+                s, e = starts[ci], ends[ci]
+                present = {int(tid_a[i]): pos_col[i] for i in range(s, e)}
+                by_off = [
+                    np.sort(
+                        np.concatenate(
+                            [
+                                np.asarray(present[t], dtype=np.int64)
+                                for t in g
+                                if t in present
+                            ]
+                        )
                     )
-                if not ok:
-                    continue
-                fr = (
-                    sloppy_phrase_freq(by_off, slop)
-                    if slop > 0
-                    else phrase_freq(by_off)
-                )
+                    if len(g) > 1
+                    else np.asarray(present[g[0]], dtype=np.int64)
+                    for g in groups
+                ]
+                fr = sloppy_phrase_freq(by_off, slop, rpt_groups)
                 if fr:
-                    o_doc.append(docs[s])
-                    o_freq.append(fr)
-                    o_dl.append(dl_a[s])
-            if o_doc:
-                ids = np.asarray(o_doc, dtype=np.int64)
-                live = _live_mask(ids, deletes)
+                    o_doc.append(cand[ci])
+                    o_fr.append(fr)
+                    o_dl.append(dl_cand[ci])
+            if not o_doc:
+                return empty
+            return _score_docs(
+                np.asarray(o_doc, dtype=np.int64),
                 # float64: sloppy freqs are fractional (1/(1+matchLength))
-                fr = np.asarray(o_freq, dtype=np.float64)
-                dls = np.asarray(o_dl, dtype=np.int64)
-                if live is not None:
-                    ids, fr, dls = ids[live], fr[live], dls[live]
-                if ids.size:
-                    out.append(
-                        _score_docs(ids, fr, dls, idf_total, k1, b, avgdl)
-                    )
-        if not out:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series(dtype="int64"),
-                    "score": pd.Series(dtype="float32"),
-                }
+                np.asarray(o_fr, dtype=np.float64),
+                np.asarray(o_dl, dtype=np.int64),
+                idf_total, k1, b, avgdl,
             )
-        return pd.concat(out, ignore_index=True)
+        # exact path: tag every position with candidate_index·STRIDE and
+        # intersect ONE stream per offset; bands of 2^22 candidates keep
+        # tag·STRIDE + pos inside int64 (same bound the driver asserts)
+        lens = np.fromiter(
+            (len(p) for p in pos_col), dtype=np.int64, count=len(pos_col)
+        )
+        cov_row = covered[inv]
+        frames: list[pd.DataFrame] = []
+        band = 1 << 22
+        for lo in range(0, n_cand, band):
+            hi = min(lo + band, n_cand)
+            in_band = (
+                cov_row & (inv >= lo) & (inv < hi)
+                if n_cand > band
+                else cov_row
+            )
+            seen: dict[tuple, np.ndarray] = {}
+            streams: list[np.ndarray] = []
+            for j, g in enumerate(groups):
+                key = tuple(g)
+                base = seen.get(key)
+                if base is None:
+                    rows = np.flatnonzero(in_band & masks[j])
+                    if rows.size:
+                        flat = np.concatenate(pos_col[rows].tolist()).astype(
+                            np.int64
+                        )
+                        base = flat + np.repeat(
+                            (inv[rows] - lo).astype(np.int64) * _STRIDE,
+                            lens[rows],
+                        )
+                        if len(g) > 1:
+                            base = np.sort(base)  # member tids interleave
+                    else:
+                        base = np.empty(0, dtype=np.int64)
+                    seen[key] = base
+                streams.append(base - j)
+            streams.sort(key=len)
+            P = streams[0]
+            for s in streams[1:]:
+                if P.size == 0:
+                    break
+                P = np.intersect1d(P, s, assume_unique=True)
+            if P.size == 0:
+                continue
+            fr_band = np.bincount(P // _STRIDE, minlength=hi - lo)
+            hit = fr_band > 0
+            frames.append(
+                _score_docs(
+                    cand[lo:hi][hit], fr_band[hit], dl_cand[lo:hi][hit],
+                    idf_total, k1, b, avgdl,
+                )
+            )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
 
     scored = cand.groupBy("doc_shard").applyInPandas(
         verify_shard, "doc_id long, score float"

@@ -155,10 +155,27 @@ def test_parse_min_match():
     assert parse_min_match("or", -1, 4) == 3        # n - |m|
     assert parse_min_match("or", "75%", 4) == 3     # floor(4 * .75)
     assert parse_min_match("or", "50%", 3) == 1     # floor(1.5)
-    assert parse_min_match("or", "-25%", 4) == 3    # n - floor(n*.25)
-    assert parse_min_match("or", 9, 4) == 4         # clamp
+    assert parse_min_match("or", "-25%", 4) == 3    # n - trunc(n*.25)
+    # Java int cast truncates toward zero: '-25%' of 10 is 10 - 2 = 8,
+    # NOT 10 + floor(-2.5) = 7 (Queries.calculateMinShouldMatch)
+    assert parse_min_match("or", "-25%", 10) == 8
+    assert parse_min_match("or", "-75%", 10) == 3   # 10 - trunc(7.5)
+    # msm above the clause count stays unclamped — Lucene treats it as
+    # unmatchable and callers return empty (see test_and_with_oov_term)
+    assert parse_min_match("or", 9, 4) == 9
     with pytest.raises(ValueError):
         parse_min_match("xor", None, 4)
+
+
+def test_min_match_above_clause_count_is_empty(spark, index):
+    """msm greater than the clause count is unmatchable (Lucene
+    BooleanQuery), not clamped down to an AND."""
+    # 'the tool' has 2 clauses; msm=3 must match nothing even though
+    # docs containing both terms exist
+    assert (
+        bm25_topk(index, "the tool", k=10, minimum_should_match=3).count()
+        == 0
+    )
 
 
 @pytest.mark.parametrize("mode", ["driver", "distributed"])

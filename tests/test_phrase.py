@@ -382,9 +382,13 @@ def test_sloppy_slop0_equals_exact(ph_setup):
 
 
 def sloppy_oracle(idx, tt, phrase, slop, k=10):
-    from neural_search_spark.query.phrase import sloppy_phrase_freq
+    from neural_search_spark.query.phrase import (
+        repeat_groups_of,
+        sloppy_phrase_freq,
+    )
 
     toks = tokenize_py(phrase)
+    rpt = repeat_groups_of(toks)
     dfs = {t: int(sum(t in set(l) for l in tt.toks)) for t in set(toks)}
     if any(dfs[t] == 0 for t in set(toks)):
         return pd.DataFrame({"doc_id": [], "score": []})
@@ -401,7 +405,7 @@ def sloppy_oracle(idx, tt, phrase, slop, k=10):
             pos_by.append(p)
         if not ok:
             continue
-        fr = sloppy_phrase_freq(pos_by, slop)
+        fr = sloppy_phrase_freq(pos_by, slop, rpt)
         if fr:
             tfn = fr / (fr + idx.k1 * (1 - idx.b + idx.b * dl / idx.avgdl))
             rows.append((did, np.float32(idf_total * tfn)))
@@ -447,7 +451,7 @@ def test_sloppy_scan_matches_index(ph_setup, transcripts_df):
     assert np.allclose(got.score, exp.score, atol=1e-5)
 
 
-def test_sloppy_engine_routing_and_repeats_raise(ph_setup, transcripts_df, spark):
+def test_sloppy_engine_routing_and_repeats(ph_setup, transcripts_df, spark):
     from neural_search_spark.engine import Engine, spec_from_json
     from neural_search_spark.index.build import doc_id_col
 
@@ -460,8 +464,69 @@ def test_sloppy_engine_routing_and_repeats_raise(ph_setup, transcripts_df, spark
     got = eng.search(spec, k=10).toPandas()
     exp = sloppy_oracle(idx, tt, "tool the", slop=2, k=10)
     assert got.doc_id.tolist() == exp.doc_id.tolist()
-    with pytest.raises(ValueError, match="repeated"):
-        phrase_topk(idx, "the the", slop=1)
+    # repeated-term sloppy phrases (Lucene's collision machinery) answer
+    # on BOTH index kernels and match the corpus brute-force oracle
+    exp_r = sloppy_oracle(idx, tt, "w0000 w0000", slop=1, k=10)
+    assert len(exp_r) > 0, "fixture corpus repeats 'w0000' in-doc"
+    for mode in ("driver", "distributed"):
+        got_r = phrase_topk(
+            idx, "w0000 w0000", k=10, mode=mode, slop=1
+        ).toPandas()
+        assert got_r.doc_id.tolist() == exp_r.doc_id.tolist()
+        assert np.allclose(got_r.score, exp_r.score, atol=1e-5)
+
+
+def test_sloppy_repeats_hand_traces():
+    """Hand-derived traces of the repeated-term collision machinery
+    (Lucene SloppyPhraseScorer advanceRpts/lesser + the staggered init)."""
+    from neural_search_spark.query.phrase import sloppy_phrase_freq as spf
+
+    a3 = np.array([0, 1, 2])
+    # "the the" over "the the the": occurrences at [0,1] and [1,2]
+    assert spf([a3, a3], 0, [[0, 1]]) == 2.0
+    # "a a" over "a x a": the two a's stretch by 1 — no exact match,
+    # one sloppy match of matchLength 1 at slop >= 1
+    ax = np.array([0, 2])
+    assert spf([ax, ax], 0, [[0, 1]]) == 0.0
+    assert spf([ax, ax], 1, [[0, 1]]) == 0.5
+    # "to be or not to be" over itself: exactly one match at slop 0
+    to, be = np.array([0, 4]), np.array([1, 5])
+    orr, nt = np.array([2]), np.array([3])
+    assert spf([to, be, orr, nt, to, be], 0, [[0, 4], [1, 5]]) == 1.0
+    # a doc with too few occurrences of the repeated term can't match:
+    # "the the" needs two distinct positions
+    one = np.array([5])
+    assert spf([one, one], 3, [[0, 1]]) == 0.0
+
+
+try:
+    from hypothesis import given as _given_r
+    from hypothesis import settings as _settings_r
+    from hypothesis import strategies as _st_r
+
+    @_given_r(
+        _st_r.lists(
+            _st_r.integers(min_value=0, max_value=25), min_size=2, max_size=10
+        ).map(lambda xs: np.unique(np.asarray(xs, dtype=np.int64))),
+        _st_r.lists(
+            _st_r.integers(min_value=0, max_value=25), min_size=1, max_size=8
+        ).map(lambda xs: np.unique(np.asarray(xs, dtype=np.int64))),
+    )
+    @_settings_r(max_examples=200, deadline=None)
+    def test_sloppy_repeats_slop0_equals_exact_kernel(rep, other):
+        """slop=0 with a repeated term must equal the independent exact
+        intersection kernel — collision machinery inert at zero slop."""
+        from neural_search_spark.query.phrase import (
+            phrase_freq,
+            sloppy_phrase_freq,
+        )
+
+        # phrase "A B A": offsets 0 and 2 share the repeated stream
+        pos_by = [rep, other, rep]
+        got = sloppy_phrase_freq(pos_by, 0, [[0, 2]])
+        assert got == float(phrase_freq(pos_by))
+except ImportError:  # pragma: no cover
+    pass
 
 
 # ---------------------------------------------------------------------------
