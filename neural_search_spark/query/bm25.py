@@ -222,6 +222,18 @@ class BM25Index:
             self._dict_terms = [t for t, _ in out]
         return out
 
+    def n_terms(self) -> int:
+        """Vocabulary size from parquet metadata only (no column reads) —
+        the cheap pre-flight the fuzzy/suggest unpruned-dictionary guard
+        uses before committing to a full dictionary walk."""
+        if self._dictionary is not None:
+            return len(self._dictionary)
+        import pyarrow.dataset as ds
+
+        if self._terms_ds is None:
+            self._terms_ds = ds.dataset(self._terms_path, format="parquet")
+        return int(self._terms_ds.count_rows())
+
     def cache(self) -> "BM25Index":
         """Serving mode: pin the posting blocks in executor memory
         (MEMORY_AND_DISK), PRE-PARTITIONED by shard_id. The one-time

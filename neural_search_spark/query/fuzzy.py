@@ -27,12 +27,14 @@ Spark-first shape: expansion is a DRIVER-side walk of the vocabulary-
 sized dictionary (the coordinator-cheap pattern — Lucene's FuzzyTermsEnum
 walks the terms index the same way; vocabulary ≪ corpus at any scale,
 and prefix_length > 0 prunes the read to a parquet row-group range).
-Web-scale caveat, stated honestly: a 100 TB text corpus's raw vocabulary
-(typos included) can reach 10^8+ terms, where an unpruned per-query DP
-walk stops being coordinator-cheap — set prefix_length ≥ 1 (the standard
-operational guidance for fuzzy queries; 1 char ≈ 36× less dictionary per
-query under this tokenizer, 2 chars ≈ 1300×), or pre-filter the
-dictionary by df floor. Lucene's answer is Levenshtein AUTOMATA
+Web-scale caveat, enforced by default: a 100 TB text corpus's raw
+vocabulary (typos included) can reach 10^8+ terms, where an unpruned
+per-query DP walk stops being coordinator-cheap — prefix_length=0 over a
+dictionary larger than ``UNPRUNED_DICT_LIMIT`` raises at call time
+unless ``allow_unpruned_dictionary=True``. Set prefix_length ≥ 1 (the
+standard operational guidance for fuzzy queries; 1 char ≈ 36× less
+dictionary per query under this tokenizer, 2 chars ≈ 1300×), or
+pre-filter the dictionary by df floor. Lucene's answer is Levenshtein AUTOMATA
 intersected with the terms FST — the same pruning expressed as a trie
 walk; the banded-DP + prefix-range walk here is the columnar equivalent.
 Serving reuses the BM25 kernels verbatim with per-term weights
@@ -52,6 +54,28 @@ from pyspark.sql import functions as F
 
 from ..tokenizer import tokenize_expr, tokenize_py
 from .bm25 import BM25Index, lucene_idf, weighted_term_topk
+
+# safe-by-default cap on the prefix_length=0 full-dictionary walk: above
+# this vocabulary size a per-query unpruned DP scan stops being
+# coordinator-cheap, so the guard raises with the standard mitigations
+# (prefix_length >= 1, or the explicit allow_unpruned_dictionary opt-in)
+UNPRUNED_DICT_LIMIT = 1_000_000
+
+
+def _guard_unpruned_walk(
+    index: BM25Index, what: str, allow_unpruned_dictionary: bool
+) -> None:
+    if allow_unpruned_dictionary:
+        return
+    nt = index.n_terms()
+    if nt > UNPRUNED_DICT_LIMIT:
+        raise ValueError(
+            f"{what} with prefix_length=0 would walk the full "
+            f"{nt}-term dictionary (> UNPRUNED_DICT_LIMIT="
+            f"{UNPRUNED_DICT_LIMIT}) per query — set prefix_length >= 1 "
+            "(prunes the walk to a parquet row-group range) or pass "
+            "allow_unpruned_dictionary=True to override"
+        )
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -180,10 +204,16 @@ def fuzzy_match_topk(
     transpositions: bool = True,
     max_expansions: int = 50,
     mode: str = "auto",
+    allow_unpruned_dictionary: bool = False,
 ) -> DataFrame:
     """Index-backed fuzzy match top-k → (doc_id, score, rank): dictionary
     expansion on the driver (prefix range pushdown when prefix_length>0),
-    then the standard BM25 kernels with blended weights."""
+    then the standard BM25 kernels with blended weights.
+
+    prefix_length=0 walks the FULL dictionary per query; above
+    ``UNPRUNED_DICT_LIMIT`` terms this raises unless
+    ``allow_unpruned_dictionary=True`` (the 100-TB-safe default — see the
+    module docstring's web-scale caveat)."""
     spark = index.spark
     tokens = tokenize_py(query_text)
     if not tokens:
@@ -192,6 +222,8 @@ def fuzzy_match_topk(
             F.lit(0.0).cast("float").alias("score"),
             F.lit(0).cast("int").alias("rank"),
         )
+    if prefix_length <= 0:
+        _guard_unpruned_walk(index, "fuzzy match", allow_unpruned_dictionary)
     if prefix_length > 0:
         vocab = []
         seen: set[str] = set()

@@ -22,7 +22,7 @@ from dataclasses import dataclass
 
 from ..tokenizer import tokenize_py
 from .bm25 import BM25Index
-from .fuzzy import levenshtein, osa_distance
+from .fuzzy import _guard_unpruned_walk, levenshtein, osa_distance
 
 
 @dataclass
@@ -41,13 +41,21 @@ def term_suggest(
     suggest_mode: str = "missing",
     sort: str = "score",
     transpositions: bool = True,
+    allow_unpruned_dictionary: bool = False,
 ) -> dict[str, list[Suggestion]]:
     """{token: [Suggestion, ...]} for every analyzed token of ``text``.
-    Tokens needing no correction (per suggest_mode) map to []."""
+    Tokens needing no correction (per suggest_mode) map to [].
+
+    prefix_length=0 walks the full dictionary per token and is guarded by
+    ``fuzzy.UNPRUNED_DICT_LIMIT`` (override with
+    ``allow_unpruned_dictionary=True``); the default prefix_length=1 is a
+    row-group range read, safe at any vocabulary size."""
     if suggest_mode not in ("missing", "popular", "always"):
         raise ValueError("suggest_mode must be missing|popular|always")
     if sort not in ("score", "frequency"):
         raise ValueError("sort must be score|frequency")
+    if prefix_length <= 0:
+        _guard_unpruned_walk(index, "term_suggest", allow_unpruned_dictionary)
     max_edits = min(int(max_edits), 2)
     dist = osa_distance if transpositions else levenshtein
     tokens = tokenize_py(text)

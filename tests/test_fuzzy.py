@@ -215,3 +215,31 @@ def test_term_suggest(fz_setup):
     assert all(s.freq > own for s in out3["w0001"])
     with pytest.raises(ValueError):
         term_suggest(idx, "x", suggest_mode="bogus")
+
+
+def test_unpruned_dictionary_guard(fz_setup, monkeypatch):
+    """prefix_length=0 over a dictionary above UNPRUNED_DICT_LIMIT raises
+    at call time (the 100-TB-safe default); the explicit override and the
+    pruned prefix_length>=1 path both still answer."""
+    from neural_search_spark.query import fuzzy as fz
+    from neural_search_spark.query.suggest import term_suggest
+
+    idx, _ = fz_setup
+    monkeypatch.setattr(fz, "UNPRUNED_DICT_LIMIT", 10)
+    assert idx.n_terms() > 10
+    with pytest.raises(ValueError, match="prefix_length"):
+        fuzzy_match_topk(idx, "tol", k=5, fuzziness=1)
+    with pytest.raises(ValueError, match="prefix_length"):
+        term_suggest(idx, "tol", prefix_length=0)
+    # explicit opt-in still walks
+    got = fuzzy_match_topk(
+        idx, "tol", k=5, fuzziness=1, allow_unpruned_dictionary=True
+    ).toPandas()
+    assert len(got) > 0
+    # pruned walk is unaffected by the limit
+    got_p = fuzzy_match_topk(
+        idx, "tol", k=5, fuzziness=1, prefix_length=1
+    ).toPandas()
+    assert len(got_p) > 0
+    out = term_suggest(idx, "tol", prefix_length=1)
+    assert out["tol"]
