@@ -118,11 +118,13 @@ def merge_indexes(
 ) -> dict:
     """Merge ≥2 block indexes into ``out_dir`` (see module docstring).
 
-    Positions sidecars are NOT merged: the merged index has no
-    ``positions/`` directory and phrase queries against it raise until
-    ``index.positions.build_positions`` runs over the merged corpus
-    (positions are an opt-in sidecar derived from the corpus, not from
-    the block postings this merge recombines).
+    Positions sidecars MERGE when every source has one: positions rows
+    are per-(tid, doc_id) with disjoint doc sets and carry no corpus
+    stats, so the merge is a plain union (minus expunged docs) re-laid
+    out by term_bucket — no re-tokenize, phrase serving survives the
+    merge. Sources mixing with-positions and without raise (the merged
+    index would silently answer phrases over half the corpus); when NO
+    source has positions the merged index has none, as before.
 
     ``deletes`` (a DataFrame with a ``doc_id`` column) EXPUNGES those docs
     during the merge — the Lucene forceMerge/expungeDeletes analog that
@@ -290,6 +292,8 @@ def merge_indexes(
         )
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
 
+    positions_merged = _merge_positions(spark, src_dirs, out_dir, deletes)
+
     elapsed = time.time() - t0
     mdf = pd.DataFrame(
         [
@@ -297,6 +301,7 @@ def merge_indexes(
             (run_id, "merge", "doc_count", n_docs),
             (run_id, "merge", "hot_terms_split", n_hot),
             (run_id, "merge", "docs_expunged", n_deleted),
+            (run_id, "merge", "positions_merged", int(positions_merged)),
             (run_id, "merge", "elapsed_ms", int(elapsed * 1000)),
         ],
         columns=["run_id", "stage", "name", "value"],
@@ -313,4 +318,76 @@ def merge_indexes(
         "hot_terms_split": n_hot,
         "n_sources": len(src_dirs),
         "docs_expunged": n_deleted,
+        "positions_merged": positions_merged,
     }
+
+
+def _merge_positions(
+    spark: SparkSession,
+    src_dirs: list[str],
+    out_dir: str,
+    deletes: DataFrame | None,
+) -> bool:
+    """Union the sources' positions sidecars into ``out_dir/positions``.
+
+    Positions rows are self-contained per (tid, doc_id) — no avgdl/df
+    coupling, unlike posting blocks — so with disjoint doc sets the merge
+    is one unionByName → (optional delete anti-join) → term_bucket
+    repartition + (tid, doc_id) sort, the exact layout ``build_positions``
+    writes. Returns False when no source has positions; raises on a mix."""
+    import json
+    import shutil
+
+    from .positions import POSITIONS_FORMAT_VERSION, has_positions
+
+    have = [has_positions(p) for p in src_dirs]
+    if not any(have):
+        return False
+    if not all(have):
+        raise ValueError(
+            "some source indexes have positions sidecars and some do not — "
+            "a merged index would silently answer phrase queries over part "
+            "of the corpus; build positions on every source (or none) first"
+        )
+    for p in src_dirs:
+        with open(os.path.join(p, "positions_config.json")) as f:
+            ver = int(json.load(f)["positions_format_version"])
+        if ver != POSITIONS_FORMAT_VERSION:
+            raise ValueError(
+                f"positions sidecar at {p} is format v{ver}; merge reads "
+                f"v{POSITIONS_FORMAT_VERSION}"
+            )
+    cols = ["tid", "doc_id", "dl", "positions"]
+    dfs = [
+        spark.read.parquet(os.path.join(p, "positions")).select(*cols)
+        for p in src_dirs
+    ]
+    pos = dfs[0]
+    for d in dfs[1:]:
+        pos = pos.unionByName(d)
+    if deletes is not None:
+        dels = deletes.select(F.col("doc_id").cast("long")).distinct()
+        pos = pos.join(dels, "doc_id", "left_anti")
+    out = os.path.join(out_dir, "positions")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    (
+        pos.withColumn(
+            "term_bucket", F.pmod("tid", F.lit(N_TERM_BUCKETS))
+        )
+        .repartition(N_TERM_BUCKETS, "term_bucket")
+        .sortWithinPartitions("tid", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(out)
+    )
+    with open(os.path.join(out_dir, "positions_config.json"), "w") as f:
+        json.dump(
+            {
+                "positions_format_version": POSITIONS_FORMAT_VERSION,
+                "index_format_version": INDEX_FORMAT_VERSION,
+                "n_term_buckets": N_TERM_BUCKETS,
+            },
+            f,
+        )
+    return True

@@ -140,3 +140,52 @@ def test_decoded_postings_round_trip(spark, merged_setup, transcripts_df):
     assert len(dec) == len(ref)
     assert (dec.tf.to_numpy() == ref.tf.to_numpy()).all()
     assert (dec.dl.to_numpy() == ref.dl.to_numpy()).all()
+
+
+def test_merge_positions_sidecar(spark, transcripts_df, tmp_path_factory):
+    """Positions sidecars merge with the postings: phrase serving against
+    the merged-halves index is rank- and score-identical to a one-shot
+    build+positions over the union corpus; expunged docs drop from the
+    merged positions; a with/without mix refuses."""
+    from neural_search_spark.index.positions import (
+        build_positions,
+        has_positions,
+    )
+    from neural_search_spark.query.phrase import phrase_topk
+
+    root = str(tmp_path_factory.mktemp("merge_pos"))
+    full_dir = os.path.join(root, "full")
+    a_dir, b_dir = os.path.join(root, "a"), os.path.join(root, "b")
+    half = F.pmod(doc_id_col(), F.lit(2))
+    parts = [transcripts_df.filter(half == i) for i in (0, 1)]
+    for out, df in (
+        (full_dir, transcripts_df), (a_dir, parts[0]), (b_dir, parts[1])
+    ):
+        IndexBuilder(spark, out, n_shards=4, block_size=64).build(df)
+        build_positions(spark, out, df)
+    merged_dir = os.path.join(root, "merged")
+    info = merge_indexes(spark, [a_dir, b_dir], merged_dir)
+    assert info["positions_merged"] is True
+    assert has_positions(merged_dir)
+    full, merged = BM25Index(spark, full_dir), BM25Index(spark, merged_dir)
+    for q, slop in (("the tool", 0), ("tool the", 2), ("w0000 w0001", 0)):
+        for mode in ("driver", "distributed"):
+            a = phrase_topk(full, q, k=10, mode=mode, slop=slop).toPandas()
+            b = phrase_topk(merged, q, k=10, mode=mode, slop=slop).toPandas()
+            assert list(a.doc_id) == list(b.doc_id), (q, mode)
+            assert list(a.score) == list(b.score), (q, mode)
+    # expunge: deleted docs vanish from merged phrase results
+    victims = phrase_topk(full, "the tool", k=3).toPandas().doc_id.tolist()
+    dels = spark.createDataFrame(pd.DataFrame({"doc_id": victims}))
+    merged2_dir = os.path.join(root, "merged_tomb")
+    info2 = merge_indexes(spark, [a_dir, b_dir], merged2_dir, deletes=dels)
+    assert info2["positions_merged"] is True
+    got = phrase_topk(
+        BM25Index(spark, merged2_dir), "the tool", k=10
+    ).toPandas()
+    assert not set(victims) & set(got.doc_id)
+    # mixed sources refuse
+    c_dir = os.path.join(root, "c")
+    IndexBuilder(spark, c_dir, n_shards=4, block_size=64).build(parts[0])
+    with pytest.raises(ValueError, match="positions"):
+        merge_indexes(spark, [c_dir, b_dir], os.path.join(root, "m2"))
