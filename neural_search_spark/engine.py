@@ -409,6 +409,20 @@ class Engine:
                     return bm25_topk(
                         self.bm25_index, text, k=k, operator=op
                     ).drop("rank")
+            if (
+                spec.query_type == "match_bool_prefix"
+                and self.bm25_index is not None
+                and spec.filter is None
+                and allowed is None
+            ):
+                # terms → weighted postings pass, trailing prefix →
+                # dictionary range read; one doc-keyed combine — the
+                # index-served form of the corpus sqs fold
+                from .query.multiterm import match_bool_prefix_topk
+
+                return match_bool_prefix_topk(
+                    self.bm25_index, spec.query_text or "", k=k
+                ).drop("rank")
             return _bound(
                 execute(
                     spec, self._need_corpus(spec.query_type), self.id_col
@@ -837,9 +851,15 @@ class Engine:
                         "reason": f"flat term query ⇒ match({flat[1]})"}
             return {"route": "corpus",
                     "reason": "fold needs full matched sets"}
-        if qt in ("match_bool_prefix", "multi_match"):
+        if qt == "match_bool_prefix":
+            if self.bm25_index is None or not unfiltered:
+                return {"route": "corpus", "reason": "no index / filtered"}
+            return {"route": "index",
+                    "reason": "weighted term postings + dictionary-walk "
+                    "prefix, one doc-keyed combine"}
+        if qt == "multi_match":
             return {"route": "corpus",
-                    "reason": "per-field stats / fold semantics"}
+                    "reason": "per-field stats need per-field indexes"}
         if qt in ("neural", "neural_knn"):
             if self.ann_index is None:
                 return {"route": "corpus", "reason": "no ANN asset attached"}

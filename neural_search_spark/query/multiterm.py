@@ -174,6 +174,159 @@ def _doc_ids_driver(index: BM25Index, terms: list[str]) -> np.ndarray:
     return np.concatenate(parts)
 
 
+def match_bool_prefix_topk(
+    index: BM25Index,
+    query_text: str,
+    k: int = 10,
+    boost: float = 1.0,
+    mode: str = "auto",
+) -> DataFrame:
+    """Index-backed match_bool_prefix (MatchBoolPrefixQueryBuilder): every
+    analyzed token is a SHOULD term clause except the last, which matches
+    as a constant-score prefix. Score per doc = Σ idf·tfnorm over matched
+    term clauses (duplicate tokens are duplicate clauses and sum) +
+    boost·[any dictionary term with the prefix occurs] — identical values
+    to the corpus sqs fold over ``tok1 … last*``, served from the index:
+    one dictionary range read for the expansion and ONE pass over the
+    clauses' postings (doc-sharded, so per-doc accumulation is local; no
+    MaxScore skip — the constant-score clause makes bounds useless, and
+    the work is the same Σdf a coverage-gated query decodes). Returns
+    (doc_id, score, rank)."""
+    from ..index.codec import decode_doc_ids, decode_varint
+    from ..ranking import topk_rank_window
+    from ..tokenizer import tokenize_py
+    from .bm25 import lucene_idf
+
+    spark = index.spark
+    tokens = tokenize_py(query_text)
+    if not tokens:
+        return _empty(spark)
+    terms, last = tokens[:-1], tokens[-1]
+    stats = index.term_stats(sorted(set(terms)))
+    w_by_tid: dict[int, float] = {}
+    sum_df = 0
+    for t in terms:
+        if t in stats:
+            tid = tid_py(t)
+            if tid not in w_by_tid:
+                sum_df += stats[t]
+            w_by_tid[tid] = w_by_tid.get(tid, 0.0) + lucene_idf(
+                index.n_docs, stats[t]
+            )
+    exps = index.dictionary(prefix=last)
+    prefix_tids = {tid_py(t) for t, _ in exps}
+    sum_df += sum(df for _, df in exps)
+    if not w_by_tid and not prefix_tids:
+        return _empty(spark)
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+    deletes = index.deletes
+    fboost = float(boost)
+
+    def accumulate(
+        tid_a, docs_col, tfs_col, dls_col, top: int
+    ) -> pd.DataFrame:
+        ids_parts: list[np.ndarray] = []
+        sc_parts: list[np.ndarray] = []
+        hit_parts: list[np.ndarray] = []
+        for i in range(len(tid_a)):
+            t = int(tid_a[i])
+            ids = decode_doc_ids(docs_col[i])
+            live = _live_mask(ids, deletes)
+            w = w_by_tid.get(t)
+            if w is not None:
+                tfs = decode_varint(tfs_col[i]).astype(np.float64)
+                dls = decode_varint(dls_col[i]).astype(np.float64)
+                if live is not None:
+                    idw, tfs, dls = ids[live], tfs[live], dls[live]
+                else:
+                    idw = ids
+                ids_parts.append(idw)
+                sc_parts.append(
+                    w * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                )
+            if t in prefix_tids:
+                hit_parts.append(ids[live] if live is not None else ids)
+        base = (
+            np.concatenate(ids_parts)
+            if ids_parts
+            else np.empty(0, dtype=np.int64)
+        )
+        hits = (
+            np.unique(np.concatenate(hit_parts))
+            if hit_parts
+            else np.empty(0, dtype=np.int64)
+        )
+        all_ids = np.unique(np.concatenate([base, hits]))
+        if all_ids.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float32}
+            )
+        sc = np.zeros(all_ids.size, dtype=np.float64)
+        if base.size:
+            sc += np.bincount(
+                np.searchsorted(all_ids, base),
+                weights=np.concatenate(sc_parts),
+                minlength=all_ids.size,
+            )
+        if hits.size:
+            sc[np.searchsorted(all_ids, hits)] += fboost
+        f32 = sc.astype(np.float32)
+        sel = np.lexsort((all_ids, -f32.astype(np.float64)))[:top]
+        return pd.DataFrame({"doc_id": all_ids[sel], "score": f32[sel]})
+
+    all_terms = sorted(set(terms) & set(stats)) + [t for t, _ in exps]
+    if mode == "driver" or (mode == "auto" and sum_df <= DRIVER_MAX_POSTINGS):
+        import pyarrow.dataset as ds
+
+        from ..index.build import N_TERM_BUCKETS
+
+        tids = sorted({tid_py(t) for t in all_terms})
+        buckets = sorted({t % N_TERM_BUCKETS for t in tids})
+        if index._postings_ds is None:
+            index._postings_ds = ds.dataset(
+                index._postings_path, format="parquet", partitioning="hive"
+            )
+        tbl = index._postings_ds.to_table(
+            columns=["tid", "docs", "tfs", "dls"],
+            filter=ds.field("term_bucket").isin(buckets)
+            & ds.field("tid").isin(tids),
+        )
+        pdf = accumulate(
+            tbl["tid"].to_numpy(),
+            tbl["docs"].to_pylist(),
+            tbl["tfs"].to_pylist(),
+            tbl["dls"].to_pylist(),
+            k,
+        )
+        pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int32)
+        return spark.createDataFrame(
+            pdf, schema="doc_id long, score float, rank int"
+        )
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float32}
+            )
+        return accumulate(
+            pdf["tid"].to_numpy(), pdf["docs"].to_numpy(),
+            pdf["tfs"].to_numpy(), pdf["dls"].to_numpy(), k,
+        )
+
+    blocks = index.postings_for(all_terms).select(
+        "shard_id", "tid", "docs", "tfs", "dls"
+    )
+    shard_topk = blocks.groupBy("shard_id").applyInPandas(
+        score_shard, "doc_id long, score float"
+    )
+    w = topk_rank_window(F.desc("score"), F.asc("doc_id"))
+    return (
+        shard_topk.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
 def term_topk(
     index: BM25Index, value: str, k: int = 10, mode: str = "auto"
 ) -> DataFrame:

@@ -13,21 +13,36 @@ SimpleQueryParser): a forgiving grammar that never throws —
 * ``word~N``            → fuzzy match with N edits
 * ``( ... )``           → grouping
 
-Documented simplification vs Lucene's state machine: clauses fold LEFT-
-ASSOCIATIVELY with equal operator precedence — the operator written
-before a clause decides how it joins the accumulated result (Lucene's
-SimpleQueryParser keeps one BooleanQuery per nesting level; for queries
-that mix ``+`` and ``|`` at one level the groupings can differ — use
-parentheses to be explicit). Lenient like the reference: dangling
-operators and unbalanced quotes/parens degrade to terms or are ignored,
-never raised.
+Precedence parity with Lucene's ``SimpleQueryParser`` state machine
+(``parseSubQuery`` + ``buildQueryTree``):
+
+* one flat BooleanQuery per RUN of one operator; an operator change
+  wraps the accumulated tree as the first clause of a new level — the
+  left-associative fold below produces membership- and score-identical
+  results because OR levels sum over matching clauses and AND levels
+  gate on all-present with summed scores, both associative;
+* between two clauses the FIRST written operator wins (``+ |`` keeps
+  MUST — Lucene only latches ``currentOperation`` when none is pending)
+  and operators before the first clause are ignored (no ``top`` yet);
+* ``-`` toggles (``state.not++`` with a ``not % 2`` check), and a
+  negated branch becomes a ``MUST_NOT branch + SHOULD MatchAllDocs``
+  wrapper added AT ITS POSITION with the surrounding operator — the
+  documented SimpleQueryParser quirk: ``foo -bar`` (default OR) matches
+  docs with foo OR docs without bar, each docless-branch hit scoring
+  the MatchAllDocs 1.0, and a pure-negative query matches the corpus
+  minus the negated docs rather than nothing.
+
+Lenient like the reference: dangling operators and unbalanced
+quotes/parens degrade to terms or are ignored, never raised.
 
 Scoring contract matches `bool`: every leaf scores the FULL scoped
 corpus with its own stats (filters gate collection, never change
 surviving scores); AND keeps docs present in both sides with scores
-summed, OR sums scores over matching sides, exclusion is a left-anti
-join. All combinators are doc_id-keyed Catalyst aggregates — at scale
-each leaf is one corpus pass and each fold one keyed shuffle.
+summed, OR sums scores over matching sides. All combinators are
+doc_id-keyed Catalyst aggregates — at scale each leaf is one corpus
+pass and each fold one keyed shuffle; a negation wrapper is one
+anti-join against the scoped id projection (the MatchAllDocs analog:
+column-pruned, never wider than one id column).
 """
 
 from __future__ import annotations
@@ -87,15 +102,17 @@ def parse_sqs(query: str) -> Group:
                 pos += 1  # stray ')' at top level: ignore (lenient)
                 continue
             if ch == "+":
-                op = "and"
+                if op == "default":  # first operator between clauses wins
+                    op = "and"
                 pos += 1
                 continue
             if ch == "|":
-                op = "or"
+                if op == "default":
+                    op = "or"
                 pos += 1
                 continue
             if ch == "-":
-                neg = True
+                neg = not neg  # state.not++ / not % 2: '--foo' un-negates
                 pos += 1
                 continue
             if ch == "(":
@@ -234,8 +251,9 @@ def sqs_scored(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, score double) for a simple_query_string over the scoped
-    corpus. Empty/fully-negative queries match nothing (the reference
-    returns no hits for a query with no positive clause)."""
+    corpus. Empty queries match nothing; a fully-negative query matches
+    the corpus MINUS the negated docs (the SimpleQueryParser MatchAllDocs
+    negation wrapper — see the module docstring)."""
     spark = docs.sparkSession
     empty = spark.range(0).select(
         F.col("id").alias("doc_id"),
@@ -269,6 +287,18 @@ def sqs_scored(
     return out if out is not None else empty
 
 
+def _not_wrap(branch: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
+    """Lucene's negation wrapper (buildQueryTree's ``state.not % 2``
+    branch): BQ[MUST_NOT branch, SHOULD MatchAllDocs] — matches every
+    scoped doc NOT matching the branch, each scoring the MatchAllDocs
+    constant 1.0. One id-projection anti-join; never reads text."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(branch.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("score", F.lit(1.0).cast("double"))
+    )
+
+
 def _eval_group(
     g: Group,
     docs: DataFrame,
@@ -277,8 +307,12 @@ def _eval_group(
     text_col: str,
     match_tall=None,
 ) -> DataFrame | None:
+    """buildQueryTree analog: clauses fold left with the operator written
+    before each (first-wins, parser-enforced); a run of one operator is a
+    flat BooleanQuery level and the fold's pairwise combines are value-
+    identical to it (sum-unions and all-present gates are associative).
+    Negated branches join at their position via the MatchAllDocs wrapper."""
     acc: DataFrame | None = None
-    pending_neg: list[DataFrame] = []
     for op, node in g.children:
         if isinstance(node, Group):
             cur = _eval_group(
@@ -295,17 +329,10 @@ def _eval_group(
         if cur is None:
             continue
         if negated:
-            # exclusions apply to the level's accumulated result — queue
-            # them so "-bar foo" and "foo -bar" exclude identically
-            pending_neg.append(cur)
-            continue
+            cur = _not_wrap(cur, docs, id_col)
         if acc is None:
             acc = cur
         else:
             eff = default_op if op == "default" else op
             acc = _combine(acc, cur, eff)
-    if acc is None:
-        return None  # no positive clause ⇒ no hits
-    for neg in pending_neg:
-        acc = acc.join(neg.select("doc_id"), "doc_id", "left_anti")
     return acc

@@ -80,17 +80,51 @@ def test_and_filters_to_intersection(docs, tt):
         assert got[d] == pytest.approx(or_sc[d], rel=1e-9)
 
 
-def test_negation_excludes(docs, tt):
+def test_negation_matchall_wrapper(docs, tt):
+    """Lucene SimpleQueryParser parity: '-bar' becomes a MUST_NOT+
+    MatchAllDocs wrapper clause at its position — 'tool -call' under
+    default OR matches docs with tool OR docs without call, the wrapper
+    hits scoring the MatchAllDocs constant 1.0 (the documented
+    SimpleQueryParser negation quirk, buildQueryTree's not % 2 branch)."""
+    from neural_search_spark.gate import bm25_scored
+
     got = pdfd(sqs_scored(docs, "tool -call"))
+    tool_sc = pdfd(bm25_scored(docs, ["doc_id"], "tool", ndp=None))
+    all_ids = {int(d) for d in tt.doc_id}
     have_call = {
         int(d) for d, l in zip(tt.doc_id, tt.toks) if "call" in set(l)
     }
-    assert set(got).isdisjoint(have_call)
-    # exclusion order-independent
-    got2 = pdfd(sqs_scored(docs, "-call tool"))
-    assert got == got2
-    # pure-negative query matches nothing
-    assert sqs_scored(docs, "-tool").count() == 0
+    assert set(got) == set(tool_sc) | (all_ids - have_call)
+    for d, s in got.items():
+        exp = tool_sc.get(d, 0.0) + (0.0 if d in have_call else 1.0)
+        assert s == pytest.approx(exp, rel=1e-9), d
+    # clause order changes nothing (OR level is one flat BooleanQuery)
+    assert got == pdfd(sqs_scored(docs, "-call tool"))
+    # AND context: 'tool + -call' = docs with tool AND without call,
+    # scoring tool + the wrapper's 1.0
+    got_and = pdfd(sqs_scored(docs, "tool + -call"))
+    assert set(got_and) == set(tool_sc) - have_call
+    for d, s in got_and.items():
+        assert s == pytest.approx(tool_sc[d] + 1.0, rel=1e-9)
+    # pure-negative query = corpus minus the negated docs at score 1.0
+    neg = pdfd(sqs_scored(docs, "-tool"))
+    assert set(neg) == all_ids - set(tool_sc)
+    assert all(v == 1.0 for v in neg.values())
+    # double negation cancels (state.not % 2)
+    assert set(pdfd(sqs_scored(docs, "--tool"))) == set(tool_sc)
+
+
+def test_first_operator_wins(docs):
+    """Between two clauses Lucene latches only the FIRST operator
+    ('tool + | call' stays AND); leading operators are ignored."""
+    g = flat(parse_sqs("tool + | call"))
+    assert g[1][0] == "and"
+    assert pdfd(sqs_scored(docs, "tool + | call")) == pdfd(
+        sqs_scored(docs, "tool + call")
+    )
+    assert pdfd(sqs_scored(docs, "| tool call", default_operator="and")) == (
+        pdfd(sqs_scored(docs, "tool + call"))
+    )
 
 
 def test_default_operator_and(docs):
@@ -165,6 +199,45 @@ def test_match_bool_prefix(docs, tt, spark):
     for d, s in got.items():
         assert s == pytest.approx(want[d], rel=1e-9)
     assert set(got) == set(want)
+
+
+def test_match_bool_prefix_index_route(docs, spark, tmp_path_factory):
+    """With an index attached, match_bool_prefix serves from the index
+    (weighted term postings + dictionary prefix walk) — value-identical
+    to the corpus sqs fold on both kernels, and explain_route says so."""
+    from neural_search_spark.engine import Engine, spec_from_json
+    from neural_search_spark.index.build import IndexBuilder
+    from neural_search_spark.query.bm25 import BM25Index
+    from neural_search_spark.query.multiterm import match_bool_prefix_topk
+
+    d = str(tmp_path_factory.mktemp("mbpidx") / "idx")
+    IndexBuilder(spark, d, n_shards=4, block_size=64).build(
+        docs.drop("doc_id")
+    )
+    idx = BM25Index(spark, d)
+    eng = Engine(spark, corpus=docs, bm25_index=idx)
+    spec = {"match_bool_prefix": {"query_text": "call to"}}
+    assert eng.explain_route(spec)["route"] == "index"
+    want = pdfd(sqs_scored(docs, "call | to*"))
+
+    def canon(p):
+        f32 = p.score.to_numpy().astype(np.float32)
+        o = np.lexsort((p.doc_id.to_numpy(), -f32.astype(np.float64)))
+        return p.doc_id.to_numpy()[o].tolist(), f32[o]
+
+    got = eng.search(spec_from_json(spec), k=10).toPandas()
+    for mode in ("driver", "distributed"):
+        m = match_bool_prefix_topk(idx, "call to", k=10, mode=mode).toPandas()
+        ii = canon(m)
+        assert ii[0] == canon(got)[0], mode
+        # index f32 scores match the corpus fold's doubles on each doc
+        for did, s in zip(ii[0], ii[1]):
+            assert s == pytest.approx(want[did], rel=1e-5), (mode, did)
+    # duplicate tokens are duplicate SHOULD clauses (scores double)
+    dup = match_bool_prefix_topk(idx, "call call to", k=10).toPandas()
+    want_dup = pdfd(sqs_scored(docs, "call call | to*"))
+    for did, s in zip(dup.doc_id, dup.score):
+        assert s == pytest.approx(want_dup[did], rel=1e-5)
 
 
 def test_flat_sqs_routes_to_index(docs, spark, tmp_path_factory):
