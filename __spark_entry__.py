@@ -70,4 +70,10 @@ def oracle_sql() -> dict[str, str]:
     # parquet (the Spark entry builds that index before the oracle runs —
     # registry order puts bm25_index_topk first)
     oracles["index_lineage"] = gate.sql_index_lineage_for_sf(_ORACLE_SF)
+    try:
+        # sqs_matrix embeds driver-replayed sloppy-phrase VALUES (the
+        # Lucene sweep has no ANSI-SQL form); folds + suggester are static
+        oracles["sqs_matrix"] = gate.sql_sqs_matrix_for_sf(_ORACLE_SF)
+    except Exception:
+        pass  # rows-only check if the replay fails
     return oracles

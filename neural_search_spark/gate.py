@@ -890,6 +890,312 @@ SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl,
 FROM (SELECT len({TOK})::INTEGER AS dl FROM documents)"""
 
 
+def q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Term dictionary top-50 + corpus doc-length aggregates in ONE union
+    slot (round-5 merge of term_stats + doc_len_stats, freeing a registry
+    slot for ``multiterm_matrix``) — both stay hash-verified."""
+    ts = q_term_stats(spark, sf).select(
+        F.lit("term").alias("variant"),
+        F.col("term").alias("kc"),
+        F.col("df").cast("double").alias("v1"),
+        F.col("cf").cast("double").alias("v2"),
+        F.col("rank").cast("double").alias("v3"),
+        F.lit(-1.0).alias("v4"),
+    )
+    dl = q_doc_len_stats(spark, sf).select(
+        F.lit("dl").alias("variant"),
+        F.lit("").alias("kc"),
+        F.col("n_docs").cast("double").alias("v1"),
+        F.col("avgdl").cast("double").alias("v2"),
+        F.col("min_dl").cast("double").alias("v3"),
+        F.col("max_dl").cast("double").alias("v4"),
+    )
+    return ts.unionByName(dl)
+
+
+def sql_corpus_stats() -> str:
+    ts, dl = sql_term_stats(), sql_doc_len_stats()
+    return f"""
+SELECT 'term' AS variant, term AS kc, df::DOUBLE AS v1, cf::DOUBLE AS v2,
+       rank::DOUBLE AS v3, -1.0::DOUBLE AS v4 FROM ({ts})
+UNION ALL
+SELECT 'dl', '', n_docs::DOUBLE, avgdl::DOUBLE, min_dl::DOUBLE,
+       max_dl::DOUBLE FROM ({dl})"""
+
+
+# ---------------------------------------------------------------------------
+# round-5 text-query matrices: multi-term queries, sqs folds, sloppy
+# phrases, term suggester
+# ---------------------------------------------------------------------------
+_MT_PREFIX = "du"  # → 'dup', the rare term (~3% of docs): discriminative
+_MT_WILDCARD = "d?p*"  # → 'dup' through both wildcard metachars
+_MT_TERM = "vector"
+_MT_TERMS = ["dup", "customer"]
+_MBP_Q = "vector du"  # 'vector' SHOULD clause + trailing 'du' prefix
+_SQS_MIX = "spark + join | filter"  # (spark AND join) OR filter
+_SQS_NEG = "spark -dup"  # MatchAllDocs negation wrapper semantics
+_SQS_GRP = "(spark | join) + dup"
+_SLOP_SPECS = (("slop", "window join", 2), ("slop_rpt", "merge merge", 3))
+_SUGGEST_TEXT = "sparc windoq"  # 1-edit typos of 'spark' / 'window'
+_SUGGEST_SIZE = 5
+
+
+def q_multiterm_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """prefix / wildcard / term / terms / match_bool_prefix in ONE union
+    slot (round-5): every variant goes through the spec parser + the
+    corpus-scan ``execute`` route (the code path Engine uses without an
+    index; the index kernels are pytest-pinned value-identical to it).
+    Constant-score variants rank by doc_id ascending (the constant-score
+    collector order); scored variants round to 4dp BEFORE ranking so FP
+    association order can't flip near-ties vs the oracle."""
+    from .engine import spec_from_json
+    from .query.neural import execute
+
+    d = _docs(spark, sf)
+    specs = [
+        ("prefix", {"prefix": {"value": _MT_PREFIX}}),
+        ("wildcard", {"wildcard": {"value": _MT_WILDCARD}}),
+        ("term", {"term": {"value": _MT_TERM}}),
+        ("terms", {"terms": {"values": _MT_TERMS}}),
+        ("mbp", {"match_bool_prefix": {"query_text": _MBP_Q}}),
+    ]
+    out = None
+    for name, js in specs:
+        sc = execute(spec_from_json(js), d, "doc_id").withColumn(
+            "score", F.round(F.col("score").cast("double"), 4)
+        )
+        r = _ranked(sc, ["doc_id"], 10).select(
+            F.lit(name).alias("variant"),
+            F.col("doc_id").cast("string").alias("kc"),
+            "score",
+            "rank",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def sql_multiterm_matrix() -> str:
+    def const(name: str, pred: str) -> str:
+        # constant-score rewrite: membership bitset, score 1.0, doc order
+        return f"""
+SELECT '{name}' AS variant, doc_id::VARCHAR AS kc, 1.0::DOUBLE AS score,
+       row_number() OVER (ORDER BY doc_id)::INTEGER AS rank
+FROM documents WHERE {pred} ORDER BY doc_id LIMIT 10"""
+
+    prefix_p = f"len(list_filter({TOK}, t -> starts_with(t, '{_MT_PREFIX}'))) > 0"
+    from .query.multiterm import wildcard_regex
+
+    rx = wildcard_regex(_MT_WILDCARD)
+    wild_p = f"len(list_filter({TOK}, t -> regexp_matches(t, '{rx}'))) > 0"
+    vals = ", ".join(f"'{v}'" for v in _MT_TERMS)
+    terms_p = f"len(list_filter({TOK}, t -> t IN ({vals}))) > 0"
+    term_b = bm25_scored_sql("documents", ["doc_id"], _MT_TERM, ndp=4)
+    term_sql = f"""
+SELECT 'term' AS variant, doc_id::VARCHAR AS kc, score, rank
+FROM ({_topk_sql(term_b, ["doc_id"], 10)})"""
+    # match_bool_prefix = match(first tokens) OR constant-score prefix
+    mtoks = _MBP_Q.split()
+    mb = bm25_scored_sql("documents", ["doc_id"], " ".join(mtoks[:-1]), ndp=None)
+    mbp_pred = f"len(list_filter({TOK}, t -> starts_with(t, '{mtoks[-1]}'))) > 0"
+    mbp_inner = f"""
+WITH m AS ({mb}),
+p AS (SELECT doc_id, 1.0 AS score FROM documents WHERE {mbp_pred}),
+u AS (SELECT * FROM m UNION ALL SELECT * FROM p)
+SELECT doc_id, round(sum(score), 4) AS score FROM u GROUP BY doc_id"""
+    mbp_sql = f"""
+SELECT 'mbp' AS variant, doc_id::VARCHAR AS kc, score, rank
+FROM ({_topk_sql(mbp_inner, ["doc_id"], 10)})"""
+    # each part carries its own ORDER/LIMIT → parenthesize for the union
+    return " UNION ALL ".join(
+        f"SELECT * FROM ({p})"
+        for p in (
+            const("prefix", prefix_p),
+            const("wildcard", wild_p),
+            term_sql,
+            const("terms", terms_p),
+            mbp_sql,
+        )
+    )
+
+
+def q_sqs_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """simple_query_string folds (mixed +/| precedence, the MatchAllDocs
+    negation wrapper, grouping), sloppy phrases (incl. a repeated-term
+    phrase through the Lucene collision machinery), and the term
+    suggester — ONE union slot (round-5). Schema (variant, kc, score, v,
+    rank): kc is the doc_id (or token>term for suggestions), v the
+    suggestion df (-1 elsewhere)."""
+    from .engine import spec_from_json
+    from .query.neural import execute
+    from .query.phrase import phrase_scored_scan
+
+    d = _docs(spark, sf)
+    out = None
+    for name, q in (
+        ("mix", _SQS_MIX), ("neg", _SQS_NEG), ("grp", _SQS_GRP)
+    ):
+        sc = execute(
+            spec_from_json({"simple_query_string": {"query": q}}), d, "doc_id"
+        ).withColumn("score", F.round(F.col("score").cast("double"), 4))
+        r = _ranked(sc, ["doc_id"], 10).select(
+            F.lit(name).alias("variant"),
+            F.col("doc_id").cast("string").alias("kc"),
+            "score",
+            F.lit(-1.0).alias("v"),
+            "rank",
+        )
+        out = r if out is None else out.unionByName(r)
+    for name, phrase, slop in _SLOP_SPECS:
+        sc = phrase_scored_scan(d, phrase, slop=slop).withColumn(
+            "score", F.round(F.col("score").cast("double"), 4)
+        )
+        r = _ranked(sc, ["doc_id"], 10).select(
+            F.lit(name).alias("variant"),
+            F.col("doc_id").cast("string").alias("kc"),
+            "score",
+            F.lit(-1.0).alias("v"),
+            "rank",
+        )
+        out = out.unionByName(r)
+    # the term suggester runs against the gate index's dictionary — the
+    # derived transcripts carry the documents text row-for-row, so df/
+    # vocabulary agree with the documents-based oracle exactly
+    from .query.bm25 import BM25Index
+    from .query.suggest import term_suggest
+
+    idx = BM25Index(spark, _gate_index(spark, sf))
+    sugg = term_suggest(
+        idx, _SUGGEST_TEXT, size=_SUGGEST_SIZE, transpositions=False
+    )
+    srows = [
+        (
+            "suggest",
+            f"{tok}>{s.term}",
+            round(s.score, 6),
+            float(s.freq),
+            i,
+        )
+        for tok, lst in sorted(sugg.items())
+        for i, s in enumerate(lst, 1)
+    ]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            srows, columns=["variant", "kc", "score", "v", "rank"]
+        ).astype({"score": "float64", "v": "float64", "rank": "int32"})
+    )
+    return out.unionByName(sdf)
+
+
+def sql_sqs_matrix_static_parts() -> list[str]:
+    """The SQL-expressible sqs_matrix variants (folds + suggester); the
+    sloppy variants need the driver replay in ``sql_sqs_matrix_for_sf``."""
+
+    def b(term: str) -> str:
+        return bm25_scored_sql("documents", ["doc_id"], term, ndp=None)
+
+    def wrap(name: str, inner: str) -> str:
+        return f"""
+SELECT '{name}' AS variant, doc_id::VARCHAR AS kc, score, -1.0::DOUBLE AS v,
+       rank FROM ({_topk_sql(inner, ["doc_id"], 10)})"""
+
+    mix = f"""
+WITH a AS ({b("spark")}), j AS ({b("join")}), f AS ({b("filter")}),
+ab AS (SELECT a.doc_id, a.score + j.score AS score FROM a JOIN j USING (doc_id)),
+u AS (SELECT * FROM ab UNION ALL SELECT * FROM f)
+SELECT doc_id, round(sum(score), 4) AS score FROM u GROUP BY doc_id"""
+    neg = f"""
+WITH a AS ({b("spark")}),
+nb AS (SELECT doc_id, 1.0 AS score FROM documents
+       WHERE NOT list_contains({TOK}, 'dup')),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM nb)
+SELECT doc_id, round(sum(score), 4) AS score FROM u GROUP BY doc_id"""
+    grp = f"""
+WITH a AS ({b("spark")}), j AS ({b("join")}), d AS ({b("dup")}),
+g AS (SELECT doc_id, sum(score) AS score
+      FROM (SELECT * FROM a UNION ALL SELECT * FROM j) GROUP BY doc_id)
+SELECT g.doc_id, round(g.score + d.score, 4) AS score
+FROM g JOIN d USING (doc_id)"""
+    toks = [(t, t[:1], len(t)) for t in sorted(set(_SUGGEST_TEXT.split()))]
+    cand = " UNION ALL ".join(
+        f"""
+SELECT '{t}' AS token, term, df, levenshtein(term, '{t}') AS d, {n} AS qlen
+FROM dict WHERE starts_with(term, '{p}') AND term <> '{t}'
+  AND abs(len(term) - {n}) <= 2"""
+        for t, p, n in toks
+    )
+    sugg = f"""
+SELECT 'suggest' AS variant, token || '>' || term AS kc, score,
+       df::DOUBLE AS v, rk AS rank FROM (
+  WITH tok AS (SELECT doc_id, unnest({TOK}) AS t FROM documents),
+  dict AS (SELECT t AS term, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+  c AS ({cand}),
+  sc AS (SELECT token, term, df,
+           round(1.0 - d::DOUBLE / least(len(term), qlen), 6) AS score
+         FROM c WHERE d <= 2),
+  r AS (SELECT *, row_number() OVER (PARTITION BY token
+          ORDER BY score DESC, df DESC, term)::INTEGER AS rk FROM sc)
+  SELECT * FROM r WHERE rk <= {_SUGGEST_SIZE})"""
+    return [wrap("mix", mix), wrap("neg", neg), wrap("grp", grp), sugg]
+
+
+def sql_sqs_matrix_for_sf(sf: str) -> str:
+    """Full sqs_matrix oracle: static SQL for the folds + suggester, plus
+    driver-replayed VALUES for the sloppy variants — the Lucene sweep has
+    no ANSI-SQL form, so the oracle recomputes freqs straight from the
+    raw parquet with the sweep kernel (no Spark, no positions sidecar, no
+    posexplode plan: only the kernel itself is shared, the pq_ann_topk
+    replay precedent)."""
+    import duckdb
+    import numpy as np
+
+    from .query.bm25 import lucene_idf
+    from .query.phrase import repeat_groups_of, sloppy_phrase_freq
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, {TOK} FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    n_docs = len(rows)
+    avgdl = sum(len(l) for _, l in rows) / max(n_docs, 1)
+    parts = sql_sqs_matrix_static_parts()
+    for name, phrase, slop in _SLOP_SPECS:
+        toks = phrase.split()
+        rpt = repeat_groups_of(toks)
+        dfs = {
+            t: sum(1 for _, l in rows if t in set(l)) for t in set(toks)
+        }
+        scored = []
+        if all(dfs[t] for t in set(toks)):
+            idf_total = sum(lucene_idf(n_docs, dfs[t]) for t in toks)
+            for did, l in rows:
+                arr = np.asarray(l, dtype=object)
+                pos_by = [
+                    np.flatnonzero(arr == t).astype(np.int64) for t in toks
+                ]
+                if any(p.size == 0 for p in pos_by):
+                    continue
+                fr = sloppy_phrase_freq(pos_by, slop, rpt)
+                if fr:
+                    dl = len(l)
+                    sc = idf_total * fr / (
+                        fr + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+                    )
+                    scored.append((did, round(sc, 4)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        scored = scored[:10]
+        if scored:
+            vals = ", ".join(
+                f"('{name}', '{d}', {s!r}, -1.0, {i})"
+                for i, (d, s) in enumerate(scored, 1)
+            )
+            parts.append(
+                f"""
+SELECT variant, kc, score::DOUBLE AS score, v::DOUBLE AS v,
+       rank::INTEGER AS rank
+FROM (VALUES {vals}) AS t(variant, kc, score, v, rank)"""
+            )
+    return " UNION ALL ".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -2025,11 +2331,18 @@ def q_hybrid_batch(spark: SparkSession, sf: str) -> DataFrame:
         normed, 2, "arithmetic_mean", group_cols=("query_id",)
     ).withColumn("score", F.round("score", 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    batch = (
         combined.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 5)
         .select("query_id", "doc_id", "score", "rank")
     )
+    # round-5 merge: the 3-sub-query weighted hybrid rides along as a
+    # 'w3' pseudo-query-id (frees the hybrid_weighted registry slot for
+    # the sqs matrix) — same schema, still hash-verified
+    weighted = q_hybrid_weighted(spark, sf).select(
+        F.lit("w3").alias("query_id"), "doc_id", "score", "rank"
+    )
+    return batch.unionByName(weighted)
 
 
 def sql_hybrid_batch() -> str:
@@ -2057,7 +2370,9 @@ c AS (SELECT query_id, doc_id,
 r AS (SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY score DESC, doc_id)::INTEGER AS rank
       FROM c)
-SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5"""
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
+UNION ALL
+SELECT 'w3' AS query_id, doc_id, score, rank FROM ({sql_hybrid_weighted()})"""
 
 
 def q_collapse_by_source(spark: SparkSession, sf: str) -> DataFrame:
@@ -3562,14 +3877,19 @@ def build_registry():
         "bm25_index_treeagg": q_bm25_index_treeagg,
         "phrase_topk": q_phrase_topk,
         "bool_topk": q_bool_topk,
+        # round-5: the previously pytest-only text-query surface —
+        # prefix/wildcard/term/terms/match_bool_prefix and
+        # sqs-folds/sloppy-phrases/suggester — gated as two matrices
+        # (slots freed by merging term_stats+doc_len_stats → corpus_stats
+        # and hybrid_weighted → a hybrid_batch 'w3' variant)
+        "multiterm_matrix": q_multiterm_matrix,
+        "sqs_matrix": q_sqs_matrix,
         "index_lineage": q_index_lineage,
-        "term_stats": q_term_stats,
-        "doc_len_stats": q_doc_len_stats,
+        "corpus_stats": q_corpus_stats,
         # --- hybrid family ----------------------------------------------
         "hybrid_index_minmax": q_hybrid_index_minmax,
         "hybrid_norm_matrix": q_hybrid_norm_matrix,
         "hybrid_batch": q_hybrid_batch,
-        "hybrid_weighted": q_hybrid_weighted,
         "hybrid_filtered": q_hybrid_filtered,
         "hybrid_post_filter": q_hybrid_post_filter,
         "minmax_lower_bounds": q_minmax_lower_bounds,
@@ -3628,12 +3948,11 @@ def build_registry():
         "bm25_index_topk": sql_bm25_index_topk_variants(QUERY_A),
         "bm25_index_treeagg": sql_bm25_index_topk(QUERY_B),
         "phrase_topk": sql_phrase_topk(),
-        "term_stats": sql_term_stats(),
-        "doc_len_stats": sql_doc_len_stats(),
+        "multiterm_matrix": sql_multiterm_matrix(),
+        "corpus_stats": sql_corpus_stats(),
         "hybrid_index_minmax": sql_hybrid_index_minmax(),
         "hybrid_norm_matrix": sql_hybrid_norm_matrix(),
         "hybrid_batch": sql_hybrid_batch(),
-        "hybrid_weighted": sql_hybrid_weighted(),
         "hybrid_filtered": sql_hybrid_filtered(),
         "hybrid_post_filter": sql_hybrid_post_filter(),
         "minmax_lower_bounds": sql_minmax_lower_bounds(),
@@ -3671,7 +3990,8 @@ def build_registry():
         "events_rollup": sql_events_rollup(),
         "multimodal_features": sql_multimodal_features(),
         # ann_matrix / pq_ann_topk / engine_ann_topk need driver-side
-        # constants (query bucket / centroid / codebook replays) ->
+        # constants (query bucket / centroid / codebook replays) and
+        # sqs_matrix needs the sloppy-sweep replay VALUES ->
         # resolved lazily in __spark_entry__.oracle_sql(); index_lineage
         # has no possible oracle (build metadata).
     }

@@ -198,6 +198,16 @@ def main():
     ] = mt_plan
     mt_text = cap(mt_plan)
     assert "PartitionFilters" in mt_text, "multiterm postings scan not pruned"
+    from neural_search_spark.query.multiterm import match_bool_prefix_topk
+
+    mbp_plan = match_bool_prefix_topk(idx, "spark wi", k=10, mode="distributed")
+    plans[
+        "match_bool_prefix (weighted postings + dictionary prefix expansion,"
+        " one doc-keyed shard combine)"
+    ] = mbp_plan
+    mbp_text = cap(mbp_plan)
+    assert "PartitionFilters" in mbp_text, "mbp postings scan not pruned"
+    assert "CartesianProduct" not in mbp_text
     sq_plan = sqs_scored(
         gate.derived_transcripts(spark, sf).withColumn(
             "doc_id", F.monotonically_increasing_id()
@@ -211,7 +221,7 @@ def main():
     assert "CartesianProduct" not in sq_text
     assert "BroadcastNestedLoop" not in sq_text
     assert "LeftAnti" in sq_text, "sqs exclusion not an anti-join"
-    print("fuzzy/multiterm/sqs plans: pruned scans, keyed folds — ok")
+    print("fuzzy/multiterm/mbp/sqs plans: pruned scans, keyed folds — ok")
 
     plans["PQ ADC top-k + exact refine (broadcast candidate join)"] = pq_plan
     pq_text = cap(pq_plan)
