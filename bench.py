@@ -216,6 +216,12 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
                 phrases.append(f"{tk[0]} {tk[1]}")
             if len(phrases) == 6:
                 break
+        # serving mode: positions pinned pre-partitioned by doc_shard →
+        # the per-query distributed plan is exchange-free (broadcast
+        # leading-term semi-join over the in-memory clustering)
+        t0 = time.time()
+        idx.cache_positions()
+        out["positions_cache_sec"] = round(time.time() - t0, 3)
         phrase_topk(idx, phrases[0], k=10, mode="distributed").collect()
         t0 = time.time()
         for p in phrases:

@@ -92,6 +92,7 @@ class BM25Index:
         self._terms_path = os.path.join(path, "terms")
         self._postings_path = os.path.join(path, "postings")
         self._postings_df: DataFrame | None = None
+        self._positions_cache: DataFrame | None = None
         self._terms_ds = None  # cached pyarrow datasets (file listings)
         self._postings_ds = None
         # driver-path hot-term cache: tid → decoded (ids, tfs f32, dls f32)
@@ -257,6 +258,48 @@ class BM25Index:
         # per-query Exchange is elided — so pay the warm-up here, not on
         # the first serving query
         self._postings_df.count()
+        return self
+
+    def cache_positions(self) -> "BM25Index":
+        """Phrase-serving mode: pin the positions sidecar in executor
+        memory PRE-PARTITIONED by doc_shard — the verify kernel's grouping
+        key. With rows already clustered, a phrase query's plan is
+        exchange-free: in-memory scan → tid filter → broadcast
+        leading-term semi-join (partitioning-preserving) →
+        groupBy(doc_shard) applyInPandas with the Exchange elided, the
+        same trick ``cache()`` plays for BM25 serving. The Lucene analog
+        is the .pos file staying hot in the page cache instead of being
+        re-opened per query. Opt-in: BM25/hybrid serving never pays for
+        this."""
+        from pyspark import StorageLevel
+
+        from ..index.positions import has_positions
+
+        if not has_positions(self.path):
+            raise ValueError(
+                f"index at {self.path} has no positions sidecar — run "
+                "index.positions.build_positions first"
+            )
+        if self._positions_cache is None:
+            pos = self.spark.read.parquet(
+                os.path.join(self.path, "positions")
+            ).withColumn(
+                "doc_shard",
+                F.pmod(
+                    F.xxhash64("doc_id", F.lit(13)), F.lit(self.n_shards)
+                ).cast("int"),
+            )
+            # sortWithinPartitions(tid): the in-memory columnar cache keeps
+            # per-batch min/max stats, so a query's `tid IN (...)` filter
+            # skips every batch outside its terms' ranges — the cached
+            # analog of the parquet term_bucket/row-group pruning, while
+            # the PARTITIONING stays doc_shard for the exchange-free group
+            self._positions_cache = (
+                pos.repartition(self.n_shards, "doc_shard")
+                .sortWithinPartitions("tid", "doc_id")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._positions_cache.count()  # eager: see cache()
         return self
 
     def postings_for(self, terms: list[str]) -> DataFrame:

@@ -512,10 +512,12 @@ def phrase_topk(
         return _empty_topk(spark)  # OOV token ⇒ phrase cannot match
     idf_total = sum(lucene_idf(index.n_docs, stats[t]) for t in tokens)
     offset_tids = [[tid_py(t)] for t in tokens]
-    seed = [tid_py(min(set(tokens), key=lambda t: stats[t]))]
+    seed_term = min(set(tokens), key=lambda t: stats[t])
+    seed = [tid_py(seed_term)]
     sum_df = sum(stats[t] for t in set(tokens))
     return _dispatch(
-        index, offset_tids, seed, idf_total, k, mode, sum_df, slop=slop
+        index, offset_tids, seed, idf_total, k, mode, sum_df, slop=slop,
+        seed_df=stats[seed_term],
     )
 
 
@@ -556,13 +558,18 @@ def phrase_prefix_topk(
     offset_tids = [[tid_py(t)] for t in fixed]
     offset_tids.append([tid_py(t) for t, _ in expansions])
     if fixed:
-        seed = [tid_py(min(set(fixed), key=lambda t: stats[t]))]
+        seed_term = min(set(fixed), key=lambda t: stats[t])
+        seed = [tid_py(seed_term)]
+        seed_df = stats[seed_term]
     else:
         seed = list(offset_tids[-1])
+        seed_df = sum(df for _, df in expansions)
     sum_df = sum(stats[t] for t in set(fixed)) + sum(
         df for _, df in expansions
     )
-    return _dispatch(index, offset_tids, seed, idf_total, k, mode, sum_df)
+    return _dispatch(
+        index, offset_tids, seed, idf_total, k, mode, sum_df, seed_df=seed_df
+    )
 
 
 def _require_positions(index: BM25Index) -> None:
@@ -583,6 +590,7 @@ def _dispatch(
     mode: str,
     sum_df: int,
     slop: int = 0,
+    seed_df: int | None = None,
 ) -> DataFrame:
     if mode == "driver" or (mode == "auto" and sum_df <= DRIVER_MAX_POSTINGS):
         pdf = _mphrase_topk_driver(index, offset_tids, idf_total, k, slop)
@@ -590,7 +598,7 @@ def _dispatch(
             pdf, schema="doc_id long, score float, rank int"
         )
     return _mphrase_topk_distributed(
-        index, offset_tids, seed, idf_total, k, slop
+        index, offset_tids, seed, idf_total, k, slop, seed_df=seed_df
     )
 
 
@@ -812,6 +820,11 @@ def _mphrase_topk_driver(
     return scored.reset_index(drop=True)
 
 
+# broadcast the leading-term doc set when its df is under this bound
+# (~16 MB of int64 ids); hotter seeds fall back to the shuffled semi-join
+BROADCAST_SEED_DF = 2_000_000
+
+
 def _mphrase_topk_distributed(
     index: BM25Index,
     offset_tids: list[list[int]],
@@ -819,27 +832,49 @@ def _mphrase_topk_distributed(
     idf_total: float,
     k: int,
     slop: int = 0,
+    seed_df: int | None = None,
 ) -> DataFrame:
     spark = index.spark
     tids = sorted({t for g in offset_tids for t in g})
     buckets = sorted({t % N_TERM_BUCKETS for t in tids})
-    pos = spark.read.parquet(_positions_path(index)).filter(
-        F.col("term_bucket").isin(buckets) & F.col("tid").isin(tids)
-    )
-    # leading-term bound: only docs containing the seed (rarest required
-    # term, or any expansion when the whole phrase is one prefix) shuffle
-    if len(seed) == 1:
-        rare_docs = pos.filter(F.col("tid") == seed[0]).select("doc_id")
+    cached = index._positions_cache
+    if cached is not None:
+        # serving mode (cache_positions): rows are pinned pre-partitioned
+        # by doc_shard and tid-sorted, so the per-query plan is ONE
+        # exchange-free pass — in-memory scan (per-batch tid stats skip
+        # everything outside the query's terms) → groupBy(doc_shard)
+        # kernel. No leading-term semi-join: its purpose is to bound the
+        # SHUFFLE, and there is none here — the kernel's vectorized
+        # coverage mask (isin + bincount) drops non-candidates in place.
+        cand = cached.filter(F.col("tid").isin(tids))
     else:
-        rare_docs = (
-            pos.filter(F.col("tid").isin(seed)).select("doc_id").distinct()
+        pos = (
+            spark.read.parquet(_positions_path(index))
+            .filter(
+                F.col("term_bucket").isin(buckets) & F.col("tid").isin(tids)
+            )
+            .withColumn(
+                "doc_shard",
+                F.pmod(
+                    F.xxhash64("doc_id", F.lit(13)), F.lit(index.n_shards)
+                ).cast("int"),
+            )
         )
-    cand = pos.join(rare_docs, "doc_id", "left_semi").withColumn(
-        "doc_shard",
-        F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(index.n_shards)).cast(
-            "int"
-        ),
-    )
+        # leading-term bound: only docs containing the seed (rarest
+        # required term, or any expansion when the whole phrase is one
+        # prefix) shuffle into the verify kernel
+        if len(seed) == 1:
+            rare_docs = pos.filter(F.col("tid") == seed[0]).select("doc_id")
+        else:
+            rare_docs = (
+                pos.filter(F.col("tid").isin(seed))
+                .select("doc_id")
+                .distinct()
+            )
+        if seed_df is not None and seed_df <= BROADCAST_SEED_DF:
+            # broadcast semi-join: the candidate rows never move twice
+            rare_docs = F.broadcast(rare_docs)
+        cand = pos.join(rare_docs, "doc_id", "left_semi")
     k1, b, avgdl = index.k1, index.b, index.avgdl
     deletes = index.deletes
     groups = [sorted(set(g)) for g in offset_tids]

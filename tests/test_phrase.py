@@ -567,3 +567,40 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_cache_positions_serving(ph_setup, spark):
+    """cache_positions pins a doc_shard-clustered positions frame: results
+    stay identical on every kernel, and the per-query distributed plan is
+    exchange-free (broadcast leading-term semi-join over the in-memory
+    clustering — no hashpartitioning Exchange)."""
+    idx, tt = ph_setup
+    before = {
+        q: phrase_topk(idx, q, k=10, mode="distributed").toPandas()
+        for q in ("the tool", "w0000 w0001")
+    }
+    sloppy_before = phrase_topk(
+        idx, "tool the", k=10, mode="distributed", slop=2
+    ).toPandas()
+    idx.cache_positions()
+    try:
+        for q, exp in before.items():
+            got = phrase_topk(idx, q, k=10, mode="distributed").toPandas()
+            assert got.doc_id.tolist() == exp.doc_id.tolist(), q
+            assert np.allclose(got.score, exp.score, atol=1e-6)
+        got_s = phrase_topk(
+            idx, "tool the", k=10, mode="distributed", slop=2
+        ).toPandas()
+        assert got_s.doc_id.tolist() == sloppy_before.doc_id.tolist()
+        q = phrase_topk(idx, "the tool", k=10, mode="distributed")
+        q.collect()  # AQE finalizes the plan on execution
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # the cached-relation description embeds the one-time warm-up
+        # shuffle; the LIVE query segment (everything above the first
+        # InMemoryRelation) must be exchange-free
+        live = plan.split("InMemoryRelation", 1)[0]
+        assert "Exchange hashpartitioning" not in live, plan
+        assert "InMemoryTableScan" in live
+    finally:
+        idx._positions_cache.unpersist()
+        idx._positions_cache = None
