@@ -234,6 +234,16 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         for p in phrases:
             phrase_topk(idx, p, k=10, mode="driver").collect()
         out["phrase_qps_driver"] = round(len(phrases) / (time.time() - t0), 2)
+        # batched serving: all phrases in ONE positions pass — the scan /
+        # Arrow / scheduling overhead that dominates a single distributed
+        # phrase amortizes across the batch (msearch cluster shape)
+        from neural_search_spark.query.phrase import phrase_topk_batch
+
+        pairs = [(f"q{i}", p) for i, p in enumerate(phrases)]
+        phrase_topk_batch(idx, pairs, k=10).collect()
+        t0 = time.time()
+        phrase_topk_batch(idx, pairs, k=10).collect()
+        out["phrase_qps_batch"] = round(len(phrases) / (time.time() - t0), 2)
 
         # fuzzy match serving (round-4 field, outside the headline):
         # 1-edit typos of the phrase bigrams' leading words — dictionary

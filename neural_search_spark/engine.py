@@ -900,6 +900,8 @@ class Engine:
         score, rank) DataFrame. A run of consecutive match specs against
         the BM25 index executes as ONE bm25_topk_batch job (shared pruned
         scan + per-shard decode cache — the cluster-throughput shape);
+        exact match_phrase specs batch the same way through
+        phrase_topk_batch when the index carries a positions sidecar;
         other spec types fall back to per-spec plans unioned in."""
         if not specs:
             raise ValueError("msearch needs at least one spec")
@@ -921,6 +923,22 @@ class Engine:
             and s.fuzziness is None
             and self.bm25_index is not None
         }
+        phrase_batchable: dict[str, QuerySpec] = {}
+        if self.bm25_index is not None:
+            from .index.positions import has_positions
+
+            if has_positions(self.bm25_index.path):
+                phrase_batchable = {
+                    qid: s
+                    for qid, s in parsed.items()
+                    if isinstance(s, QuerySpec)
+                    and s.query_type == "match_phrase"
+                    and s.filter is None
+                    and s.post_filter is None
+                    # the sloppy sweep is sequential per doc — batching
+                    # buys nothing; route through search()
+                    and s.slop == 0
+                }
         parts: list[DataFrame] = []
         if batchable:
             from .query.bm25 import bm25_topk_batch
@@ -932,8 +950,21 @@ class Engine:
                     F.col("score").cast("double").alias("score"), "rank",
                 )
             )
+        if phrase_batchable:
+            from .query.phrase import phrase_topk_batch
+
+            pairs = [
+                (qid, s.query_text or "")
+                for qid, s in phrase_batchable.items()
+            ]
+            parts.append(
+                phrase_topk_batch(self.bm25_index, pairs, k=k).select(
+                    "query_id", "doc_id",
+                    F.col("score").cast("double").alias("score"), "rank",
+                )
+            )
         for qid, s in parsed.items():
-            if qid in batchable:
+            if qid in batchable or qid in phrase_batchable:
                 continue
             parts.append(
                 self.search(s, k=k).select(

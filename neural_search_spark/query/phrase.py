@@ -825,6 +825,218 @@ def _mphrase_topk_driver(
 BROADCAST_SEED_DF = 2_000_000
 
 
+def _exact_phrase_hits(
+    groups: list[list[int]],
+    masks: list[np.ndarray],
+    cov_row: np.ndarray,
+    inv: np.ndarray,
+    pos_col: np.ndarray,
+    lens: np.ndarray,
+    n_cand: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase frequencies over a shard's covered candidates.
+
+    Tags every position with candidate_index·2^40, intersects ONE sorted
+    stream per phrase offset, and bincounts the surviving tags — no
+    per-doc Python loop. Bands of 2^22 candidates keep tag·STRIDE + pos
+    inside int64 (the same bound the driver kernel asserts). Shared by
+    the single-query distributed verify and the batched phrase kernel.
+
+    Returns (candidate_indices, freqs) for candidates with freq > 0;
+    indices are positions into the caller's sorted candidate array.
+    """
+    idxs: list[np.ndarray] = []
+    frs: list[np.ndarray] = []
+    band = 1 << 22
+    for lo in range(0, n_cand, band):
+        hi = min(lo + band, n_cand)
+        in_band = (
+            cov_row & (inv >= lo) & (inv < hi) if n_cand > band else cov_row
+        )
+        seen: dict[tuple, np.ndarray] = {}
+        streams: list[np.ndarray] = []
+        for j, g in enumerate(groups):
+            key = tuple(g)
+            base = seen.get(key)
+            if base is None:
+                rows = np.flatnonzero(in_band & masks[j])
+                if rows.size:
+                    flat = np.concatenate(pos_col[rows].tolist()).astype(
+                        np.int64
+                    )
+                    base = flat + np.repeat(
+                        (inv[rows] - lo).astype(np.int64) * _STRIDE,
+                        lens[rows],
+                    )
+                    if len(g) > 1:
+                        base = np.sort(base)  # member tids interleave
+                else:
+                    base = np.empty(0, dtype=np.int64)
+                seen[key] = base
+            streams.append(base - j)
+        streams.sort(key=len)
+        P = streams[0]
+        for s in streams[1:]:
+            if P.size == 0:
+                break
+            P = np.intersect1d(P, s, assume_unique=True)
+        if P.size == 0:
+            continue
+        fr_band = np.bincount(P // _STRIDE, minlength=hi - lo)
+        hit = np.flatnonzero(fr_band)
+        idxs.append(hit + lo)
+        frs.append(fr_band[hit])
+    if not idxs:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(idxs), np.concatenate(frs)
+
+
+def phrase_topk_batch(
+    index: BM25Index,
+    phrases: list[tuple[str, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Batched exact-phrase serving: ONE positions pass answers every
+    phrase (the msearch analog of ``bm25_topk_batch``).
+
+    ``phrases`` is [(query_id, phrase_text), ...]. Returns (query_id,
+    doc_id, score, rank) with per-query top-k; queries with an OOV or
+    empty token list contribute no rows (a phrase with a missing term
+    cannot match — MatchNoDocsQuery rewrite).
+
+    Why batch: a single distributed phrase query pays a fixed scan +
+    Arrow transfer + task-scheduling cost that dwarfs its vectorized
+    kernel time (bench.py's phrase_qps_distributed vs _driver gap). Here
+    that cost is paid once for the whole batch: the scan prunes to the
+    UNION of all queries' terms, each shard kernel sorts/indexes its
+    rows once, then answers every query with the shared tagged-stream
+    kernel (``_exact_phrase_hits``) + a local top-k, and one
+    query_id-partitioned window ranks globally. Exact phrases only —
+    sloppy queries go through ``phrase_topk`` (the sweep is sequential
+    per doc and gains nothing from batching).
+
+    Reference: _msearch over match_phrase bodies; Lucene executes each
+    per-shard with shared IndexReader state — the shared state here is
+    the one pruned (or ``cache_positions``-pinned) positions scan.
+    """
+    from pyspark.sql import Window
+
+    spark = index.spark
+    _require_positions(index)
+    toks_by_q = {qid: tokenize_py(text or "") for qid, text in phrases}
+    all_terms = sorted({t for ts in toks_by_q.values() for t in ts})
+    stats = index.term_stats(all_terms) if all_terms else {}
+    specs: list[tuple[str, list[list[int]], float]] = []
+    for qid, _ in phrases:
+        toks = toks_by_q[qid]
+        if not toks or any(t not in stats for t in toks):
+            continue
+        idf_total = sum(
+            lucene_idf(index.n_docs, stats[t]) for t in toks
+        )
+        specs.append((qid, [[tid_py(t)] for t in toks], idf_total))
+    if not specs:
+        return spark.range(0).select(
+            F.lit("").alias("query_id"),
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).cast("float").alias("score"),
+            F.lit(0).cast("int").alias("rank"),
+        )
+    tids = sorted({g[0] for _, gs, _ in specs for g in gs})
+    cached = index._positions_cache
+    if cached is not None:
+        cand = cached.filter(F.col("tid").isin(tids))
+    else:
+        buckets = sorted({t % N_TERM_BUCKETS for t in tids})
+        cand = (
+            spark.read.parquet(_positions_path(index))
+            .filter(
+                F.col("term_bucket").isin(buckets) & F.col("tid").isin(tids)
+            )
+            .withColumn(
+                "doc_shard",
+                F.pmod(
+                    F.xxhash64("doc_id", F.lit(13)), F.lit(index.n_shards)
+                ).cast("int"),
+            )
+        )
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+    deletes = index.deletes
+
+    def verify_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="str"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float32"),
+            }
+        )
+        if not len(pdf):
+            return empty
+        # shared per-shard prep, paid ONCE for the whole batch
+        pdf = pdf.sort_values(["doc_id", "tid"], kind="mergesort")
+        docs = pdf["doc_id"].to_numpy()
+        tid_a = pdf["tid"].to_numpy()
+        dl_a = pdf["dl"].to_numpy()
+        pos_col = pdf["positions"].to_numpy()
+        cand_d, first_rows = np.unique(docs, return_index=True)
+        inv = np.searchsorted(cand_d, docs)
+        n_cand = cand_d.size
+        dl_cand = dl_a[first_rows]
+        lens = np.fromiter(
+            (len(p) for p in pos_col), dtype=np.int64, count=len(pos_col)
+        )
+        live = _live_mask(cand_d, deletes)
+        out: list[pd.DataFrame] = []
+        for qid, groups, idf_total in specs:
+            covered = np.ones(n_cand, dtype=bool)
+            masks: list[np.ndarray] = []
+            for g in groups:
+                m = (
+                    tid_a == g[0]
+                    if len(g) == 1
+                    else np.isin(tid_a, g)
+                )
+                masks.append(m)
+                covered &= np.bincount(
+                    inv[m], minlength=n_cand
+                ).astype(bool)
+            if live is not None:
+                covered &= live
+            if not covered.any():
+                continue
+            ci, fr = _exact_phrase_hits(
+                groups, masks, covered[inv], inv, pos_col, lens, n_cand
+            )
+            if ci.size == 0:
+                continue
+            sc = _score_docs(
+                cand_d[ci], fr, dl_cand[ci], idf_total, k1, b, avgdl
+            )
+            if len(sc) > k:  # local top-k bounds the shuffle to n_q·k
+                sc = sc.sort_values(
+                    ["score", "doc_id"],
+                    ascending=[False, True],
+                    kind="mergesort",
+                ).head(k)
+            sc.insert(0, "query_id", qid)
+            out.append(sc)
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    scored = cand.groupBy("doc_shard").applyInPandas(
+        verify_shard, "query_id string, doc_id long, score float"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def _mphrase_topk_distributed(
     index: BM25Index,
     offset_tids: list[list[int]],
@@ -957,62 +1169,18 @@ def _mphrase_topk_distributed(
                 np.asarray(o_dl, dtype=np.int64),
                 idf_total, k1, b, avgdl,
             )
-        # exact path: tag every position with candidate_index·STRIDE and
-        # intersect ONE stream per offset; bands of 2^22 candidates keep
-        # tag·STRIDE + pos inside int64 (same bound the driver asserts)
+        # exact path: the shared banded tagged-stream kernel
         lens = np.fromiter(
             (len(p) for p in pos_col), dtype=np.int64, count=len(pos_col)
         )
-        cov_row = covered[inv]
-        frames: list[pd.DataFrame] = []
-        band = 1 << 22
-        for lo in range(0, n_cand, band):
-            hi = min(lo + band, n_cand)
-            in_band = (
-                cov_row & (inv >= lo) & (inv < hi)
-                if n_cand > band
-                else cov_row
-            )
-            seen: dict[tuple, np.ndarray] = {}
-            streams: list[np.ndarray] = []
-            for j, g in enumerate(groups):
-                key = tuple(g)
-                base = seen.get(key)
-                if base is None:
-                    rows = np.flatnonzero(in_band & masks[j])
-                    if rows.size:
-                        flat = np.concatenate(pos_col[rows].tolist()).astype(
-                            np.int64
-                        )
-                        base = flat + np.repeat(
-                            (inv[rows] - lo).astype(np.int64) * _STRIDE,
-                            lens[rows],
-                        )
-                        if len(g) > 1:
-                            base = np.sort(base)  # member tids interleave
-                    else:
-                        base = np.empty(0, dtype=np.int64)
-                    seen[key] = base
-                streams.append(base - j)
-            streams.sort(key=len)
-            P = streams[0]
-            for s in streams[1:]:
-                if P.size == 0:
-                    break
-                P = np.intersect1d(P, s, assume_unique=True)
-            if P.size == 0:
-                continue
-            fr_band = np.bincount(P // _STRIDE, minlength=hi - lo)
-            hit = fr_band > 0
-            frames.append(
-                _score_docs(
-                    cand[lo:hi][hit], fr_band[hit], dl_cand[lo:hi][hit],
-                    idf_total, k1, b, avgdl,
-                )
-            )
-        if not frames:
+        ci, fr = _exact_phrase_hits(
+            groups, masks, covered[inv], inv, pos_col, lens, n_cand
+        )
+        if ci.size == 0:
             return empty
-        return pd.concat(frames, ignore_index=True)
+        return _score_docs(
+            cand[ci], fr, dl_cand[ci], idf_total, k1, b, avgdl
+        )
 
     scored = cand.groupBy("doc_shard").applyInPandas(
         verify_shard, "doc_id long, score float"

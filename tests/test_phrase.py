@@ -604,3 +604,83 @@ def test_cache_positions_serving(ph_setup, spark):
     finally:
         idx._positions_cache.unpersist()
         idx._positions_cache = None
+
+
+# ---------------------------------------------------------------------------
+# batched phrase serving (msearch analog)
+# ---------------------------------------------------------------------------
+def test_phrase_topk_batch_matches_single(ph_setup):
+    """phrase_topk_batch answers every phrase from ONE positions pass and
+    must be rank- and score-identical to the per-query distributed kernel;
+    OOV / empty phrases contribute no rows (MatchNoDocsQuery rewrite)."""
+    from neural_search_spark.query.phrase import phrase_topk_batch
+
+    idx, tt = ph_setup
+    queries = {
+        "q1": "the tool",
+        "q2": "w0000 w0001",
+        "q3": "zzznope the",  # OOV token ⇒ no rows
+        "q4": "",             # empty ⇒ no rows
+    }
+    got = phrase_topk_batch(idx, list(queries.items()), k=10).toPandas()
+    assert set(got.query_id) <= {"q1", "q2"}
+    for qid in ("q1", "q2"):
+        exp = phrase_topk(
+            idx, queries[qid], k=10, mode="distributed"
+        ).toPandas()
+        g = got[got.query_id == qid].sort_values("rank")
+        assert g.doc_id.tolist() == exp.doc_id.tolist(), qid
+        assert np.allclose(g.score, exp.score, atol=1e-6)
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+
+
+def test_phrase_topk_batch_all_oov(ph_setup, spark):
+    from neural_search_spark.query.phrase import phrase_topk_batch
+
+    idx, tt = ph_setup
+    out = phrase_topk_batch(idx, [("q1", "zzznope qqq")], k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "doc_id", "score", "rank",
+    ]
+
+
+def test_phrase_topk_batch_cached_and_msearch(ph_setup, transcripts_df, spark):
+    """The batch kernel rides the pinned positions cache unchanged, and
+    Engine.msearch routes exact match_phrase specs through it (sloppy
+    specs keep the per-query path) — all answers identical to search()."""
+    from neural_search_spark.engine import Engine
+    from neural_search_spark.index.build import doc_id_col
+    from neural_search_spark.query.phrase import phrase_topk_batch
+
+    idx, tt = ph_setup
+    exp1 = phrase_topk(idx, "the tool", k=5, mode="distributed").toPandas()
+    exp2 = phrase_topk(
+        idx, "tool the", k=5, mode="distributed", slop=2
+    ).toPandas()
+    idx.cache_positions()
+    try:
+        got = phrase_topk_batch(idx, [("a", "the tool")], k=5).toPandas()
+        assert got.doc_id.tolist() == exp1.doc_id.tolist()
+        docs = transcripts_df.withColumn("doc_id", doc_id_col())
+        eng = Engine(spark, corpus=docs, bm25_index=idx)
+        res = eng.msearch(
+            {
+                "p1": {"match_phrase": {"query_text": "the tool"}},
+                "p2": {"match_phrase": {"query_text": "w0000 w0001"}},
+                "p3": {
+                    "match_phrase": {"query_text": "tool the", "slop": 2}
+                },
+                "m1": {"match": {"query_text": "the user"}},
+            },
+            k=5,
+        ).toPandas()
+        assert set(res.query_id) == {"p1", "p2", "p3", "m1"}
+        g1 = res[res.query_id == "p1"].sort_values("rank")
+        assert g1.doc_id.tolist() == exp1.doc_id.tolist()
+        assert np.allclose(g1.score, exp1.score, atol=1e-6)
+        g3 = res[res.query_id == "p3"].sort_values("rank")
+        assert g3.doc_id.tolist() == exp2.doc_id.tolist()
+    finally:
+        idx._positions_cache.unpersist()
+        idx._positions_cache = None
