@@ -664,21 +664,34 @@ class Engine:
         rescore: optional generic rescore window applied AFTER the primary
         pipeline: {"window_size": W, "query": <sub-spec json/QuerySpec>,
         "query_weight": 1.0, "rescore_query_weight": 1.0, "score_mode":
-        "total"}. The top-W primary hits are re-scored by the rescore
-        query (corpus-scan exact scores) and combined; hits the rescore
-        query misses keep query_weight·primary.
+        "total", "placement": "post_combination"}. The top-W primary hits
+        are re-scored by the rescore query (corpus-scan exact scores) and
+        combined; hits the rescore query misses keep query_weight·primary.
 
-        INTENTIONAL semantic difference from the reference for hybrid
-        specs: HybridCollectorManager.java:241-268 applies rescorers to
-        each sub-query's TopDocs BEFORE the normalization processor runs,
-        while this engine rescores the already-normalized/combined hybrid
-        result (post-combination rescore). Pre-normalization rescoring
-        would change the min/max statistics and therefore every hit's
-        normalized score, coupling the rescore window to the
-        normalization pass; the post-combination form keeps rescore an
-        independent pipeline stage (and matches the non-hybrid
-        QueryRescorer semantics exactly). Hybrid+rescore scores can
-        therefore differ from the reference for the same request."""
+        Hybrid placement: the reference applies rescorers to each
+        sub-query's TopDocs BEFORE the normalization processor runs
+        (HybridCollectorManager.java:241-268); ``placement:
+        "per_branch"`` reproduces that exactly — each branch's top-W is
+        rescored, then normalization sees the combined branch scores. The
+        DEFAULT stays ``"post_combination"`` (rescore the already-
+        normalized/combined result): pre-normalization rescoring couples
+        the rescore window to the normalization statistics, while the
+        post form keeps rescore an independent pipeline stage and matches
+        the non-hybrid QueryRescorer semantics. Pick per_branch for
+        score-parity with the reference on hybrid+rescore requests."""
+        if isinstance(spec, (dict, str)):
+            spec = spec_from_json(spec)
+        rescore_pb: dict | None = None
+        if rescore is not None:
+            placement = rescore.get("placement", "post_combination")
+            if placement not in ("post_combination", "per_branch"):
+                raise ValueError(
+                    "rescore placement must be 'post_combination' or "
+                    f"'per_branch', got {placement!r}"
+                )
+            if placement == "per_branch" and isinstance(spec, HybridSpec):
+                rescore_pb = rescore  # applied to branches below
+                rescore = None
         if rescore is not None:
             from .query.rerank import rescore_window
 
@@ -703,8 +716,6 @@ class Engine:
                 score_mode=rescore.get("score_mode", "total"),
                 k=k,
             )
-        if isinstance(spec, (dict, str)):
-            spec = spec_from_json(spec)
         if isinstance(spec, HybridSpec):
             from .query.hybrid import (
                 _tall_union,
@@ -734,6 +745,37 @@ class Engine:
                 self._branch_topk(s, depth, allowed=allowed)
                 for s in spec.sub_queries
             ]
+            if rescore_pb is not None:
+                # reference placement: rescore EACH branch's top-W before
+                # normalization (HybridCollectorManager.java:241-268) —
+                # one corpus-scan secondary shared by every branch
+                from .query.rerank import rescore_window
+
+                rq = rescore_pb["query"]
+                if isinstance(rq, (dict, str)):
+                    rq = spec_from_json(rq)
+                if not isinstance(rq, QuerySpec):
+                    raise ValueError(
+                        "rescore query must be a leaf query spec"
+                    )
+                secondary = execute(
+                    rq, self._need_corpus("rescore"), self.id_col
+                )
+                branches = [
+                    rescore_window(
+                        b,
+                        secondary,
+                        window_size=int(rescore_pb.get("window_size", k)),
+                        query_weight=float(
+                            rescore_pb.get("query_weight", 1.0)
+                        ),
+                        rescore_query_weight=float(
+                            rescore_pb.get("rescore_query_weight", 1.0)
+                        ),
+                        score_mode=rescore_pb.get("score_mode", "total"),
+                    ).drop("rank")
+                    for b in branches
+                ]
             if spec.collapse_field is not None:
                 # collapse applies to the full combined set (best doc per
                 # group, then top-k) — before any k-truncation

@@ -662,3 +662,52 @@ def test_explain_route(spark, eng):
                                  {"match_phrase": {"query_text": "a b"}}]}}
     )
     assert h["route"] == "composite" and len(h["branches"]) == 2
+
+
+def test_rescore_per_branch_placement(spark, eng):
+    """placement='per_branch' reproduces the reference's pre-normalization
+    rescore (HybridCollectorManager.java:241-268): each branch's top-W is
+    rescored BEFORE min_max normalization — asserted equal to the manual
+    composition rescore_window(branch) → hybrid_topk, and different from
+    the default post_combination placement."""
+    import numpy as np
+
+    from neural_search_spark.query.hybrid import hybrid_topk
+    from neural_search_spark.query.neural import execute
+    from neural_search_spark.query.rerank import rescore_window
+
+    spec = HybridSpec(
+        sub_queries=[
+            QuerySpec(query_type="match", query_text="the tool"),
+            QuerySpec(query_type="match", query_text="the user"),
+        ],
+        pagination_depth=50,
+    )
+    rescore = {
+        "window_size": 20,
+        "query": {"match": {"query_text": "w0001"}},
+        "rescore_query_weight": 2.0,
+        "placement": "per_branch",
+    }
+    got = eng.search(spec, k=10, rescore=rescore).toPandas()
+    sec = execute(
+        QuerySpec(query_type="match", query_text="w0001"), eng.corpus
+    )
+    branches = [
+        eng._branch_topk(s, 50, allowed=None) for s in spec.sub_queries
+    ]
+    branches = [
+        rescore_window(
+            b, sec, window_size=20, rescore_query_weight=2.0
+        ).drop("rank")
+        for b in branches
+    ]
+    want = hybrid_topk(branches, k=10, pagination_depth=50).toPandas()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert np.allclose(got.score, want.score, atol=1e-12)
+    post = eng.search(
+        spec, k=10, rescore={**rescore, "placement": "post_combination"}
+    ).toPandas()
+    assert got.score.tolist() != post.score.tolist()
+    with pytest.raises(ValueError, match="placement"):
+        eng.search(spec, k=10, rescore={**rescore, "placement": "mid"})
