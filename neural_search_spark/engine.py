@@ -225,19 +225,27 @@ class Engine:
         sparse_index=None,
         ann_index=None,
         id_col: str = "doc_id",
+        analyzers: dict[str, object] | None = None,
     ):
         """ann_index: an attachable ANN asset (extras.similarity.LshAnnIndex
         / IvfAnnIndex — anything with .topk(query_vec, k) → (vec_id, cosine,
         rank)). When present, neural / neural_knn queries delegate to it
         instead of brute-force corpus cosine, mirroring the reference's
         delegation to the k-NN plugin index
-        (query/NeuralKNNQueryBuilder.java:52-120)."""
+        (query/NeuralKNNQueryBuilder.java:52-120).
+
+        analyzers: named payload-weight analyzers for neural_sparse
+        tokenization (analysis.WordPieceAnalyzer instances), playing the
+        role of the shard context's registered index analyzers
+        (NeuralSparseQueryBuilder.java:455-457) — a spec naming an
+        unregistered analyzer raises."""
         self.spark = spark
         self.corpus = corpus
         self.bm25_index = bm25_index
         self.sparse_index = sparse_index
         self.ann_index = ann_index
         self.id_col = id_col
+        self.analyzers = dict(analyzers or {})
 
     # ---- single-branch plans ------------------------------------------
     def _need_corpus(self, qtype: str) -> DataFrame:
@@ -435,7 +443,7 @@ class Engine:
                 execute(spec, self._need_corpus("multi_match"), self.id_col)
             )
         if spec.query_type == "neural_sparse":
-            spec = rewrite(spec)
+            spec = rewrite(spec, analyzers=self.analyzers)
             if (
                 self.sparse_index is not None
                 and spec.filter is None
@@ -604,7 +612,7 @@ class Engine:
         def _clause(c) -> DataFrame:
             if id(c) in shared:
                 return shared[id(c)]
-            return execute(c, corpus, self.id_col)
+            return execute(c, corpus, self.id_col, analyzers=self.analyzers)
 
         parts = []
         for is_must, clauses in ((1, spec.must), (0, spec.should)):

@@ -1985,25 +1985,73 @@ tf AS (
   FROM (SELECT doc_id, unnest({TOK}) AS term FROM documents) GROUP BY ALL)"""
 
 
+# payload-weight analyzer fixture (round 5): vocab + weight table chosen
+# so every analyzer behavior fires in one query — accent strip + punct
+# split ("Spark-Mérge:"), WordPiece decomposition ("joinable" → join +
+# ##able), absent-payload default 1.0 ("join", "table"), the weight>0
+# drop ("the" at 0.0), and [UNK] folding (the "-"/":" words). Weights are
+# dyadic so REAL sums are order-exact for the hash compare.
+ANALYZER_VOCAB = ["spark", "join", "merge", "table", "##able", "the", "[UNK]"]
+ANALYZER_WEIGHTS = {"spark": 2.5, "merge": 0.5, "##able": 1.5, "the": 0.0}
+ANALYZER_QTEXT = "Spark-Mérge: the joinable TABLE"
+
+
 def q_sparse_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """neural_sparse top-k via the sparse postings index (the FeatureField
-    path) — NOT the per-query corpus explode (that join-path form remains
-    as ``query.sparse.sparse_topk``, the no-index fallback)."""
+    """neural_sparse top-k, two variants in one slot: 'q2w' = raw query
+    token weights via the sparse postings index (the FeatureField path —
+    NOT the per-query corpus explode, which remains as
+    ``query.sparse.sparse_topk``, the no-index fallback); 'analyzer'
+    (round 5) = the payload-weight WordPiece analyzer tokenization method
+    (NeuralSparseQueryBuilder.java:453-494) resolved end-to-end through
+    the Engine's analyzer registry and the corpus sparse scorer."""
+    from .analysis import WordPieceAnalyzer
+    from .engine import Engine
     from .index.sparse import SparseIndex, sparse_index_topk
 
     idx = SparseIndex(spark, _gate_sparse_index(spark, sf))
-    return sparse_index_topk(idx, dict(SPARSE_Q), k=10)
+    q2w = sparse_index_topk(idx, dict(SPARSE_Q), k=10).select(
+        F.lit("q2w").alias("variant"), "doc_id", "score", "rank"
+    )
+    an = WordPieceAnalyzer(ANALYZER_VOCAB, ANALYZER_WEIGHTS)
+    eng = Engine(
+        spark,
+        corpus=_doc_features(spark, sf),
+        analyzers={"bert-uncased": an},
+    )
+    az = eng.search(
+        {"neural_sparse": {"query_text": ANALYZER_QTEXT,
+                           "field": "features",
+                           "analyzer": "bert-uncased"}},
+        k=10,
+    ).select(F.lit("analyzer").alias("variant"), "doc_id", "score", "rank")
+    return q2w.unionByName(az)
 
 
 def sql_sparse_topk() -> str:
-    cases = " ".join(f"WHEN '{t}' THEN {w!r}" for t, w in SPARSE_Q)
-    terms = ", ".join(f"'{t}'" for t, _ in SPARSE_Q)
-    inner = f"""
+    from .analysis import WordPieceAnalyzer
+
+    def _inner(pairs: list[tuple[str, float]]) -> str:
+        cases = " ".join(f"WHEN '{t}' THEN {w!r}" for t, w in pairs)
+        terms = ", ".join(f"'{t}'" for t, _ in pairs)
+        return f"""
 WITH {_TF_SQL}
 SELECT doc_id,
   ((sum((CASE term {cases} END) * tf))::REAL)::DOUBLE AS score
 FROM tf WHERE term IN ({terms}) GROUP BY doc_id"""
-    return _topk_sql(inner, ["doc_id"], 10)
+
+    # the analyzer's query-token map is pure, deterministic Python — replay
+    # it at SQL-build time and inline the (token, weight) pairs, exactly
+    # the lazy-driver-replay oracle pattern sqs_matrix uses for slop
+    aw = sorted(
+        WordPieceAnalyzer(ANALYZER_VOCAB, ANALYZER_WEIGHTS)
+        .analyze(ANALYZER_QTEXT)
+        .items()
+    )
+    # DuckDB needs each ORDER/LIMIT-carrying part parenthesized in a UNION
+    return f"""
+SELECT 'q2w' AS variant, * FROM ({_topk_sql(_inner(SPARSE_Q), ["doc_id"], 10)})
+UNION ALL
+SELECT 'analyzer' AS variant, * FROM ({_topk_sql(_inner(aw), ["doc_id"], 10)})"""
 
 
 def q_sparse_two_phase(spark: SparkSession, sf: str) -> DataFrame:

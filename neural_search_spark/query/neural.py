@@ -74,6 +74,14 @@ class QuerySpec:
     vector: list[float] | None = None
     query_tokens: dict[str, float] | None = None
     model_id: str | None = None
+    # neural_sparse only: named payload-weight analyzer as the tokenization
+    # method instead of model inference (NeuralSparseQueryBuilder.java:93,
+    # :391-415 shouldUseAnalyzer — model_id and analyzer are mutually
+    # exclusive; raw query_tokens win over both). Resolved against the
+    # Engine's ``analyzers`` registry (or the ``analyzers`` argument of
+    # ``rewrite``/``execute``); an unregistered name raises, mirroring the
+    # reference's "Analyzer [x] not found in shard context".
+    analyzer: str | None = None
     k: int = 10  # reference default NeuralQueryBuilder.java:135
     filter: Column | None = None
     # radius-search knobs (NeuralQueryBuilder max_distance / min_score):
@@ -99,10 +107,23 @@ def enrich(specs: list[QuerySpec], default_model_id: str | None = None,
     return specs
 
 
-def rewrite(spec: QuerySpec) -> QuerySpec:
+def rewrite(
+    spec: QuerySpec, analyzers: dict[str, object] | None = None
+) -> QuerySpec:
     """The reference's doRewrite: run 'inference' to produce the vector /
     token map. Uses the deterministic stub models (processors.py) so query
     and document representations agree.
+
+    neural_sparse tokenization precedence mirrors
+    NeuralSparseQueryBuilder.doRewrite/shouldUseAnalyzer
+    (query/NeuralSparseQueryBuilder.java:360-415): explicit query_tokens
+    end the rewrite untouched; setting BOTH model_id and analyzer raises;
+    an analyzer name resolves against ``analyzers`` (a registry of
+    analysis.WordPieceAnalyzer-shaped objects) and analyzes the query
+    text; otherwise the stub model infers. (The reference additionally
+    falls back to the 'bert-uncased' DEFAULT_ANALYZER when both are null
+    on new-enough clusters — this engine keeps the stub model as that
+    default so token maps stay aligned with the stub document encoder.)
 
     Returns a COPY — the caller's spec is never mutated, so a reused spec
     whose query_text changes between searches re-infers instead of serving
@@ -125,6 +146,21 @@ def rewrite(spec: QuerySpec) -> QuerySpec:
             for j in range(EMBED_DIM)
         ]
     if spec.query_type == "neural_sparse" and spec.query_tokens is None:
+        if spec.model_id is not None and spec.analyzer is not None:
+            raise ValueError(
+                f"Cannot use both [model_id: {spec.model_id}] and "
+                f"[analyzer: {spec.analyzer}] for neural sparse query "
+                "tokenization. Specify only one tokenization method."
+            )
+        if spec.analyzer is not None:
+            an = (analyzers or {}).get(spec.analyzer)
+            if an is None:
+                raise ValueError(
+                    f"Analyzer [{spec.analyzer}] not found in shard "
+                    "context."
+                )
+            spec.query_tokens = an.analyze(spec.query_text or "")
+            return spec
         toks = tokenize_py(spec.query_text or "")
         tf: dict[str, int] = {}
         for t in toks:
@@ -145,11 +181,16 @@ def _check_fuzzy_combo(spec: QuerySpec) -> None:
         )
 
 
-def execute(spec: QuerySpec, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def execute(
+    spec: QuerySpec,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    analyzers: dict[str, object] | None = None,
+) -> DataFrame:
     """Score one rewritten sub-query → (doc_id, score). The optional filter
     is applied BEFORE scoring (the reference pushes the hybrid filter into
     every sub-query, query/HybridQueryBuilder.java:111-122)."""
-    spec = rewrite(spec)
+    spec = rewrite(spec, analyzers=analyzers)
     if spec.min_score is not None and spec.max_distance is not None:
         raise ValueError(
             "min_score and max_distance cannot both be set"
