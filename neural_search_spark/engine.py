@@ -226,6 +226,7 @@ class Engine:
         ann_index=None,
         id_col: str = "doc_id",
         analyzers: dict[str, object] | None = None,
+        field_indexes: dict[str, object] | None = None,
     ):
         """ann_index: an attachable ANN asset (extras.similarity.LshAnnIndex
         / IvfAnnIndex — anything with .topk(query_vec, k) → (vec_id, cosine,
@@ -238,7 +239,14 @@ class Engine:
         tokenization (analysis.WordPieceAnalyzer instances), playing the
         role of the shard context's registered index analyzers
         (NeuralSparseQueryBuilder.java:455-457) — a spec naming an
-        unregistered analyzer raises."""
+        unregistered analyzer raises.
+
+        field_indexes: per-field BM25 block indexes (field name →
+        query.bm25.BM25Index built over that field's text), the Lucene
+        one-inverted-index-per-field shape. When every field a multi_match
+        names is covered, the query serves from these indexes
+        (query.multimatch.multi_match_index_topk) instead of the corpus
+        scan."""
         self.spark = spark
         self.corpus = corpus
         self.bm25_index = bm25_index
@@ -246,6 +254,7 @@ class Engine:
         self.ann_index = ann_index
         self.id_col = id_col
         self.analyzers = dict(analyzers or {})
+        self.field_indexes = dict(field_indexes or {})
 
     # ---- single-branch plans ------------------------------------------
     def _need_corpus(self, qtype: str) -> DataFrame:
@@ -437,8 +446,28 @@ class Engine:
                 )
             )
         if spec.query_type == "multi_match":
-            # always a corpus scan: the block index covers one field; the
-            # per-field statistics contract needs every field's own stats
+            # per-field statistics contract: each field scores against its
+            # OWN stats, so the single-field block index can never serve
+            # this — but attached per-field indexes (field_indexes) can
+            names = [
+                f.partition("^")[0] for f in (spec.fields or [spec.field])
+            ]
+            if (
+                self.field_indexes
+                and spec.filter is None
+                and allowed is None
+                and all(n in self.field_indexes for n in names)
+            ):
+                from .query.multimatch import multi_match_index_topk
+
+                return multi_match_index_topk(
+                    self.field_indexes,
+                    spec.query_text or "",
+                    spec.fields or [spec.field],
+                    match_type=spec.match_type,
+                    tie_breaker=spec.tie_breaker,
+                    k=k,
+                ).drop("rank")
             return _bound(
                 execute(spec, self._need_corpus("multi_match"), self.id_col)
             )
@@ -908,6 +937,20 @@ class Engine:
                     "reason": "weighted term postings + dictionary-walk "
                     "prefix, one doc-keyed combine"}
         if qt == "multi_match":
+            names = [
+                f.partition("^")[0] for f in (spec.fields or [spec.field])
+            ]
+            if (
+                self.field_indexes
+                and unfiltered
+                and all(n in self.field_indexes for n in names)
+            ):
+                return {
+                    "route": "index",
+                    "reason": "per-field indexes attached: pruned "
+                    "dis-max union (tie_breaker=0) or one-exchange "
+                    "conditional-sum combine",
+                }
             return {"route": "corpus",
                     "reason": "per-field stats need per-field indexes"}
         if qt in ("neural", "neural_knn"):

@@ -559,18 +559,16 @@ def _msm_shard_scorer(
     return score_shard
 
 
-def _bm25_topk_driver(
-    index: BM25Index,
-    idfs: dict[int, float],
-    tids: list[int],
-    k: int,
-    min_match: int = 1,
-) -> pd.DataFrame:
-    """Coordinator-side execution for cheap queries: pyarrow reads ONLY the
-    query terms' bucket partitions (hive pruning) with a tid row-group
-    filter, then the same numpy kernel scores in-process — zero Spark jobs,
-    so p50/p99 is filesystem latency, not task scheduling. Rank-identical
-    to the distributed path (same float32 cast, same doc_id tiebreak).
+def _driver_scored_all(
+    index: BM25Index, idfs: dict[int, float], tids: list[int]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Coordinator-side FULL matched set: pyarrow reads ONLY the query
+    terms' bucket partitions (hive pruning) with a tid row-group filter,
+    then one numpy merge in-process — zero Spark jobs, so latency is
+    filesystem latency, not task scheduling. Returns (doc_ids, float64
+    score sums, per-doc matched-term counts) over every matching doc —
+    callers apply their own coverage gate / truncation (``_bm25_topk_driver``
+    top-k, multi_match field combine).
 
     Decoded (ids, tfs, dls) arrays are kept in a bounded per-index LRU —
     repeated queries over a zipfian vocabulary re-read only cold terms."""
@@ -638,14 +636,30 @@ def _bm25_topk_driver(
         all_sc = np.concatenate(sc_parts)
         acc_ids, inv = np.unique(all_ids, return_inverse=True)
         acc_sc = np.bincount(inv, weights=all_sc, minlength=len(acc_ids))
-        if min_match > 1:
-            # each term appends one slice per doc it matches, so the plain
-            # bincount of inv IS the per-doc matched-term count
-            ok = np.bincount(inv, minlength=len(acc_ids)) >= min_match
-            acc_ids, acc_sc = acc_ids[ok], acc_sc[ok]
+        # each term appends one slice per doc it matches, so the plain
+        # bincount of inv IS the per-doc matched-term count
+        n_matched = np.bincount(inv, minlength=len(acc_ids))
     else:
         acc_ids = np.empty(0, dtype=np.int64)
         acc_sc = np.empty(0, dtype=np.float64)
+        n_matched = np.empty(0, dtype=np.int64)
+    return acc_ids, acc_sc, n_matched
+
+
+def _bm25_topk_driver(
+    index: BM25Index,
+    idfs: dict[int, float],
+    tids: list[int],
+    k: int,
+    min_match: int = 1,
+) -> pd.DataFrame:
+    """Driver top-k over ``_driver_scored_all``'s full matched set —
+    rank-identical to the distributed path (same float32 cast, same
+    doc_id tiebreak)."""
+    acc_ids, acc_sc, n_matched = _driver_scored_all(index, idfs, tids)
+    if min_match > 1:
+        ok = n_matched >= min_match
+        acc_ids, acc_sc = acc_ids[ok], acc_sc[ok]
     f32 = acc_sc.astype(np.float32)
     sel = np.lexsort((acc_ids, -f32.astype(np.float64)))[:k]
     return pd.DataFrame(
