@@ -257,6 +257,40 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
             fuzzy_match_topk(idx, tq, k=10, fuzziness=1).collect()
         out["fuzzy_qps"] = round(len(typos) / (time.time() - t0), 2)
 
+        # index-backed multi_match (round-5 field, outside the headline):
+        # a second per-field index over the tool column, then most_fields
+        # queries mixing text terms with tool values — driver combine vs
+        # the forced-distributed one-exchange conditional-sum route
+        from neural_search_spark.query.multimatch import (
+            multi_match_index_topk,
+        )
+
+        tool_dir = f"/tmp/nss_bench_tool_index_{cpus}"
+        t0 = time.time()
+        IndexBuilder(spark, tool_dir, n_shards=32, block_size=4096).build(
+            tr.select("conv_id", "turn_idx", F.col("tool").alias("text"))
+        )
+        out["multimatch_tool_index_build_sec"] = round(time.time() - t0, 3)
+        fidx = {"text": idx, "tool": BM25Index(spark, tool_dir)}
+        mm_qs = [
+            f"{p.split()[0]} search" for p in phrases
+        ]  # real text term + a real tool value per query
+        for mm_mode, field in (
+            ("driver", "multimatch_qps_driver"),
+            ("distributed", "multimatch_qps_distributed"),
+        ):
+            multi_match_index_topk(
+                fidx, mm_qs[0], ["text", "tool^2.0"],
+                match_type="most_fields", k=10, mode=mm_mode,
+            ).collect()  # warm
+            t0 = time.time()
+            for mq in mm_qs:
+                multi_match_index_topk(
+                    fidx, mq, ["text", "tool^2.0"],
+                    match_type="most_fields", k=10, mode=mm_mode,
+                ).collect()
+            out[field] = round(len(mm_qs) / (time.time() - t0), 2)
+
     # --- sf-table operator queries ----------------------------------------
     extra_ops = [] if mode == "scaling" else [
         ("hybrid_minmax_arith", gate.q_hybrid_minmax_arith),

@@ -2492,12 +2492,45 @@ MULTI_MATCH_Q = "merge src1 src2"
 MULTI_MATCH_FIELDS = ["text", "source^2.0"]
 
 
+_TOOL_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _gate_tool_index(spark: SparkSession, sf: str) -> str:
+    """Second per-field block index for the multi_match index variants:
+    built over the derived transcripts' tool field (= documents.source),
+    so each multi_match field has its own index with its own statistics —
+    the Lucene one-inverted-index-per-field shape."""
+    key = _sf_key(sf)
+    if key in _TOOL_INDEX_CACHE:
+        return _TOOL_INDEX_CACHE[key]
+    from .index.build import IndexBuilder
+
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:8]
+    out = f"/tmp/nss_gate_tool_index_{tag}"
+    tr = derived_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", F.col("tool").alias("text")
+    )
+    IndexBuilder(spark, out, n_shards=8, block_size=256).build(tr)
+    _TOOL_INDEX_CACHE[key] = out
+    return out
+
+
 def q_multi_match(spark: SparkSession, sf: str) -> DataFrame:
     """multi_match over (text, source^2): each field scored as its own
     BM25 match with its OWN statistics (Lucene per-field stats), boosts
     applied, then combined — variant 'best' = DisjunctionMaxQuery (max +
     tie_breaker·rest, tie_breaker 0.3), variant 'most' = bool-should sum.
-    Both variants' full top-20 hash-checked."""
+    Variants 'ibest0'/'imost' (round-5) serve the SAME per-field scores
+    from attached per-field block indexes (text index = the shared gate
+    index, tool index = ``_gate_tool_index``; tool ≡ source, so the
+    documents-based oracle is unchanged): 'ibest0' = the MaxScore-pruned
+    per-field-top-k union route (best_fields, tie_breaker 0), 'imost' =
+    the one-exchange conditional-sum route (most_fields), both forced
+    distributed. Index variants over-fetch k'=50 on the engine's float32
+    ordering, then re-rank on the 4-dp rounded double with the doc_id
+    tiebreak so the oracle's double-precision ordering selects identical
+    rows (the ``bm25_index_topk`` pattern). All four variants' top-20
+    hash-checked."""
     from .query.neural import multi_match_scored
 
     d = _docs(spark, sf)
@@ -2508,6 +2541,42 @@ def q_multi_match(spark: SparkSession, sf: str) -> DataFrame:
         ).select("doc_id", F.round(F.col("score"), 4).alias("score"))
         r = _ranked(scored, ["doc_id"], 20).withColumn("variant", F.lit(name))
         out = r if out is None else out.unionByName(r)
+
+    from .index.build import doc_id_col
+    from .query.bm25 import BM25Index
+    from .query.multimatch import multi_match_index_topk
+
+    fidx = {
+        "text": BM25Index(spark, _gate_index(spark, sf)),
+        "tool": BM25Index(spark, _gate_tool_index(spark, sf)),
+    }
+    for name, mt in (("ibest0", "best_fields"), ("imost", "most_fields")):
+        raw = multi_match_index_topk(
+            fidx,
+            MULTI_MATCH_Q,
+            ["text", "tool^2.0"],
+            match_type=mt,
+            tie_breaker=0.0,
+            k=50,
+            mode="distributed",
+        ).drop("rank")
+        # doc_id(index) = xxhash64(conv_id, turn_idx); recover the
+        # documents doc_id from the derivation (conv_id='c'+lpad(id%50),
+        # turn_idx=id//50) so the oracle keys match
+        tr = derived_transcripts(spark, sf).withColumn("doc_id", doc_id_col())
+        back = tr.select(
+            "doc_id",
+            (
+                F.col("turn_idx").cast("long") * 50
+                + F.substring("conv_id", 2, 4).cast("long")
+            ).alias("orig_id"),
+        )
+        joined = raw.join(back, "doc_id").select(
+            F.col("orig_id").alias("doc_id"),
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
+        r = _ranked(joined, ["doc_id"], 20).withColumn("variant", F.lit(name))
+        out = out.unionByName(r)
     return out
 
 
@@ -2527,10 +2596,18 @@ def sql_multi_match() -> str:
         f"SELECT doc_id, round(mx + 0.3 * (sm - mx), 4) AS score FROM ({agg})"
     )
     most = f"SELECT doc_id, round(sm, 4) AS score FROM ({agg})"
+    # index-served variants: tool ≡ source, the per-field indexes carry
+    # the same per-field statistics, so the oracle is the same per-field
+    # scored tall — 'ibest0' is the tie_breaker=0 dis-max, 'imost' the sum
+    best0 = f"SELECT doc_id, round(mx, 4) AS score FROM ({agg})"
     return (
         f"SELECT 'best' AS variant, * FROM ({_topk_sql(best, ['doc_id'], 20)}) "
         f"UNION ALL "
-        f"SELECT 'most' AS variant, * FROM ({_topk_sql(most, ['doc_id'], 20)})"
+        f"SELECT 'most' AS variant, * FROM ({_topk_sql(most, ['doc_id'], 20)}) "
+        f"UNION ALL "
+        f"SELECT 'ibest0' AS variant, * FROM ({_topk_sql(best0, ['doc_id'], 20)}) "
+        f"UNION ALL "
+        f"SELECT 'imost' AS variant, * FROM ({_topk_sql(most, ['doc_id'], 20)})"
     )
 
 

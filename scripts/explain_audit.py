@@ -173,6 +173,37 @@ def main():
     assert "CartesianProduct" not in mm_text
     print("bool/multi_match plans: single-aggregation combine, join gates — ok")
 
+    # index-backed multi_match: the general (most_fields / tie_breaker>0)
+    # route must carry EVERY field through ONE doc_id exchange — the
+    # conditional-sum combine — no matter how many fields the query names;
+    # below the TakeOrdered bound the only exchange is that combine
+    from neural_search_spark.query.multimatch import multi_match_index_topk
+
+    fidx = {
+        "text": idx,
+        "tool": BM25Index(spark, gate._gate_tool_index(spark, sf)),
+    }
+    mmx_general = multi_match_index_topk(
+        fidx, "merge src1 src2", ["text", "tool^2.0"],
+        match_type="most_fields", k=10, mode="distributed",
+    )
+    plans[
+        "multi_match index-served, general route (one conditional-sum exchange)"
+    ] = mmx_general
+    tree = cap(mmx_general).split("\n\n")[0]
+    below = tree.split("TakeOrderedAndProject", 1)[-1]
+    assert below.count("Exchange") == 1, (
+        "multi_match general combine should be ONE doc_id exchange for "
+        f"all fields; plan below the k-bound has {below.count('Exchange')}"
+    )
+    plans[
+        "multi_match index-served, pruned dis-max union (per-field MaxScore top-k)"
+    ] = multi_match_index_topk(
+        fidx, "merge src1 src2", ["text", "tool^2.0"], k=10,
+        mode="distributed",
+    )
+    print("multi_match index routes: one-exchange combine — ok")
+
     # round-4 text-query family: fuzzy rides the SAME pruned postings scan
     # as plain BM25 (weights replace idf — no new plan shape), multiterm's
     # doc-set union is partition-pruned, and the sqs fold is keyed
