@@ -290,6 +290,24 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
                     match_type="most_fields", k=10, mode=mm_mode,
                 ).collect()
             out[field] = round(len(mm_qs) / (time.time() - t0), 2)
+        # batched form: the whole set in ONE co-partitioned combine job
+        from neural_search_spark.query.multimatch import (
+            multi_match_topk_batch,
+        )
+
+        mm_pairs = [(f"q{i}", mq) for i, mq in enumerate(mm_qs)]
+        multi_match_topk_batch(
+            fidx, mm_pairs, ["text", "tool^2.0"],
+            match_type="most_fields", k=10,
+        ).collect()  # warm
+        t0 = time.time()
+        multi_match_topk_batch(
+            fidx, mm_pairs, ["text", "tool^2.0"],
+            match_type="most_fields", k=10,
+        ).collect()
+        out["multimatch_qps_batch"] = round(
+            len(mm_pairs) / (time.time() - t0), 2
+        )
 
     # --- sf-table operator queries ----------------------------------------
     extra_ops = [] if mode == "scaling" else [

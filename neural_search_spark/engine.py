@@ -1056,8 +1056,50 @@ class Engine:
                     F.col("score").cast("double").alias("score"), "rank",
                 )
             )
+        # multi_match specs with attached co-partitioned per-field indexes
+        # batch per (fields, type, tie_breaker) group through ONE
+        # co-partitioned combine job; singletons stay on the per-spec plan
+        mm_groups: dict[tuple, dict[str, QuerySpec]] = {}
+        if self.field_indexes:
+            for qid, s in parsed.items():
+                if (
+                    isinstance(s, QuerySpec)
+                    and s.query_type == "multi_match"
+                    and s.filter is None
+                    and s.post_filter is None
+                ):
+                    flds = s.fields or [s.field]
+                    names = [f.partition("^")[0] for f in flds]
+                    if all(n in self.field_indexes for n in names) and (
+                        len(
+                            {
+                                self.field_indexes[n].n_shards
+                                for n in names
+                            }
+                        )
+                        == 1
+                    ):
+                        key = (tuple(flds), s.match_type, s.tie_breaker)
+                        mm_groups.setdefault(key, {})[qid] = s
+        mm_batched: set[str] = set()
+        for (flds, mt, tb), group in mm_groups.items():
+            if len(group) < 2:
+                continue
+            from .query.multimatch import multi_match_topk_batch
+
+            pairs = [(qid, s.query_text or "") for qid, s in group.items()]
+            parts.append(
+                multi_match_topk_batch(
+                    self.field_indexes, pairs, list(flds),
+                    match_type=mt, tie_breaker=tb, k=k,
+                ).select(
+                    "query_id", "doc_id",
+                    F.col("score").cast("double").alias("score"), "rank",
+                )
+            )
+            mm_batched |= set(group)
         for qid, s in parsed.items():
-            if qid in batchable or qid in phrase_batchable:
+            if qid in batchable or qid in phrase_batchable or qid in mm_batched:
                 continue
             parts.append(
                 self.search(s, k=k).select(

@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from ..index.build import tid_py
 from ..tokenizer import tokenize_py
 from .bm25 import (
+    BATCH_TOPK_SCHEMA,
     DRIVER_MAX_POSTINGS,
     BM25Index,
     _driver_scored_all,
@@ -279,3 +280,189 @@ def multi_match_index_topk(
         )
         .cast("int"),
     )
+
+
+def multi_match_topk_batch(
+    field_indexes: dict[str, BM25Index],
+    queries: list[tuple[str, str]],
+    fields: list[str],
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """multi_match for a BATCH of queries in ONE Spark job — the msearch /
+    cluster-throughput shape, the multi-field sibling of
+    ``bm25.bm25_topk_batch``.
+
+    queries: [(query_id, query_text)] → (query_id, doc_id, score, rank).
+
+    Exactness without a doc_id shuffle: ``shard_id`` is
+    pmod(xxhash64(doc_id, 7), n_shards) — a pure function of the doc id —
+    so per-field indexes built with the SAME n_shards are co-partitioned
+    by construction. The per-shard task therefore sees EVERY field's
+    postings for each of its docs and finishes the per-doc cross-field
+    combine locally (max/sum + tie_breaker); a doc's combined score is
+    complete within its shard and the global merge is the same tiny
+    per-query window top-k the single-field batch uses. Decoded
+    (field, term) contributions are cached across the batch's queries, so
+    hot terms decode once per shard, not once per query. Raises if the
+    attached indexes disagree on n_shards (then they are not
+    co-partitioned — rebuild with matching layout)."""
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(
+            f"multi_match type must be best_fields|most_fields, got "
+            f"{match_type!r}"
+        )
+    fb = parse_field_boosts(fields)
+    for name, _ in fb:
+        if name not in field_indexes:
+            raise KeyError(
+                f"multi_match field {name!r} has no attached index "
+                f"(have: {sorted(field_indexes)})"
+            )
+    n_shards = {field_indexes[n].n_shards for n, _ in fb}
+    if len(n_shards) > 1:
+        raise ValueError(
+            "batched multi_match needs co-partitioned per-field indexes: "
+            f"n_shards differ ({sorted(n_shards)}) — rebuild with one "
+            "layout"
+        )
+    spark = field_indexes[fb[0][0]].spark
+    q_terms = {qid: sorted(set(tokenize_py(text))) for qid, text in queries}
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+
+    # per-field resolution: idfs (own stats), per-query in-vocab tids,
+    # decode params, tombstones
+    field_plan = []
+    for fid, (name, boost) in enumerate(fb):
+        index = field_indexes[name]
+        stats = index.term_stats(all_terms)
+        idfs = {tid_py(t): lucene_idf(index.n_docs, stats[t]) for t in stats}
+        qtids = {
+            qid: [tid_py(t) for t in ts if t in stats]
+            for qid, ts in q_terms.items()
+        }
+        field_plan.append(
+            (
+                fid,
+                index,
+                boost,
+                idfs,
+                qtids,
+                (index.k1, index.b, index.avgdl),
+                index.deletes,
+                sorted(stats),
+            )
+        )
+    live_qids = [
+        qid
+        for qid in q_terms
+        if any(p[4][qid] for p in field_plan)
+    ]
+    if not live_qids:
+        return spark.range(0).select(
+            F.lit("").alias("query_id"),
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).cast("float").alias("score"),
+            F.lit(0).cast("int").alias("rank"),
+        )
+
+    # closure payload (small: per-field dicts over the batch vocabulary)
+    plan_payload = [
+        (fid, boost, idfs, {q: p4[q] for q in live_qids}, params, deletes)
+        for fid, _idx, boost, idfs, p4, params, deletes, _t in field_plan
+    ]
+    mt, tb = match_type, tie_breaker
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "doc_id": [], "score": []}
+        ).astype({"query_id": str, "doc_id": np.int64, "score": np.float32})
+        if pdf.empty:
+            return empty
+        fid_arr = pdf["fid"].to_numpy(dtype=np.int64)
+        tid_arr = pdf["tid"].to_numpy(dtype=np.int64)
+        present = set(zip(fid_arr.tolist(), tid_arr.tolist()))
+        cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+        def contrib(fid, tid, params, deletes):
+            got = cache.get((fid, tid))
+            if got is None:
+                k1, b, avgdl = params
+                rows = pdf[(fid_arr == fid) & (tid_arr == tid)]
+                ids = np.concatenate(
+                    [decode_doc_ids(x) for x in rows["docs"]]
+                )
+                tfs = np.concatenate(
+                    [decode_varint(x) for x in rows["tfs"]]
+                ).astype(np.float64)
+                dls = np.concatenate(
+                    [decode_varint(x) for x in rows["dls"]]
+                ).astype(np.float64)
+                live = _live_mask(ids, deletes)
+                if live is not None:
+                    ids, tfs, dls = ids[live], tfs[live], dls[live]
+                tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                got = (ids, tfn)
+                cache[(fid, tid)] = got
+            return got
+
+        out_qid: list[str] = []
+        out_ids: list[np.ndarray] = []
+        out_sc: list[np.ndarray] = []
+        for qid in live_qids:
+            parts: list[tuple[np.ndarray, np.ndarray]] = []
+            for fid, boost, idfs, qtids, params, deletes in plan_payload:
+                f_ids, f_sc = [], []
+                for tid in qtids[qid]:
+                    if (fid, tid) not in present:
+                        continue
+                    ids, tfn = contrib(fid, tid, params, deletes)
+                    f_ids.append(ids)
+                    f_sc.append(idfs[tid] * tfn)
+                if not f_ids:
+                    continue
+                all_ids = np.concatenate(f_ids)
+                acc_ids, inv = np.unique(all_ids, return_inverse=True)
+                acc_sc = np.bincount(
+                    inv, weights=np.concatenate(f_sc), minlength=len(acc_ids)
+                )
+                parts.append((acc_ids, acc_sc * boost))
+            if not parts:
+                continue
+            uniq, combined = _combine_np(parts, mt, tb)
+            f32 = combined.astype(np.float32)
+            sel = np.lexsort((uniq, -f32.astype(np.float64)))[:k]
+            out_qid.extend([qid] * len(sel))
+            out_ids.append(uniq[sel])
+            out_sc.append(f32[sel])
+        if not out_qid:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": out_qid,
+                "doc_id": np.concatenate(out_ids),
+                "score": np.concatenate(out_sc),
+            }
+        )
+
+    blocks = None
+    for fid, index, _b, _i, _q, _p, _d, f_terms in field_plan:
+        if not f_terms:
+            continue
+        part = index.postings_for(f_terms).select(
+            "shard_id", "tid", "docs", "tfs", "dls",
+            F.lit(fid).cast("long").alias("fid"),
+        )
+        blocks = part if blocks is None else blocks.unionAll(part)
+    shard_topk = blocks.groupBy("shard_id").applyInPandas(
+        score_shard, BATCH_TOPK_SCHEMA
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return shard_topk.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

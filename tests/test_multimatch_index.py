@@ -13,11 +13,12 @@ from neural_search_spark.index.build import IndexBuilder, doc_id_col
 from neural_search_spark.query.bm25 import BM25Index
 from neural_search_spark.query.multimatch import (
     multi_match_index_topk,
+    multi_match_topk_batch,
     parse_field_boosts,
 )
 from neural_search_spark.query.neural import multi_match_scored
 
-Q = "tool c0001"
+Q = "tool conv00000001"
 FIELDS = ["text", "tag^2.5"]
 
 
@@ -87,6 +88,75 @@ def test_oov_query_empty(mmx):
     _, idxs = mmx
     out = multi_match_index_topk(idxs, "zzzzqqqq", FIELDS).toPandas()
     assert len(out) == 0
+
+
+@pytest.mark.parametrize(
+    "match_type,tb",
+    [("best_fields", 0.0), ("best_fields", 0.4), ("most_fields", 0.0)],
+)
+def test_batch_matches_per_query(mmx, match_type, tb):
+    docs, idxs = mmx
+    batch = [("qa", Q), ("qb", "call conv00000003"), ("qc", "zzzznope")]
+    got = (
+        multi_match_topk_batch(
+            idxs, batch, FIELDS, match_type=match_type, tie_breaker=tb, k=8
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    assert set(got.query_id) <= {"qa", "qb"}  # OOV query absent
+    for qid, text in batch[:2]:
+        one = (
+            multi_match_index_topk(
+                idxs, text, FIELDS, match_type=match_type,
+                tie_breaker=tb, k=8, mode="driver",
+            )
+            .toPandas()
+            .sort_values("rank")
+        )
+        g = got[got.query_id == qid]
+        assert (g.doc_id.to_numpy() == one.doc_id.to_numpy()).all()
+        assert np.allclose(g.score, one.score, rtol=1e-5)
+
+
+def test_batch_requires_co_partitioned_indexes(mmx, spark, tmp_path):
+    from neural_search_spark.index.build import IndexBuilder
+
+    docs, idxs = mmx
+    d = str(tmp_path / "odd")
+    IndexBuilder(spark, d, n_shards=2, block_size=64).build(
+        spark.createDataFrame(
+            [("c1", 0, "merge tool")], "conv_id string, turn_idx int, text string"
+        )
+    )
+    mixed = dict(idxs, tag=BM25Index(spark, d))
+    with pytest.raises(ValueError, match="co-partitioned"):
+        multi_match_topk_batch(mixed, [("q", Q)], FIELDS)
+
+
+def test_engine_msearch_batches_multi_match(mmx, spark):
+    docs, idxs = mmx
+    eng = Engine(spark, corpus=docs, field_indexes=idxs)
+    specs = {
+        "m1": {"multi_match": {"query_text": Q, "fields": FIELDS}},
+        "m2": {
+            "multi_match": {
+                "query_text": "call conv00000003", "fields": FIELDS,
+            }
+        },
+        "plain": {"match": {"query_text": "call"}},
+    }
+    out = eng.msearch(specs, k=5).toPandas()
+    assert set(out.query_id) >= {"m1", "m2"}
+    for qid in ("m1", "m2"):
+        one = (
+            eng.search(spec_from_json(specs[qid]), k=5)
+            .toPandas()
+            .sort_values("rank")
+        )
+        g = out[out.query_id == qid].sort_values("rank")
+        assert (g.doc_id.to_numpy() == one.doc_id.to_numpy()).all()
+        assert np.allclose(g.score, one.score, rtol=1e-5)
 
 
 def test_engine_routes_multi_match_to_indexes(mmx, spark):
