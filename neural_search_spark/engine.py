@@ -452,12 +452,20 @@ class Engine:
             names = [
                 f.partition("^")[0] for f in (spec.fields or [spec.field])
             ]
-            if (
+            covered = (
                 self.field_indexes
                 and spec.filter is None
                 and allowed is None
                 and all(n in self.field_indexes for n in names)
-            ):
+            )
+            if covered and spec.match_type == "cross_fields":
+                # the distributed cross_fields combine rides the
+                # co-partitioned kernel — mixed layouts must corpus-scan
+                covered = (
+                    len({self.field_indexes[n].n_shards for n in names})
+                    == 1
+                )
+            if covered:
                 from .query.multimatch import multi_match_index_topk
 
                 return multi_match_index_topk(
@@ -940,11 +948,27 @@ class Engine:
             names = [
                 f.partition("^")[0] for f in (spec.fields or [spec.field])
             ]
-            if (
+            covered = (
                 self.field_indexes
                 and unfiltered
                 and all(n in self.field_indexes for n in names)
-            ):
+            )
+            if covered and spec.match_type == "cross_fields":
+                if (
+                    len({self.field_indexes[n].n_shards for n in names})
+                    != 1
+                ):
+                    return {
+                        "route": "corpus",
+                        "reason": "cross_fields needs co-partitioned "
+                        "per-field indexes (n_shards differ)",
+                    }
+                return {
+                    "route": "index",
+                    "reason": "co-partitioned blended-df term-centric "
+                    "combine",
+                }
+            if covered:
                 return {
                     "route": "index",
                     "reason": "per-field indexes attached: pruned "

@@ -2550,13 +2550,26 @@ def q_multi_match(spark: SparkSession, sf: str) -> DataFrame:
         "text": BM25Index(spark, _gate_index(spark, sf)),
         "tool": BM25Index(spark, _gate_tool_index(spark, sf)),
     }
-    for name, mt in (("ibest0", "best_fields"), ("imost", "most_fields")):
+    # 'xf' (round-5): the term-centric cross_fields combine off the corpus
+    xf = multi_match_scored(
+        d, MULTI_MATCH_Q, MULTI_MATCH_FIELDS,
+        match_type="cross_fields", tie_breaker=0.3,
+    ).select("doc_id", F.round(F.col("score"), 4).alias("score"))
+    out = out.unionByName(
+        _ranked(xf, ["doc_id"], 20).withColumn("variant", F.lit("xf"))
+    )
+    for name, mt, tb in (
+        ("ibest0", "best_fields", 0.0),
+        ("imost", "most_fields", 0.0),
+        # 'ixf': cross_fields through the co-partitioned batch kernel
+        ("ixf", "cross_fields", 0.3),
+    ):
         raw = multi_match_index_topk(
             fidx,
             MULTI_MATCH_Q,
             ["text", "tool^2.0"],
             match_type=mt,
-            tie_breaker=0.0,
+            tie_breaker=tb,
             k=50,
             mode="distributed",
         ).drop("rank")
@@ -2580,6 +2593,47 @@ def q_multi_match(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def sql_cross_fields(tb: float) -> str:
+    """cross_fields twin: per-term blended MAX df across the two fields →
+    one idf, per-(doc, term) dis-max of the fields' boost·tf-norms
+    (+ tie_breaker · rest), then term sum per doc."""
+    terms = sorted(set(tokenize_py(MULTI_MATCH_Q)))
+    qlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+SELECT doc_id, round(score, 4) AS score FROM (
+  WITH c0 AS (SELECT doc_id, {TOK} AS toks FROM documents AS r),
+  c1 AS (SELECT doc_id, {TOK} AS toks
+         FROM (SELECT doc_id, source AS text FROM documents) AS r),
+  s0 AS (SELECT count(*) AS n, avg(len(toks)) AS a FROM c0),
+  s1 AS (SELECT count(*) AS n, avg(len(toks)) AS a FROM c1),
+  tf0 AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+          (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM c0)
+          WHERE term IN ({qlist}) GROUP BY ALL),
+  tf1 AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+          (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM c1)
+          WHERE term IN ({qlist}) GROUP BY ALL),
+  bdf AS (SELECT term, max(df) AS bdf FROM (
+            SELECT term, count(*) AS df FROM tf0 GROUP BY term
+            UNION ALL
+            SELECT term, count(*) AS df FROM tf1 GROUP BY term)
+          GROUP BY term),
+  w AS (SELECT doc_id, term,
+               1.0 * tf / (tf + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*dl/s0.a))
+               AS wnorm
+        FROM tf0 CROSS JOIN s0
+        UNION ALL
+        SELECT doc_id, term,
+               2.0 * tf / (tf + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*dl/s1.a))
+        FROM tf1 CROSS JOIN s1),
+  ct AS (SELECT doc_id, term,
+                ln(1.0 + (s.n - b.bdf + 0.5)/(b.bdf + 0.5)) * wnorm AS contrib
+         FROM w JOIN bdf b USING (term) CROSS JOIN s0 s),
+  pt AS (SELECT doc_id, term, max(contrib) AS mx, sum(contrib) AS sm
+         FROM ct GROUP BY doc_id, term)
+  SELECT doc_id, sum(mx + {tb} * (sm - mx)) AS score FROM pt GROUP BY doc_id
+)"""
+
+
 def sql_multi_match() -> str:
     text_sc = bm25_scored_sql("documents", ["doc_id"], MULTI_MATCH_Q, ndp=None)
     src_rel = "(SELECT doc_id, source AS text FROM documents)"
@@ -2600,6 +2654,7 @@ def sql_multi_match() -> str:
     # the same per-field statistics, so the oracle is the same per-field
     # scored tall — 'ibest0' is the tie_breaker=0 dis-max, 'imost' the sum
     best0 = f"SELECT doc_id, round(mx, 4) AS score FROM ({agg})"
+    xf = sql_cross_fields(0.3)
     return (
         f"SELECT 'best' AS variant, * FROM ({_topk_sql(best, ['doc_id'], 20)}) "
         f"UNION ALL "
@@ -2607,7 +2662,11 @@ def sql_multi_match() -> str:
         f"UNION ALL "
         f"SELECT 'ibest0' AS variant, * FROM ({_topk_sql(best0, ['doc_id'], 20)}) "
         f"UNION ALL "
-        f"SELECT 'imost' AS variant, * FROM ({_topk_sql(most, ['doc_id'], 20)})"
+        f"SELECT 'imost' AS variant, * FROM ({_topk_sql(most, ['doc_id'], 20)}) "
+        f"UNION ALL "
+        f"SELECT 'xf' AS variant, * FROM ({_topk_sql(xf, ['doc_id'], 20)}) "
+        f"UNION ALL "
+        f"SELECT 'ixf' AS variant, * FROM ({_topk_sql(xf, ['doc_id'], 20)})"
     )
 
 

@@ -75,12 +75,13 @@ def parse_field_boosts(fields: list[str]) -> list[tuple[str, float]]:
 
 def _field_plan(index: BM25Index, query_text: str):
     """Per-field query resolution: in-vocabulary terms, their idfs (this
-    field's own statistics), and the field's Σdf cost bound."""
+    field's own statistics), the field's Σdf cost bound, and the raw
+    df stats (cross_fields blends these across fields)."""
     clauses = sorted(set(tokenize_py(query_text)))
     stats = index.term_stats(clauses)
     terms = [t for t in clauses if t in stats]
     idfs = {tid_py(t): lucene_idf(index.n_docs, stats[t]) for t in terms}
-    return terms, idfs, sum(stats[t] for t in terms)
+    return terms, idfs, sum(stats[t] for t in terms), stats
 
 
 def _scored_partial_index(
@@ -161,12 +162,17 @@ def multi_match_index_topk(
     (doc_id, score, rank), rank-ordered score desc / doc_id asc like every
     index kernel (float32 final cast, so ties match the other paths).
 
+    match_type 'cross_fields' uses the term-centric blended-df combine
+    (see ``cross_fields_scored``); its distributed form runs through the
+    co-partitioned batch kernel, so it needs the per-field indexes built
+    with one n_shards (driver mode has no such constraint).
+
     mode: 'auto' (driver numpy combine when the total Σdf across all
     fields is under DRIVER_MAX_POSTINGS), 'driver', or 'distributed'."""
-    if match_type not in ("best_fields", "most_fields"):
+    if match_type not in ("best_fields", "most_fields", "cross_fields"):
         raise ValueError(
-            f"multi_match type must be best_fields|most_fields, got "
-            f"{match_type!r}"
+            f"multi_match type must be best_fields|most_fields|"
+            f"cross_fields, got {match_type!r}"
         )
     if not fields:
         raise ValueError("multi_match needs at least one field")
@@ -180,9 +186,9 @@ def multi_match_index_topk(
             )
         index = field_indexes[name]
         spark = index.spark
-        terms, idfs, sdf = _field_plan(index, query_text)
+        terms, idfs, sdf, stats = _field_plan(index, query_text)
         if terms:
-            plan.append((index, boost, terms, idfs, sdf))
+            plan.append((index, boost, terms, idfs, sdf, stats))
 
     def _empty() -> DataFrame:
         return spark.range(0).select(
@@ -199,8 +205,56 @@ def multi_match_index_topk(
     )
 
     if driver:
+        if match_type == "cross_fields":
+            # term-centric: per term, dis-max the fields' blended-idf
+            # contributions, then sum terms per doc
+            bdf: dict[str, int] = {}
+            for _i, _b, terms, _idfs, _s, stats in plan:
+                for t in terms:
+                    bdf[t] = max(bdf.get(t, 0), stats[t])
+            term_parts: dict[str, list] = {}
+            for index, boost, terms, _idfs, _s, _st in plan:
+                for t in terms:
+                    tid = tid_py(t)
+                    ids, tfn, _n = _driver_scored_all(
+                        index, {tid: 1.0}, [tid]
+                    )
+                    if len(ids):
+                        term_parts.setdefault(t, []).append(
+                            (
+                                ids,
+                                lucene_idf(index.n_docs, bdf[t])
+                                * tfn
+                                * boost,
+                            )
+                        )
+            per_term = [
+                _combine_np(ps, "best_fields", tie_breaker)
+                for ps in term_parts.values()
+            ]
+            if not per_term:
+                return _empty()
+            all_ids = np.concatenate([p[0] for p in per_term])
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            combined = np.bincount(
+                inv,
+                weights=np.concatenate([p[1] for p in per_term]),
+                minlength=len(uniq),
+            )
+            f32 = combined.astype(np.float32)
+            sel = np.lexsort((uniq, -f32.astype(np.float64)))[:k]
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc_id": uniq[sel],
+                        "score": f32[sel],
+                        "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                    }
+                ),
+                schema="doc_id long, score float, rank int",
+            )
         parts = []
-        for index, boost, terms, idfs, _ in plan:
+        for index, boost, terms, idfs, _s, _st in plan:
             ids, sc, _n = _driver_scored_all(
                 index, idfs, [tid_py(t) for t in terms]
             )
@@ -222,11 +276,24 @@ def multi_match_index_topk(
             schema="doc_id long, score float, rank int",
         )
 
+    if match_type == "cross_fields":
+        # distributed cross_fields = the co-partitioned batch kernel with
+        # a batch of one (the blended per-term combine needs every
+        # field's postings for a doc in one task)
+        return multi_match_topk_batch(
+            field_indexes,
+            [("q", query_text)],
+            fields,
+            match_type=match_type,
+            tie_breaker=tie_breaker,
+            k=k,
+        ).select("doc_id", "score", "rank")
+
     if match_type == "best_fields" and tie_breaker == 0.0:
         # pruned route (exactness argument in the module docstring): each
         # field's own MaxScore top-k, one doc-keyed max over the union
         tall = None
-        for index, boost, _terms, _idfs, _ in plan:
+        for index, boost, _terms, _idfs, _s, _st in plan:
             part = bm25_topk(index, query_text, k=k, mode=mode).select(
                 "doc_id",
                 (F.col("score").cast("double") * F.lit(boost)).alias(
@@ -242,7 +309,7 @@ def multi_match_index_topk(
         # per-doc sums, ONE doc_id exchange carrying every field as a
         # conditional aggregate
         tall = None
-        for fid, (index, boost, terms, idfs, _) in enumerate(plan):
+        for fid, (index, boost, terms, idfs, _s, _st) in enumerate(plan):
             part = _scored_partial_index(index, terms, idfs, boost).select(
                 "doc_id", "score", F.lit(fid).alias("fid")
             )
@@ -282,6 +349,102 @@ def multi_match_index_topk(
     )
 
 
+def cross_fields_scored(
+    docs: DataFrame,
+    query_text: str,
+    fields: list[str],
+    tie_breaker: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """multi_match type=cross_fields off the corpus → (doc_id, score):
+    the TERM-centric combine (Lucene BlendedTermQuery under the
+    cross_fields rewrite — reference host behavior, contrast with the
+    field-centric best_fields/most_fields in
+    ``query/neural.multi_match_scored``):
+
+    * every query term's document frequency is BLENDED to the max across
+      the fields (BlendedTermQuery.rewrite's adjusted df), so a term rare
+      in one field but common in another scores with ONE idf everywhere —
+      the fix for the "operator=and across first_name/last_name" problem
+      cross_fields exists for;
+    * per (doc, term): dis-max over the fields' tf-norms × boost
+      (+ tie_breaker · rest);
+    * per doc: sum over terms (bool SHOULD).
+
+    Pure Catalyst: one tokenize pass per field, per-(term, field) df
+    aggregation, blended df broadcast back, then (doc, term) → doc
+    aggregations."""
+    from .. import BM25_B, BM25_K1
+    from ..tokenizer import tokenize_expr
+
+    spark = docs.sparkSession
+    fb = parse_field_boosts(fields)
+    if not fb:
+        raise ValueError("multi_match needs at least one field")
+    terms = sorted(set(tokenize_py(query_text)))
+    base = docs.withColumnRenamed(id_col, "doc_id")
+    if not terms:
+        return spark.range(0).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).cast("double").alias("score"),
+        )
+    qdf = spark.createDataFrame(pd.DataFrame({"term": terms}))
+    n_docs = base.count()
+    tall = None
+    for fid, (name, boost) in enumerate(fb):
+        toks = base.select(
+            "doc_id", tokenize_expr(name).alias("toks")
+        ).withColumn("dl", F.size("toks"))
+        row = toks.agg(F.avg("dl").alias("a")).collect()[0]
+        avgdl_f = float(row["a"] or 0.0) or 1.0
+        tf = (
+            toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+            .join(F.broadcast(qdf), "term")
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        part = tf.select(
+            "doc_id",
+            "term",
+            (
+                F.lit(boost)
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl_f))
+                )
+            ).alias("wnorm"),
+        )
+        tall = part if tall is None else tall.unionAll(part)
+        # per-field df = this field's (doc, term) row count; blending
+        # must take the MAX across fields, never the sum, so each field
+        # aggregates separately before the blend
+        d = tf.groupBy("term").agg(F.count("*").alias("df"))
+        dfs = d if fid == 0 else dfs.unionAll(d)
+    blended = dfs.groupBy("term").agg(F.max("df").alias("bdf"))
+    per_term = (
+        tall.join(F.broadcast(blended), "term")
+        .withColumn(
+            "contrib",
+            F.log(
+                1.0
+                + (F.lit(n_docs) - F.col("bdf") + 0.5) / (F.col("bdf") + 0.5)
+            )
+            * F.col("wnorm"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.max("contrib").alias("mx"), F.sum("contrib").alias("sm"))
+        .withColumn(
+            "tcontrib",
+            F.col("mx") + F.lit(tie_breaker) * (F.col("sm") - F.col("mx")),
+        )
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.sum("tcontrib").alias("score")
+    )
+
+
 def multi_match_topk_batch(
     field_indexes: dict[str, BM25Index],
     queries: list[tuple[str, str]],
@@ -307,11 +470,17 @@ def multi_match_topk_batch(
     (field, term) contributions are cached across the batch's queries, so
     hot terms decode once per shard, not once per query. Raises if the
     attached indexes disagree on n_shards (then they are not
-    co-partitioned — rebuild with matching layout)."""
-    if match_type not in ("best_fields", "most_fields"):
+    co-partitioned — rebuild with matching layout).
+
+    match_type 'cross_fields' runs the term-centric blended-df combine
+    (``cross_fields_scored`` semantics): per term, the fields' blended-idf
+    contributions dis-max (+ tie_breaker · rest), then terms sum per doc —
+    the co-location makes the per-(doc, term) combine exact inside each
+    shard task."""
+    if match_type not in ("best_fields", "most_fields", "cross_fields"):
         raise ValueError(
-            f"multi_match type must be best_fields|most_fields, got "
-            f"{match_type!r}"
+            f"multi_match type must be best_fields|most_fields|"
+            f"cross_fields, got {match_type!r}"
         )
     fb = parse_field_boosts(fields)
     for name, _ in fb:
@@ -331,13 +500,24 @@ def multi_match_topk_batch(
     q_terms = {qid: sorted(set(tokenize_py(text))) for qid, text in queries}
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
 
-    # per-field resolution: idfs (own stats), per-query in-vocab tids,
-    # decode params, tombstones
+    # per-field resolution: idfs (own stats — or blended max-df stats for
+    # cross_fields), per-query in-vocab tids, decode params, tombstones
+    all_stats = {
+        name: field_indexes[name].term_stats(all_terms) for name, _ in fb
+    }
+    bdf: dict[str, int] = {}
+    if match_type == "cross_fields":
+        for stats in all_stats.values():
+            for t, d in stats.items():
+                bdf[t] = max(bdf.get(t, 0), d)
     field_plan = []
     for fid, (name, boost) in enumerate(fb):
         index = field_indexes[name]
-        stats = index.term_stats(all_terms)
-        idfs = {tid_py(t): lucene_idf(index.n_docs, stats[t]) for t in stats}
+        stats = all_stats[name]
+        dfsrc = bdf if match_type == "cross_fields" else stats
+        idfs = {
+            tid_py(t): lucene_idf(index.n_docs, dfsrc[t]) for t in stats
+        }
         qtids = {
             qid: [tid_py(t) for t in ts if t in stats]
             for qid, ts in q_terms.items()
@@ -410,6 +590,56 @@ def multi_match_topk_batch(
         out_qid: list[str] = []
         out_ids: list[np.ndarray] = []
         out_sc: list[np.ndarray] = []
+
+        def emit(qid, uniq, combined):
+            f32 = combined.astype(np.float32)
+            sel = np.lexsort((uniq, -f32.astype(np.float64)))[:k]
+            out_qid.extend([qid] * len(sel))
+            out_ids.append(uniq[sel])
+            out_sc.append(f32[sel])
+
+        if mt == "cross_fields":
+            for qid in live_qids:
+                # ordered union of the query's tids across fields
+                seen: set[int] = set()
+                union_tids: list[int] = []
+                for _f, _b, _i, qtids, _p, _d in plan_payload:
+                    for tid in qtids[qid]:
+                        if tid not in seen:
+                            seen.add(tid)
+                            union_tids.append(tid)
+                term_ids, term_sc = [], []
+                for tid in union_tids:
+                    parts = []
+                    for fid, boost, idfs, _q, params, deletes in plan_payload:
+                        if tid not in idfs or (fid, tid) not in present:
+                            continue
+                        ids, tfn = contrib(fid, tid, params, deletes)
+                        parts.append((ids, idfs[tid] * tfn * boost))
+                    if parts:
+                        u, c = _combine_np(parts, "best_fields", tb)
+                        term_ids.append(u)
+                        term_sc.append(c)
+                if not term_ids:
+                    continue
+                all_ids = np.concatenate(term_ids)
+                uniq, inv = np.unique(all_ids, return_inverse=True)
+                combined = np.bincount(
+                    inv,
+                    weights=np.concatenate(term_sc),
+                    minlength=len(uniq),
+                )
+                emit(qid, uniq, combined)
+            if not out_qid:
+                return empty
+            return pd.DataFrame(
+                {
+                    "query_id": out_qid,
+                    "doc_id": np.concatenate(out_ids),
+                    "score": np.concatenate(out_sc),
+                }
+            )
+
         for qid in live_qids:
             parts: list[tuple[np.ndarray, np.ndarray]] = []
             for fid, boost, idfs, qtids, params, deletes in plan_payload:

@@ -337,14 +337,23 @@ def multi_match_scored(
     boost multiplied, then combined in ONE doc-keyed aggregation:
 
     * best_fields (DisjunctionMaxQuery): max + tie_breaker · (sum − max);
-    * most_fields (bool should): plain sum.
+    * most_fields (bool should): plain sum;
+    * cross_fields: term-centric blended-df combine — delegated to
+      ``query.multimatch.cross_fields_scored`` (BlendedTermQuery
+      semantics).
 
     "name^2.5" field syntax carries the boost, like the reference host's
     multi_match."""
+    if match_type == "cross_fields":
+        from .multimatch import cross_fields_scored
+
+        return cross_fields_scored(
+            docs, query_text, fields, tie_breaker=tie_breaker, id_col=id_col
+        )
     if match_type not in ("best_fields", "most_fields"):
         raise ValueError(
-            f"multi_match type must be best_fields|most_fields, got "
-            f"{match_type!r}"
+            f"multi_match type must be best_fields|most_fields|"
+            f"cross_fields, got {match_type!r}"
         )
     from ..gate import bm25_scored
 

@@ -85,7 +85,7 @@ def test_multi_match_combines(mm_docs, per_field, match_type, tb):
 
 def test_multi_match_validation(mm_docs):
     with pytest.raises(ValueError, match="best_fields"):
-        multi_match_scored(mm_docs, Q, ["text"], match_type="cross_fields")
+        multi_match_scored(mm_docs, Q, ["text"], match_type="phrase")
     with pytest.raises(ValueError, match="at least one field"):
         multi_match_scored(mm_docs, Q, [])
 

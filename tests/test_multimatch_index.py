@@ -57,10 +57,75 @@ def test_parse_field_boosts():
     ]
 
 
+def test_cross_fields_corpus_matches_pandas(mmx):
+    """Pin the blended-df term-centric semantics against a from-scratch
+    pandas implementation (BlendedTermQuery: per-term max df across
+    fields → one idf, per-(doc, term) dis-max over fields, term sum)."""
+    import math
+
+    from neural_search_spark import BM25_B, BM25_K1
+    from neural_search_spark.query.multimatch import cross_fields_scored
+    from neural_search_spark.tokenizer import tokenize_py
+
+    docs, _ = mmx
+    pdf = docs.toPandas()
+    q_terms = sorted(set(tokenize_py(Q)))
+    boosts = {"text": 1.0, "tag": 2.5}
+    n_docs = len(pdf)
+    contrib: dict[tuple, dict] = {}
+    dfs: dict[str, dict[str, int]] = {}
+    toks = {}
+    for f in boosts:
+        toks[f] = pdf[f].map(tokenize_py)
+        dfs[f] = {
+            t: int(toks[f].map(lambda l: t in l).sum()) for t in q_terms
+        }
+    for t in q_terms:
+        bdf = max(dfs[f][t] for f in boosts)
+        if bdf == 0:
+            continue
+        idf = math.log(1.0 + (n_docs - bdf + 0.5) / (bdf + 0.5))
+        for f, b in boosts.items():
+            avgdl = toks[f].map(len).mean()
+            for d, l in zip(pdf.doc_id, toks[f]):
+                tf = l.count(t)
+                if tf:
+                    contrib.setdefault((d, t), {})[f] = (
+                        idf
+                        * b
+                        * tf
+                        / (
+                            tf
+                            + BM25_K1
+                            * (1 - BM25_B + BM25_B * len(l) / avgdl)
+                        )
+                    )
+    tb = 0.4
+    exp_rows = {}
+    for (d, t), per_f in contrib.items():
+        vals = list(per_f.values())
+        mx, sm = max(vals), sum(vals)
+        exp_rows[d] = exp_rows.get(d, 0.0) + mx + tb * (sm - mx)
+    got = (
+        cross_fields_scored(docs, Q, FIELDS, tie_breaker=tb)
+        .toPandas()
+        .set_index("doc_id")["score"]
+    )
+    assert set(got.index) == set(exp_rows)
+    for d, s in exp_rows.items():
+        assert abs(got[d] - s) < 1e-9 * max(1.0, abs(s))
+
+
 @pytest.mark.parametrize("mode", ["driver", "distributed"])
 @pytest.mark.parametrize(
     "match_type,tb",
-    [("best_fields", 0.0), ("best_fields", 0.4), ("most_fields", 0.0)],
+    [
+        ("best_fields", 0.0),
+        ("best_fields", 0.4),
+        ("most_fields", 0.0),
+        ("cross_fields", 0.0),
+        ("cross_fields", 0.4),
+    ],
 )
 def test_index_matches_corpus(mmx, match_type, tb, mode):
     docs, idxs = mmx
@@ -92,7 +157,12 @@ def test_oov_query_empty(mmx):
 
 @pytest.mark.parametrize(
     "match_type,tb",
-    [("best_fields", 0.0), ("best_fields", 0.4), ("most_fields", 0.0)],
+    [
+        ("best_fields", 0.0),
+        ("best_fields", 0.4),
+        ("most_fields", 0.0),
+        ("cross_fields", 0.3),
+    ],
 )
 def test_batch_matches_per_query(mmx, match_type, tb):
     docs, idxs = mmx
