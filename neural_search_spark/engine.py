@@ -457,6 +457,10 @@ class Engine:
                 and spec.filter is None
                 and allowed is None
                 and all(n in self.field_indexes for n in names)
+                # phrase/phrase_prefix/bool_prefix types need per-field
+                # positions/dictionaries — corpus-scan composition today
+                and spec.match_type
+                in ("best_fields", "most_fields", "cross_fields")
             )
             if covered and spec.match_type == "cross_fields":
                 # the distributed cross_fields combine rides the
@@ -953,6 +957,16 @@ class Engine:
                 and unfiltered
                 and all(n in self.field_indexes for n in names)
             )
+            if covered and spec.match_type in (
+                "phrase",
+                "phrase_prefix",
+                "bool_prefix",
+            ):
+                return {
+                    "route": "corpus",
+                    "reason": "field-centric phrase family composes "
+                    "per-field corpus scans",
+                }
             if covered and spec.match_type == "cross_fields":
                 if (
                     len({self.field_indexes[n].n_shards for n in names})

@@ -64,7 +64,11 @@ class QuerySpec:
     values: list[str] | None = None
     # multi_match only: field list with optional "name^boost" suffixes;
     # match_type "best_fields" (DisjunctionMaxQuery: max + tie_breaker ×
-    # sum-of-others) or "most_fields" (bool-should sum) — OpenSearch's
+    # sum-of-others), "most_fields" (bool-should sum), "cross_fields"
+    # (term-centric blended-df BlendedTermQuery combine), or the
+    # field-centric "phrase" / "phrase_prefix" / "bool_prefix" family
+    # (per-field sub-query + dis-max; phrase honors ``slop``,
+    # phrase_prefix honors ``max_expansions``) — OpenSearch's
     # multi_match defaults (best_fields, tie_breaker 0.0)
     fields: list[str] | None = None
     match_type: str = "best_fields"
@@ -320,6 +324,8 @@ def execute(
             match_type=spec.match_type,
             tie_breaker=spec.tie_breaker,
             id_col=id_col,
+            slop=spec.slop,
+            max_expansions=spec.max_expansions,
         )
     raise ValueError(f"unknown query type: {spec.query_type}")
 
@@ -331,16 +337,24 @@ def multi_match_scored(
     match_type: str = "best_fields",
     tie_breaker: float = 0.0,
     id_col: str = "doc_id",
+    slop: int = 0,
+    max_expansions: int = 50,
 ) -> DataFrame:
-    """multi_match → (doc_id, score): each field scored as its OWN BM25
-    match (per-field n_docs/avgdl/df — Lucene keeps statistics per field),
-    boost multiplied, then combined in ONE doc-keyed aggregation:
+    """multi_match → (doc_id, score): each field scored as its OWN
+    sub-query with its own statistics (per-field n_docs/avgdl/df — Lucene
+    keeps statistics per field), boost multiplied, then combined in ONE
+    doc-keyed aggregation. The reference host's six multi_match types:
 
     * best_fields (DisjunctionMaxQuery): max + tie_breaker · (sum − max);
     * most_fields (bool should): plain sum;
     * cross_fields: term-centric blended-df combine — delegated to
       ``query.multimatch.cross_fields_scored`` (BlendedTermQuery
-      semantics).
+      semantics);
+    * phrase / phrase_prefix / bool_prefix: each field runs the
+      corresponding sub-query (match_phrase with ``slop``,
+      match_phrase_prefix with ``max_expansions``, match_bool_prefix),
+      combined dis-max + tie_breaker — the MultiMatchQuery field-centric
+      DisjunctionMaxQuery build.
 
     "name^2.5" field syntax carries the boost, like the reference host's
     multi_match."""
@@ -350,32 +364,65 @@ def multi_match_scored(
         return cross_fields_scored(
             docs, query_text, fields, tie_breaker=tie_breaker, id_col=id_col
         )
-    if match_type not in ("best_fields", "most_fields"):
+    if match_type not in (
+        "best_fields",
+        "most_fields",
+        "phrase",
+        "phrase_prefix",
+        "bool_prefix",
+    ):
         raise ValueError(
             f"multi_match type must be best_fields|most_fields|"
-            f"cross_fields, got {match_type!r}"
+            f"cross_fields|phrase|phrase_prefix|bool_prefix, got "
+            f"{match_type!r}"
         )
     from ..gate import bm25_scored
 
     if not fields:
         raise ValueError("multi_match needs at least one field")
     base = docs.withColumnRenamed(id_col, "doc_id")
+
+    def field_scored(name: str) -> DataFrame:
+        scoped = base.select("doc_id", F.col(name).alias("text"))
+        if match_type == "phrase":
+            from .phrase import phrase_scored_scan
+
+            return phrase_scored_scan(scoped, query_text, slop=slop)
+        if match_type == "phrase_prefix":
+            from .phrase import phrase_prefix_scored_scan
+
+            return phrase_prefix_scored_scan(
+                scoped, query_text, max_expansions=max_expansions
+            )
+        if match_type == "bool_prefix":
+            from ..tokenizer import tokenize_py
+            from .sqs import sqs_scored
+
+            toks = tokenize_py(query_text)
+            if not toks:
+                return scoped.sparkSession.range(0).select(
+                    F.col("id").alias("doc_id"),
+                    F.lit(0.0).cast("double").alias("score"),
+                )
+            q = " ".join(toks[:-1] + [toks[-1] + "*"])
+            return sqs_scored(scoped, q)
+        return bm25_scored(scoped, ["doc_id"], query_text, ndp=None)
+
     tall = None
     for f in fields:
         name, _, boost = f.partition("^")
         b = float(boost) if boost else 1.0
-        sc = bm25_scored(
-            base.select("doc_id", F.col(name).alias("text")),
-            ["doc_id"],
-            query_text,
-            ndp=None,
-        ).select("doc_id", (F.col("score") * b).alias("score"))
+        sc = field_scored(name).select(
+            "doc_id", (F.col("score") * b).alias("score")
+        )
         tall = sc if tall is None else tall.unionAll(sc)
     agg = tall.groupBy("doc_id").agg(
         F.max("score").alias("mx"), F.sum("score").alias("sm")
     )
     if match_type == "most_fields":
         return agg.select("doc_id", F.col("sm").alias("score"))
+    # best_fields and the phrase/prefix family are all field-centric
+    # DisjunctionMaxQuery builds: max + tie_breaker · rest
     return agg.select(
         "doc_id",
         (

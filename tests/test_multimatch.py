@@ -83,9 +83,86 @@ def test_multi_match_combines(mm_docs, per_field, match_type, tb):
     assert np.allclose(got.score, exp.score, rtol=1e-9)
 
 
+def _pd_dismax(parts, tb):
+    """parts: list of pandas Series (doc_id-indexed scores, boost already
+    applied) → combined dis-max frame sorted score desc, doc_id asc."""
+    import pandas as pd
+
+    df = pd.concat(parts, axis=1)
+    mx, sm = df.max(axis=1), df.sum(axis=1)
+    out = (mx + tb * (sm - mx)).rename("score").reset_index()
+    return out.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("mt", ["phrase", "phrase_prefix", "bool_prefix"])
+def test_multi_match_phrase_family(mm_docs, mt):
+    """The field-centric phrase family: each field runs its own sub-query
+    (match_phrase / match_phrase_prefix / match_bool_prefix), dis-max +
+    tie_breaker combine — checked against a manual per-field composition."""
+    from neural_search_spark.query.phrase import (
+        phrase_prefix_scored_scan,
+        phrase_scored_scan,
+    )
+    from neural_search_spark.query.sqs import sqs_scored
+    from neural_search_spark.tokenizer import tokenize_py
+
+    row = mm_docs.orderBy("doc_id").limit(1).toPandas().iloc[0]
+    tk = tokenize_py(row.text)
+    q = f"{tk[0]} {tk[1]}"
+    tb = 0.3
+
+    def scorer(scoped):
+        if mt == "phrase":
+            return phrase_scored_scan(scoped, q)
+        if mt == "phrase_prefix":
+            return phrase_prefix_scored_scan(scoped, q)
+        return sqs_scored(scoped, f"{tk[0]} {tk[1]}*")
+
+    parts = []
+    for f, b in (("text", 1.0), ("tag", 2.0)):
+        scoped = mm_docs.select("doc_id", F.col(f).alias("text"))
+        s = scorer(scoped).toPandas().set_index("doc_id")["score"] * b
+        parts.append(s.rename(f))
+    exp = _pd_dismax(parts, tb)
+    assert len(exp) > 0, "query must match at least one doc"
+    got = (
+        multi_match_scored(
+            mm_docs, q, ["text", "tag^2.0"], match_type=mt, tie_breaker=tb
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .toPandas()
+    )
+    assert (got.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+    assert np.allclose(got.score, exp.score, rtol=1e-9)
+
+
+def test_multi_match_phrase_slop_via_engine(spark):
+    """type=phrase carries slop through the engine spec."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "t1"), (2, "alpha gamma beta", "t2")],
+        "doc_id long, text string, tag string",
+    )
+    q = "alpha gamma"  # adjacent only in doc 2; doc 1 needs slop ≥ 1
+    eng = Engine(spark, corpus=docs)
+    mk = lambda slop: spec_from_json(
+        {
+            "multi_match": {
+                "query_text": q,
+                "fields": ["text", "tag"],
+                "match_type": "phrase",
+                "slop": slop,
+            }
+        }
+    )
+    assert set(eng.search(mk(0), k=5).toPandas().doc_id) == {2}
+    assert set(eng.search(mk(1), k=5).toPandas().doc_id) == {1, 2}
+
+
 def test_multi_match_validation(mm_docs):
     with pytest.raises(ValueError, match="best_fields"):
-        multi_match_scored(mm_docs, Q, ["text"], match_type="phrase")
+        multi_match_scored(mm_docs, Q, ["text"], match_type="bogus")
     with pytest.raises(ValueError, match="at least one field"):
         multi_match_scored(mm_docs, Q, [])
 
