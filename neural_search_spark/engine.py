@@ -480,6 +480,33 @@ class Engine:
                     tie_breaker=spec.tie_breaker,
                     k=k,
                 ).drop("rank")
+            # field-centric phrase/bool_prefix types (tie_breaker=0, the
+            # host default): per-field index kernels + dis-max union —
+            # phrase needs every field's positions sidecar
+            if (
+                self.field_indexes
+                and spec.filter is None
+                and allowed is None
+                and spec.tie_breaker == 0.0
+                and spec.match_type in ("phrase", "bool_prefix")
+                and all(n in self.field_indexes for n in names)
+            ):
+                from .index.positions import has_positions
+
+                if spec.match_type == "bool_prefix" or all(
+                    has_positions(self.field_indexes[n].path)
+                    for n in names
+                ):
+                    from .query.multimatch import multi_match_field_topk
+
+                    return multi_match_field_topk(
+                        self.field_indexes,
+                        spec.query_text or "",
+                        spec.fields or [spec.field],
+                        spec.match_type,
+                        k=k,
+                        slop=spec.slop,
+                    ).drop("rank")
             return _bound(
                 execute(spec, self._need_corpus("multi_match"), self.id_col)
             )
@@ -962,6 +989,21 @@ class Engine:
                 "phrase_prefix",
                 "bool_prefix",
             ):
+                if (
+                    spec.tie_breaker == 0.0
+                    and spec.match_type != "phrase_prefix"
+                ):
+                    from .index.positions import has_positions
+
+                    if spec.match_type == "bool_prefix" or all(
+                        has_positions(self.field_indexes[n].path)
+                        for n in names
+                    ):
+                        return {
+                            "route": "index",
+                            "reason": "per-field kernels + exact dis-max "
+                            "union (tie_breaker=0)",
+                        }
                 return {
                     "route": "corpus",
                     "reason": "field-centric phrase family composes "

@@ -349,6 +349,84 @@ def multi_match_index_topk(
     )
 
 
+def _dismax_union_topk(
+    parts: list[DataFrame], k: int
+) -> DataFrame:
+    """Union already-boosted per-field (doc_id, score) frames → one
+    doc-keyed max → global top-k (score f32 desc, doc_id asc). Exact for
+    tie_breaker=0 dis-max when each part is that field's correct top-k
+    (containment argument in the module docstring)."""
+    tall = parts[0]
+    for p in parts[1:]:
+        tall = tall.unionAll(p)
+    bounded = (
+        tall.groupBy("doc_id")
+        .agg(F.max("score").alias("score"))
+        .select("doc_id", F.col("score").cast("float").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    from ..ranking import topk_rank_window
+
+    return bounded.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            topk_rank_window(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        .cast("int"),
+    )
+
+
+def multi_match_field_topk(
+    field_indexes: dict[str, BM25Index],
+    query_text: str,
+    fields: list[str],
+    match_type: str,
+    k: int = 10,
+    slop: int = 0,
+    mode: str = "auto",
+) -> DataFrame:
+    """Index-served field-centric multi_match for the 'phrase' and
+    'bool_prefix' types (tie_breaker=0 — the host default for these):
+    each field's OWN index kernel produces its top-k (match_phrase needs
+    that field's positions sidecar; match_bool_prefix its dictionary),
+    the boosted union takes one doc-keyed max. Exact by the same
+    containment argument as the best_fields pruned route — a doc in the
+    global dis-max top-k is inside the top-k of the field achieving its
+    max. Raises if a phrase field's index lacks positions."""
+    if match_type not in ("phrase", "bool_prefix"):
+        raise ValueError(
+            f"index-served field-centric types are phrase|bool_prefix, "
+            f"got {match_type!r}"
+        )
+    parts = []
+    for name, boost in parse_field_boosts(fields):
+        if name not in field_indexes:
+            raise KeyError(
+                f"multi_match field {name!r} has no attached index "
+                f"(have: {sorted(field_indexes)})"
+            )
+        index = field_indexes[name]
+        if match_type == "phrase":
+            from .phrase import phrase_topk
+
+            part = phrase_topk(index, query_text, k=k, mode=mode, slop=slop)
+        else:
+            from .multiterm import match_bool_prefix_topk
+
+            part = match_bool_prefix_topk(index, query_text, k=k)
+        parts.append(
+            part.select(
+                "doc_id",
+                (F.col("score").cast("double") * F.lit(boost)).alias(
+                    "score"
+                ),
+            )
+        )
+    return _dismax_union_topk(parts, k)
+
+
 def cross_fields_scored(
     docs: DataFrame,
     query_text: str,

@@ -229,6 +229,42 @@ def test_engine_msearch_batches_multi_match(mmx, spark):
         assert np.allclose(g.score, one.score, rtol=1e-5)
 
 
+@pytest.mark.parametrize("mt", ["phrase", "bool_prefix"])
+def test_engine_field_centric_index_routes(mmx, spark, transcripts_df, mt):
+    """type=phrase / bool_prefix with per-field indexes: per-field index
+    kernels + exact dis-max union must equal the corpus composition."""
+    from neural_search_spark.index.positions import build_positions
+    from neural_search_spark.tokenizer import tokenize_py
+
+    docs, idxs = mmx
+    for f, col in (("text", F.col("text")), ("tag", F.col("conv_id"))):
+        build_positions(
+            spark,
+            idxs[f].path,
+            transcripts_df.select("conv_id", "turn_idx", col.alias("text")),
+        )
+    row = docs.orderBy("doc_id").limit(1).toPandas().iloc[0]
+    tk = tokenize_py(row.text)
+    q = f"{tk[0]} {tk[1]}"
+    eng = Engine(spark, corpus=docs, field_indexes=idxs)
+    spec = spec_from_json(
+        {
+            "multi_match": {
+                "query_text": q, "fields": FIELDS, "match_type": mt,
+            }
+        }
+    )
+    assert eng.explain_route(spec)["route"] == "index"
+    got = eng.search(spec, k=10).toPandas().sort_values("rank")
+    exp = (
+        Engine(spark, corpus=docs).search(spec, k=10)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert (got.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+    assert np.allclose(got.score, exp.score, rtol=1e-5)
+
+
 def test_engine_routes_multi_match_to_indexes(mmx, spark):
     docs, idxs = mmx
     eng = Engine(spark, corpus=docs, field_indexes=idxs)
