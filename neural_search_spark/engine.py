@@ -1147,6 +1147,10 @@ class Engine:
                     and s.query_type == "multi_match"
                     and s.filter is None
                     and s.post_filter is None
+                    # the batch kernel serves the statistics-combine
+                    # types only; the phrase family stays per-spec
+                    and s.match_type
+                    in ("best_fields", "most_fields", "cross_fields")
                 ):
                     flds = s.fields or [s.field]
                     names = [f.partition("^")[0] for f in flds]

@@ -207,13 +207,24 @@ def multi_match_index_topk(
     if driver:
         if match_type == "cross_fields":
             # term-centric: per term, dis-max the fields' blended-idf
-            # contributions, then sum terms per doc
+            # contributions, then sum terms per doc. n_docs blends like
+            # df (max across fields) so a term gets ONE idf everywhere —
+            # the corpus twin's single-n_docs semantics (per-field
+            # indexes over one corpus have equal n_docs anyway)
             bdf: dict[str, int] = {}
             for _i, _b, terms, _idfs, _s, stats in plan:
                 for t in terms:
                     bdf[t] = max(bdf.get(t, 0), stats[t])
+            n_docs_blend = max(p[0].n_docs for p in plan)
             term_parts: dict[str, list] = {}
             for index, boost, terms, _idfs, _s, _st in plan:
+                # ONE batched pyarrow read fills this field's driver
+                # cache for every query term; the per-term calls below
+                # then decode from the LRU instead of re-scanning
+                all_tids = [tid_py(t) for t in terms]
+                _driver_scored_all(
+                    index, {t: 0.0 for t in all_tids}, all_tids
+                )
                 for t in terms:
                     tid = tid_py(t)
                     ids, tfn, _n = _driver_scored_all(
@@ -223,7 +234,7 @@ def multi_match_index_topk(
                         term_parts.setdefault(t, []).append(
                             (
                                 ids,
-                                lucene_idf(index.n_docs, bdf[t])
+                                lucene_idf(n_docs_blend, bdf[t])
                                 * tfn
                                 * boost,
                             )
@@ -415,7 +426,7 @@ def multi_match_field_topk(
         else:
             from .multiterm import match_bool_prefix_topk
 
-            part = match_bool_prefix_topk(index, query_text, k=k)
+            part = match_bool_prefix_topk(index, query_text, k=k, mode=mode)
         parts.append(
             part.select(
                 "doc_id",
@@ -588,14 +599,17 @@ def multi_match_topk_batch(
         for stats in all_stats.values():
             for t, d in stats.items():
                 bdf[t] = max(bdf.get(t, 0), d)
+    # cross_fields blends n_docs like df (max across fields) so a term
+    # carries ONE idf everywhere — the corpus twin's single-n_docs
+    # semantics (equal across fields when built over one corpus)
+    n_docs_blend = max(field_indexes[n].n_docs for n, _ in fb)
     field_plan = []
     for fid, (name, boost) in enumerate(fb):
         index = field_indexes[name]
         stats = all_stats[name]
         dfsrc = bdf if match_type == "cross_fields" else stats
-        idfs = {
-            tid_py(t): lucene_idf(index.n_docs, dfsrc[t]) for t in stats
-        }
+        nd = n_docs_blend if match_type == "cross_fields" else index.n_docs
+        idfs = {tid_py(t): lucene_idf(nd, dfsrc[t]) for t in stats}
         qtids = {
             qid: [tid_py(t) for t in ts if t in stats]
             for qid, ts in q_terms.items()
@@ -739,11 +753,7 @@ def multi_match_topk_batch(
             if not parts:
                 continue
             uniq, combined = _combine_np(parts, mt, tb)
-            f32 = combined.astype(np.float32)
-            sel = np.lexsort((uniq, -f32.astype(np.float64)))[:k]
-            out_qid.extend([qid] * len(sel))
-            out_ids.append(uniq[sel])
-            out_sc.append(f32[sel])
+            emit(qid, uniq, combined)
         if not out_qid:
             return empty
         return pd.DataFrame(

@@ -265,6 +265,35 @@ def test_engine_field_centric_index_routes(mmx, spark, transcripts_df, mt):
     assert np.allclose(got.score, exp.score, rtol=1e-5)
 
 
+def test_engine_msearch_phrase_family_not_batch_grouped(mmx, spark):
+    """Two phrase-type multi_match specs must NOT enter the statistics
+    batch kernel (it rejects the phrase family) — they answer per-spec."""
+    from neural_search_spark.tokenizer import tokenize_py
+
+    docs, idxs = mmx
+    row = docs.orderBy("doc_id").limit(1).toPandas().iloc[0]
+    tk = tokenize_py(row.text)
+    q = f"{tk[0]} {tk[1]}"
+    eng = Engine(spark, corpus=docs, field_indexes=idxs)
+    specs = {
+        "p1": {
+            "multi_match": {
+                "query_text": q, "fields": FIELDS, "match_type": "phrase",
+            }
+        },
+        "p2": {
+            "multi_match": {
+                "query_text": q, "fields": FIELDS, "match_type": "phrase",
+            }
+        },
+    }
+    out = eng.msearch(specs, k=5).toPandas()
+    assert set(out.query_id) == {"p1", "p2"}
+    one = eng.search(spec_from_json(specs["p1"]), k=5).toPandas()
+    g = out[out.query_id == "p1"].sort_values("rank")
+    assert (g.doc_id.to_numpy() == one.sort_values("rank").doc_id.to_numpy()).all()
+
+
 def test_engine_routes_multi_match_to_indexes(mmx, spark):
     docs, idxs = mmx
     eng = Engine(spark, corpus=docs, field_indexes=idxs)
