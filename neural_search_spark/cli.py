@@ -241,6 +241,14 @@ def cmd_search(args) -> None:
                 "--corpus table needs a doc_id column (or conv_id + "
                 "turn_idx to derive one)"
             )
+    field_indexes = {}
+    for spec_kv in getattr(args, "field_index", []) or []:
+        name, sep, path = spec_kv.partition("=")
+        if not sep or not name or not path:
+            raise SystemExit(
+                f"--field-index wants FIELD=DIR, got {spec_kv!r}"
+            )
+        field_indexes[name] = BM25Index(spark, path)
     eng = Engine(
         spark,
         corpus=corpus,
@@ -249,6 +257,7 @@ def cmd_search(args) -> None:
             SparseIndex(spark, args.sparse_index) if args.sparse_index else None
         ),
         ann_index=ann,
+        field_indexes=field_indexes or None,
     )
     parsed = json.loads(spec)
     rescore = json.loads(args.rescore_json) if args.rescore_json else None
@@ -368,6 +377,15 @@ def main(argv=None) -> None:
     s.add_argument("--spec", help="path to a JSON query spec file")
     s.add_argument("--spec-json", help="inline JSON query spec")
     s.add_argument("--index", help="BM25 block index dir (match queries)")
+    s.add_argument(
+        "--field-index",
+        action="append",
+        default=[],
+        metavar="FIELD=DIR",
+        help="per-field BM25 block index for multi_match index serving "
+        "(repeatable, e.g. --field-index text=/d/text --field-index "
+        "tool=/d/tool)",
+    )
     s.add_argument("--sparse-index", help="sparse postings index dir")
     s.add_argument(
         "--ann-index",
