@@ -202,6 +202,21 @@ def main():
         fidx, "merge src1 src2", ["text", "tool^2.0"], k=10,
         mode="distributed",
     )
+    # cross_fields rides the co-partitioned batch kernel: one shard-keyed
+    # applyInPandas over the unioned per-field postings — the only
+    # exchange below the per-query window is that shard regroup
+    mmx_cf = multi_match_index_topk(
+        fidx, "merge src1 src2", ["text", "tool^2.0"],
+        match_type="cross_fields", k=10, mode="distributed",
+    )
+    plans[
+        "multi_match cross_fields (co-partitioned blended-df kernel)"
+    ] = mmx_cf
+    cf_text = cap(mmx_cf)
+    assert "CartesianProduct" not in cf_text
+    assert "FlatMapGroupsInPandas" in cf_text, (
+        "cross_fields should run the shard-keyed batch kernel"
+    )
     print("multi_match index routes: one-exchange combine — ok")
 
     # round-4 text-query family: fuzzy rides the SAME pruned postings scan
