@@ -15,7 +15,7 @@ Routing table (spec → plan):
                                                 | positional equi-join scan
   match_phrase_prefix → phrase_prefix_topk (dictionary prefix expansion,
                    union positions at the last offset) | prefix scan
-  prefix/wildcard/terms → multiterm_topk (constant-score rewrite:
+  prefix/wildcard/regexp/terms → multiterm_topk (constant-score rewrite:
                    dictionary walk / verbatim set → distinct postings
                    union) | exists() token scan
   term           → term_topk (un-analyzed BM25 TermQuery) | verbatim scan
@@ -154,6 +154,7 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "multi_match",
         "prefix",
         "wildcard",
+        "regexp",
         "term",
         "terms",
         "simple_query_string",
@@ -370,7 +371,7 @@ class Engine:
                     self.id_col,
                 )
             )
-        if spec.query_type in ("prefix", "wildcard", "terms"):
+        if spec.query_type in ("prefix", "wildcard", "regexp", "terms"):
             if (
                 self.bm25_index is not None
                 and spec.filter is None
@@ -958,7 +959,7 @@ class Engine:
                 return {"route": "corpus",
                         "reason": "index lacks the positions sidecar"}
             return {"route": "index", "reason": "positions-sidecar kernels"}
-        if qt in ("prefix", "wildcard", "terms", "term"):
+        if qt in ("prefix", "wildcard", "regexp", "terms", "term"):
             if self.bm25_index is None or not unfiltered:
                 return {"route": "corpus", "reason": "no index / filtered"}
             return {"route": "index", "reason": "dictionary walk + postings"}

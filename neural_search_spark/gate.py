@@ -932,6 +932,7 @@ _MT_WILDCARD = "d?p*"  # → 'dup' through both wildcard metachars
 _MT_TERM = "vector"
 _MT_TERMS = ["dup", "customer"]
 _MBP_Q = "vector du"  # 'vector' SHOULD clause + trailing 'du' prefix
+_MT_REGEXP = "d(u|o)[a-z]+"  # → 'dup', 'doc…' via alternation + class
 _SQS_MIX = "spark + join | filter"  # (spark AND join) OR filter
 _SQS_NEG = "spark -dup"  # MatchAllDocs negation wrapper semantics
 _SQS_GRP = "(spark | join) + dup"
@@ -955,6 +956,7 @@ def q_multiterm_matrix(spark: SparkSession, sf: str) -> DataFrame:
     specs = [
         ("prefix", {"prefix": {"value": _MT_PREFIX}}),
         ("wildcard", {"wildcard": {"value": _MT_WILDCARD}}),
+        ("regexp", {"regexp": {"value": _MT_REGEXP}}),
         ("term", {"term": {"value": _MT_TERM}}),
         ("terms", {"terms": {"values": _MT_TERMS}}),
         ("mbp", {"match_bool_prefix": {"query_text": _MBP_Q}}),
@@ -987,6 +989,10 @@ FROM documents WHERE {pred} ORDER BY doc_id LIMIT 10"""
 
     rx = wildcard_regex(_MT_WILDCARD)
     wild_p = f"len(list_filter({TOK}, t -> regexp_matches(t, '{rx}'))) > 0"
+    rex_p = (
+        f"len(list_filter({TOK}, "
+        f"t -> regexp_matches(t, '^(?:{_MT_REGEXP})$'))) > 0"
+    )
     vals = ", ".join(f"'{v}'" for v in _MT_TERMS)
     terms_p = f"len(list_filter({TOK}, t -> t IN ({vals}))) > 0"
     term_b = bm25_scored_sql("documents", ["doc_id"], _MT_TERM, ndp=4)
@@ -1011,6 +1017,7 @@ FROM ({_topk_sql(mbp_inner, ["doc_id"], 10)})"""
         for p in (
             const("prefix", prefix_p),
             const("wildcard", wild_p),
+            const("regexp", rex_p),
             term_sql,
             const("terms", terms_p),
             mbp_sql,

@@ -58,17 +58,66 @@ def wildcard_literal_prefix(pattern: str) -> str:
     return pattern
 
 
+_LUCENE_REGEXP_OPTIONAL = set('~&<>@"')
+
+
+def check_regexp_pattern(pattern: str) -> None:
+    """The regexp query supports the operator subset shared by Lucene
+    RegExp and standard regex syntax (concatenation, |, ?, *, +, {m,n},
+    [...], (...), ., \\ escapes). Lucene's OPTIONAL operators —
+    complement ``~``, intersection ``&``, interval ``<1-10>``, any-string
+    ``@``, quoting ``"..."`` — are not implemented; an unescaped
+    occurrence raises rather than silently matching differently
+    (documented divergence; the reference host enables them via the
+    ``flags`` parameter)."""
+    esc = False
+    for ch in pattern or "":
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+            continue
+        if ch in _LUCENE_REGEXP_OPTIONAL:
+            raise NotImplementedError(
+                f"regexp operator {ch!r} (a Lucene RegExp optional "
+                "operator) is not supported — use the shared "
+                "concatenation/|/?/*/+/{{m,n}}/[...]/(...) subset"
+            )
+
+
+def regexp_literal_prefix(pattern: str) -> str:
+    """Longest leading run of literal token characters ([a-z0-9]) — the
+    dictionary range-pushdown key (regex metachars end it; a following
+    quantifier would make the LAST literal optional, so back off one)."""
+    out = []
+    for i, ch in enumerate(pattern):
+        if ch.isalnum() and ch.lower() == ch:
+            out.append(ch)
+        else:
+            if out and ch in "?*{":
+                out.pop()  # quantifier applies to the previous atom
+            break
+    return "".join(out)
+
+
 def expand_pattern(
     index: BM25Index, pattern, kind: str
 ) -> list[tuple[str, int]]:
-    """Dictionary terms matching a prefix/wildcard/verbatim-set, with dfs."""
+    """Dictionary terms matching a prefix/wildcard/regexp/verbatim-set,
+    with dfs."""
     if kind == "terms":
         stats = index.term_stats(sorted({str(v) for v in (pattern or [])}))
         return sorted(stats.items())
     if kind == "prefix":
         return index.dictionary(prefix=pattern) if pattern else []
-    rx = re.compile(wildcard_regex(pattern))
-    lit = wildcard_literal_prefix(pattern)
+    if kind == "regexp":
+        check_regexp_pattern(pattern)
+        rx = re.compile(f"^(?:{pattern})$")
+        lit = regexp_literal_prefix(pattern)
+    else:
+        rx = re.compile(wildcard_regex(pattern))
+        lit = wildcard_literal_prefix(pattern)
     vocab = index.dictionary(prefix=lit or None)
     return [(t, df) for t, df in vocab if rx.match(t)]
 
@@ -420,6 +469,10 @@ def multiterm_scored_scan(
         if not value:
             return empty_scan
         pred = lambda t: t.startswith(value)  # noqa: E731
+    elif kind == "regexp":
+        check_regexp_pattern(value)
+        rx = f"^(?:{value})$"
+        pred = lambda t: t.rlike(rx)  # noqa: E731
     else:
         rx = wildcard_regex(value)
         pred = lambda t: t.rlike(rx)  # noqa: E731

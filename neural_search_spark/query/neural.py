@@ -55,9 +55,11 @@ class QuerySpec:
     fuzziness: int | str | None = None
     prefix_length: int = 0
     fuzzy_transpositions: bool = True
-    # prefix / wildcard / term only: the verbatim (un-analyzed) term or
-    # pattern; boost is the constant score for the CONSTANT_SCORE kinds
-    # (prefix/wildcard/terms). `term` is BM25-scored like Lucene TermQuery.
+    # prefix / wildcard / regexp / term only: the verbatim (un-analyzed)
+    # term or pattern; boost is the constant score for the CONSTANT_SCORE
+    # kinds (prefix/wildcard/regexp/terms). `term` is BM25-scored like
+    # Lucene TermQuery. regexp supports the Lucene-∩-standard operator
+    # subset (see query.multiterm.check_regexp_pattern).
     value: str | None = None
     boost: float = 1.0
     # terms only: the verbatim value set (docs containing ANY score boost)
@@ -266,7 +268,7 @@ def execute(
             id_col=id_col,
             text_col=spec.field,
         )
-    if spec.query_type in ("prefix", "wildcard", "terms"):
+    if spec.query_type in ("prefix", "wildcard", "regexp", "terms"):
         from .multiterm import multiterm_scored_scan
 
         return multiterm_scored_scan(

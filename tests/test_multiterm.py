@@ -77,6 +77,64 @@ def test_wildcard_topk(mt_setup, mode):
     assert (got.score == 2.0).all()
 
 
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+def test_regexp_topk(mt_setup, mode):
+    import re
+
+    idx, tt = mt_setup
+    rx = re.compile("^w0(01|25)[0-9]$")
+    exp = brute_ids(tt, lambda t: rx.match(t), k=10)
+    assert exp, "fixture vocab has w001x/w025x tokens"
+    got = multiterm_topk(
+        idx, "w0(01|25)[0-9]", kind="regexp", k=10, mode=mode
+    ).toPandas()
+    assert got.doc_id.tolist() == exp
+    assert (got.score == 1.0).all()
+
+
+def test_regexp_scan_engine_and_guards(mt_setup, transcripts_df, spark):
+    from neural_search_spark.engine import Engine, spec_from_json
+    from neural_search_spark.query.multiterm import (
+        check_regexp_pattern,
+        regexp_literal_prefix,
+    )
+
+    # literal-prefix pushdown: quantifier makes the last literal optional
+    assert regexp_literal_prefix("w00(1|2)x") == "w00"
+    assert regexp_literal_prefix("to*l") == "t"  # '*' binds to 'o'
+    assert regexp_literal_prefix("tool") == "tool"
+    assert regexp_literal_prefix(".*x") == ""
+    # Lucene optional operators refuse instead of diverging silently
+    for bad in ("a~1", "a&b", "<1-10>", 'a"b"'):
+        with pytest.raises(NotImplementedError):
+            check_regexp_pattern(bad)
+    check_regexp_pattern("a\\&b")  # escaped form is a literal — fine
+
+    idx, tt = mt_setup
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    got = (
+        multiterm_scored_scan(docs, "w0(01|25)[0-9]", kind="regexp")
+        .orderBy("doc_id")
+        .limit(10)
+        .toPandas()
+    )
+    want = multiterm_topk(idx, "w0(01|25)[0-9]", kind="regexp", k=10).toPandas()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    # engine routes regexp to the index and falls back to the scan
+    eng = Engine(spark, corpus=docs, bm25_index=idx)
+    spec = spec_from_json({"regexp": {"value": "w0(01|25)[0-9]"}})
+    assert eng.explain_route(spec)["route"] == "index"
+    assert (
+        eng.search(spec, k=10).toPandas().doc_id.tolist()
+        == want.doc_id.tolist()
+    )
+    assert (
+        Engine(spark, corpus=docs).search(spec, k=10)
+        .toPandas().doc_id.tolist()
+        == want.doc_id.tolist()
+    )
+
+
 def test_no_expansion_is_empty(mt_setup):
     idx, _ = mt_setup
     assert multiterm_topk(idx, "zz9qx", kind="prefix", k=5).count() == 0
