@@ -155,6 +155,7 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "prefix",
         "wildcard",
         "regexp",
+        "fuzzy",
         "term",
         "terms",
         "simple_query_string",
@@ -390,6 +391,33 @@ class Engine:
                 ).drop("rank")
             return _bound(
                 execute(spec, self._need_corpus(spec.query_type), self.id_col)
+            )
+        if spec.query_type == "fuzzy":
+            # standalone fuzzy query: single UN-ANALYZED value expanded
+            # against the dictionary (Lucene FuzzyQuery / blended rewrite
+            # — same scorer as match-fuzziness, no tokenization)
+            if (
+                self.bm25_index is not None
+                and spec.filter is None
+                and allowed is None
+            ):
+                from .query.fuzzy import fuzzy_match_topk
+
+                return fuzzy_match_topk(
+                    self.bm25_index,
+                    "",
+                    k=k,
+                    fuzziness=(
+                        spec.fuzziness if spec.fuzziness is not None
+                        else "AUTO"
+                    ),
+                    prefix_length=spec.prefix_length,
+                    transpositions=spec.fuzzy_transpositions,
+                    max_expansions=spec.max_expansions,
+                    raw_tokens=[spec.value or ""],
+                ).drop("rank")
+            return _bound(
+                execute(spec, self._need_corpus("fuzzy"), self.id_col)
             )
         if spec.query_type == "term":
             if (
@@ -959,6 +987,11 @@ class Engine:
                 return {"route": "corpus",
                         "reason": "index lacks the positions sidecar"}
             return {"route": "index", "reason": "positions-sidecar kernels"}
+        if qt == "fuzzy":
+            if self.bm25_index is None or not unfiltered:
+                return {"route": "corpus", "reason": "no index / filtered"}
+            return {"route": "index", "reason": "un-analyzed fuzzy "
+                    "dictionary expansion + weighted BM25 kernels"}
         if qt in ("prefix", "wildcard", "regexp", "terms", "term"):
             if self.bm25_index is None or not unfiltered:
                 return {"route": "corpus", "reason": "no index / filtered"}

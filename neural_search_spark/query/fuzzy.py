@@ -205,6 +205,7 @@ def fuzzy_match_topk(
     max_expansions: int = 50,
     mode: str = "auto",
     allow_unpruned_dictionary: bool = False,
+    raw_tokens: list[str] | None = None,
 ) -> DataFrame:
     """Index-backed fuzzy match top-k → (doc_id, score, rank): dictionary
     expansion on the driver (prefix range pushdown when prefix_length>0),
@@ -215,7 +216,14 @@ def fuzzy_match_topk(
     ``allow_unpruned_dictionary=True`` (the 100-TB-safe default — see the
     module docstring's web-scale caveat)."""
     spark = index.spark
-    tokens = tokenize_py(query_text)
+    # raw_tokens: the standalone `fuzzy` query's un-analyzed contract —
+    # the verbatim value(s) expand against the dictionary with no
+    # tokenization (case/punctuation differences count as edits)
+    tokens = (
+        [t for t in raw_tokens if t]
+        if raw_tokens is not None
+        else tokenize_py(query_text)
+    )
     if not tokens:
         return spark.range(0).select(
             F.col("id").alias("doc_id"),
@@ -250,6 +258,7 @@ def fuzzy_match_scored_scan(
     max_expansions: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    raw_tokens: list[str] | None = None,
 ) -> DataFrame:
     """Index-free fuzzy match scores → (doc_id, score double): vocabulary
     and dfs come from the SCOPED frame (two vocabulary-bounded driver
@@ -259,7 +268,11 @@ def fuzzy_match_scored_scan(
     empty = spark.range(0).select(
         F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
     )
-    tokens = tokenize_py(query_text)
+    tokens = (
+        [t for t in raw_tokens if t]
+        if raw_tokens is not None
+        else tokenize_py(query_text)
+    )
     if not tokens:
         return empty
     toks = docs.select(

@@ -285,6 +285,22 @@ def execute(
         return term_scored_scan(
             scoped, spec.value or "", id_col=id_col, text_col=spec.field
         )
+    if spec.query_type == "fuzzy":
+        from .fuzzy import fuzzy_match_scored_scan
+
+        return fuzzy_match_scored_scan(
+            scoped,
+            "",
+            fuzziness=(
+                spec.fuzziness if spec.fuzziness is not None else "AUTO"
+            ),
+            prefix_length=spec.prefix_length,
+            transpositions=spec.fuzzy_transpositions,
+            max_expansions=spec.max_expansions,
+            id_col=id_col,
+            text_col=spec.field,
+            raw_tokens=[spec.value or ""],
+        )
     if spec.query_type == "simple_query_string":
         from .sqs import sqs_scored
 

@@ -243,3 +243,38 @@ def test_unpruned_dictionary_guard(fz_setup, monkeypatch):
     assert len(got_p) > 0
     out = term_suggest(idx, "tol", prefix_length=1)
     assert out["tol"]
+
+
+def test_standalone_fuzzy_query(fz_setup, transcripts_df, spark):
+    """The host's standalone `fuzzy` query: single UN-ANALYZED value →
+    dictionary expansion (no tokenization — case differences count as
+    edits), same blended scorer as match-fuzziness."""
+    from neural_search_spark.engine import Engine, spec_from_json
+
+    idx, tt = fz_setup
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs, bm25_index=idx)
+    # a clean lowercase value behaves exactly like match+fuzziness
+    spec = spec_from_json(
+        {"fuzzy": {"value": "tol", "fuzziness": 1, "prefix_length": 1}}
+    )
+    assert eng.explain_route(spec)["route"] == "index"
+    got = eng.search(spec, k=10).toPandas()
+    want = fuzzy_match_topk(
+        idx, "tol", k=10, fuzziness=1, prefix_length=1
+    ).toPandas()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    # corpus fallback agrees
+    got_scan = Engine(spark, corpus=docs).search(spec, k=10).toPandas()
+    assert got_scan.doc_id.tolist() == want.doc_id.tolist()
+    # un-analyzed: 'Tool' is 1 edit from the indexed 'tool' — it matches
+    # through the edit, not through analysis
+    up = eng.search(
+        spec_from_json({"fuzzy": {"value": "Tool", "fuzziness": 1}}), k=5
+    ).toPandas()
+    assert len(up) > 0
+    # ...but at fuzziness 0 the verbatim value matches nothing
+    z = eng.search(
+        spec_from_json({"fuzzy": {"value": "Tool", "fuzziness": 0}}), k=5
+    ).toPandas()
+    assert len(z) == 0
