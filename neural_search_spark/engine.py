@@ -160,6 +160,8 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "terms",
         "simple_query_string",
         "match_bool_prefix",
+        "match_all",
+        "ids",
         "neural",
         "neural_sparse",
         "neural_knn",
@@ -588,6 +590,11 @@ class Engine:
             return _bound(
                 execute(spec, self._need_corpus(spec.query_type), self.id_col)
             )
+        if spec.query_type in ("match_all", "ids"):
+            # constant-score corpus plans (MatchAllDocsQuery / IdsQuery)
+            return _bound(
+                execute(spec, self._need_corpus(spec.query_type), self.id_col)
+            )
         raise ValueError(f"unknown query type: {spec.query_type}")
 
     # efficient-filtering knobs (reference analog: the k-NN plugin's
@@ -992,6 +999,9 @@ class Engine:
                 return {"route": "corpus", "reason": "no index / filtered"}
             return {"route": "index", "reason": "un-analyzed fuzzy "
                     "dictionary expansion + weighted BM25 kernels"}
+        if qt in ("match_all", "ids"):
+            return {"route": "corpus",
+                    "reason": "constant-score id projection"}
         if qt in ("prefix", "wildcard", "regexp", "terms", "term"):
             if self.bm25_index is None or not unfiltered:
                 return {"route": "corpus", "reason": "no index / filtered"}

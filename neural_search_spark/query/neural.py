@@ -285,6 +285,27 @@ def execute(
         return term_scored_scan(
             scoped, spec.value or "", id_col=id_col, text_col=spec.field
         )
+    if spec.query_type == "match_all":
+        # MatchAllDocsQuery: every scoped doc at the constant boost —
+        # ranks by doc_id ascending (constant-score collector order)
+        return scoped.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(float(spec.boost)).alias("score"),
+        )
+    if spec.query_type == "ids":
+        # IdsQuery: verbatim doc-id membership, constant score
+        vals = [int(v) for v in (spec.values or [])]
+        if not vals:
+            return scoped.sparkSession.range(0).select(
+                F.col("id").alias("doc_id"),
+                F.lit(0.0).cast("double").alias("score"),
+            )
+        return scoped.filter(
+            F.col(id_col).cast("long").isin(vals)
+        ).select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(float(spec.boost)).alias("score"),
+        )
     if spec.query_type == "fuzzy":
         from .fuzzy import fuzzy_match_scored_scan
 

@@ -188,3 +188,41 @@ def test_driver_postings_cache_eviction_correct(spark, small_index):
         c = bm25_topk(tiny, q, k=8, mode="driver").toPandas()  # re-run, warm/evicted mix
         assert a.doc_id.tolist() == b.doc_id.tolist() == c.doc_id.tolist(), q
         assert a.score.tolist() == b.score.tolist() == c.score.tolist(), q
+
+
+def test_match_all_and_ids_queries(spark, transcripts_df):
+    """Host basics: MatchAllDocsQuery (constant boost, doc_id-asc order)
+    and IdsQuery (verbatim id membership)."""
+    from neural_search_spark.engine import Engine, spec_from_json
+    from neural_search_spark.index.build import doc_id_col
+
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs)
+    all5 = eng.search(
+        spec_from_json({"match_all": {"boost": 2.0}}), k=5
+    ).toPandas()
+    exp = sorted(docs.select("doc_id").toPandas().doc_id)[:5]
+    assert all5.doc_id.tolist() == exp
+    assert (all5.score == 2.0).all()
+    ids = [int(exp[0]), int(exp[3]), 12345]  # one absent id
+    got = eng.search(
+        spec_from_json({"ids": {"values": ids}}), k=10
+    ).toPandas()
+    assert sorted(got.doc_id) == sorted([exp[0], exp[3]])
+    assert (got.score == 1.0).all()
+    assert eng.explain_route(spec_from_json({"match_all": {}}))[
+        "route"
+    ] == "corpus"
+    # composes inside bool as a filter-style clause
+    out = eng.search(
+        spec_from_json(
+            {
+                "bool": {
+                    "must": [{"match": {"query_text": "tool"}}],
+                    "filter": [{"ids": {"values": ids}}],
+                }
+            }
+        ),
+        k=10,
+    ).toPandas()
+    assert set(out.doc_id) <= {exp[0], exp[3]}
