@@ -99,6 +99,29 @@ class BoolSpec:
     minimum_should_match: int | None = None
 
 
+@dataclass
+class DisMaxSpec:
+    """Explicit DisjunctionMaxQuery (host `dis_max`): a doc matching any
+    sub-query scores max over the matching sub-queries' scores +
+    tie_breaker · (sum − max). Sub-queries are leaf QuerySpecs (same
+    no-nesting restriction as bool)."""
+
+    queries: list[QuerySpec]
+    tie_breaker: float = 0.0
+
+
+@dataclass
+class BoostingSpec:
+    """Host `boosting` query (Lucene BoostingQuery semantics): docs score
+    by the positive sub-query; docs ALSO matching the negative sub-query
+    have that score multiplied by ``negative_boost`` (demoted, never
+    excluded — the distinction from bool must_not)."""
+
+    positive: QuerySpec
+    negative: QuerySpec
+    negative_boost: float = 0.5
+
+
 def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
     """Parse the JSON query surface:
 
@@ -116,21 +139,46 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
     if qtype == "bool":
         def _subs(key):
             out = [spec_from_json(s) for s in body.get(key, [])]
-            if any(isinstance(s, (HybridSpec, BoolSpec)) for s in out):
-                raise ValueError("bool clauses cannot nest bool/hybrid")
+            if any(not isinstance(s, QuerySpec) for s in out):
+                raise ValueError(
+                    "bool clauses cannot nest composite queries"
+                )
             return out
 
         flt = body.get("filter")
         if isinstance(flt, list):
             flt = [spec_from_json(s) for s in flt]
-            if any(isinstance(s, (HybridSpec, BoolSpec)) for s in flt):
-                raise ValueError("bool clauses cannot nest bool/hybrid")
+            if any(not isinstance(s, QuerySpec) for s in flt):
+                raise ValueError(
+                    "bool clauses cannot nest composite queries"
+                )
         return BoolSpec(
             must=_subs("must"),
             should=_subs("should"),
             must_not=_subs("must_not"),
             filter=flt,
             minimum_should_match=body.get("minimum_should_match"),
+        )
+    if qtype == "dis_max":
+        subs = [spec_from_json(s) for s in body.get("queries", [])]
+        if not subs:
+            raise ValueError("dis_max needs at least one sub-query")
+        if any(not isinstance(s, QuerySpec) for s in subs):
+            raise ValueError("dis_max sub-queries cannot nest bool/hybrid")
+        return DisMaxSpec(
+            queries=subs, tie_breaker=float(body.get("tie_breaker", 0.0))
+        )
+    if qtype == "boosting":
+        if "positive" not in body or "negative" not in body:
+            raise ValueError("boosting needs positive and negative")
+        pos = spec_from_json(body["positive"])
+        neg = spec_from_json(body["negative"])
+        if not isinstance(pos, QuerySpec) or not isinstance(neg, QuerySpec):
+            raise ValueError("boosting clauses cannot nest bool/hybrid")
+        return BoostingSpec(
+            positive=pos,
+            negative=neg,
+            negative_boost=float(body.get("negative_boost", 0.5)),
         )
     if qtype == "hybrid":
         subs = [spec_from_json(s) for s in body.get("queries", [])]
@@ -298,6 +346,10 @@ class Engine:
 
         if isinstance(spec, BoolSpec):
             return _bound(self._bool_scored(spec))
+        if isinstance(spec, DisMaxSpec):
+            return _bound(self._dismax_scored(spec))
+        if isinstance(spec, BoostingSpec):
+            return _bound(self._boosting_scored(spec))
         if spec.query_type == "match":
             if (
                 self.bm25_index is not None
@@ -655,6 +707,54 @@ class Engine:
         finally:
             survivors.unpersist()
 
+    def _dismax_scored(self, spec: DisMaxSpec) -> DataFrame:
+        """DisjunctionMaxQuery: full matched sets per sub-query (corpus
+        scorers — max needs every sub-query's score for a doc, which the
+        index kernels' k-truncated lists can't provide), one doc-keyed
+        max/sum aggregation."""
+        corpus = self._need_corpus("dis_max")
+        tall = None
+        for s in spec.queries:
+            sc = execute(s, corpus, self.id_col).select(
+                "doc_id", F.col("score").cast("double").alias("score")
+            )
+            tall = sc if tall is None else tall.unionAll(sc)
+        agg = tall.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        return agg.select(
+            "doc_id",
+            (
+                F.col("mx")
+                + F.lit(spec.tie_breaker) * (F.col("sm") - F.col("mx"))
+            ).alias("score"),
+        )
+
+    def _boosting_scored(self, spec: BoostingSpec) -> DataFrame:
+        """BoostingQuery: positive scores; docs also in the negative
+        matched set multiply by negative_boost (demotion via one id
+        projection + left join — the negative side's scores never
+        matter, only membership)."""
+        corpus = self._need_corpus("boosting")
+        pos = execute(spec.positive, corpus, self.id_col).select(
+            "doc_id", F.col("score").cast("double").alias("score")
+        )
+        neg = (
+            execute(spec.negative, corpus, self.id_col)
+            .select("doc_id")
+            .distinct()
+            .withColumn("neg", F.lit(True))
+        )
+        return pos.join(neg, "doc_id", "left").select(
+            "doc_id",
+            F.when(
+                F.col("neg").isNotNull(),
+                F.col("score") * F.lit(spec.negative_boost),
+            )
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+
     def _bool_scored(self, spec: BoolSpec) -> DataFrame:
         """(doc_id, score) for a BoolSpec — one tall union of every
         scoring clause's full matched set, ONE doc-keyed shuffle deciding
@@ -972,6 +1072,18 @@ class Engine:
                 "route": "composite",
                 "reason": "bool: corpus clause fold (shared-scan for "
                 "plain match clauses), gates as anti/semi joins",
+            }
+        if isinstance(spec, DisMaxSpec):
+            return {
+                "route": "composite",
+                "reason": "dis_max: full matched sets → one doc-keyed "
+                "max/sum aggregation",
+            }
+        if isinstance(spec, BoostingSpec):
+            return {
+                "route": "composite",
+                "reason": "boosting: positive scores, negative-membership "
+                "demotion join",
             }
         unfiltered = spec.filter is None and spec.post_filter is None
         qt = spec.query_type

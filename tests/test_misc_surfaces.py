@@ -226,3 +226,97 @@ def test_match_all_and_ids_queries(spark, transcripts_df):
         k=10,
     ).toPandas()
     assert set(out.doc_id) <= {exp[0], exp[3]}
+
+
+def test_dis_max_and_boosting_queries(spark, transcripts_df):
+    """Host composite leaves: dis_max (explicit DisjunctionMaxQuery with
+    tie_breaker) and boosting (negative-membership demotion, never
+    exclusion) — checked against manual pandas compositions."""
+    import numpy as np
+
+    from neural_search_spark.engine import Engine, spec_from_json
+    from neural_search_spark.index.build import doc_id_col
+    from neural_search_spark.query.neural import QuerySpec, execute
+
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs)
+    qa, qb = "tool call", "model"
+    sa = (
+        execute(QuerySpec(query_type="match", query_text=qa), docs)
+        .toPandas().set_index("doc_id")["score"]
+    )
+    sb = (
+        execute(QuerySpec(query_type="match", query_text=qb), docs)
+        .toPandas().set_index("doc_id")["score"]
+    )
+    tb = 0.3
+    import pandas as pd
+
+    both = pd.concat([sa.rename("a"), sb.rename("b")], axis=1)
+    mx, sm = both.max(axis=1), both.sum(axis=1)
+    exp = (
+        (mx + tb * (sm - mx))
+        .rename("score").reset_index()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10).reset_index(drop=True)
+    )
+    got = eng.search(
+        spec_from_json(
+            {
+                "dis_max": {
+                    "queries": [
+                        {"match": {"query_text": qa}},
+                        {"match": {"query_text": qb}},
+                    ],
+                    "tie_breaker": tb,
+                }
+            }
+        ),
+        k=10,
+    ).toPandas()
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert np.allclose(got.score, exp.score, rtol=1e-9)
+
+    nb = 0.25
+    exp_b = sa.copy()
+    exp_b[exp_b.index.isin(sb.index)] *= nb
+    exp_b = (
+        exp_b.rename("score").reset_index()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10).reset_index(drop=True)
+    )
+    got_b = eng.search(
+        spec_from_json(
+            {
+                "boosting": {
+                    "positive": {"match": {"query_text": qa}},
+                    "negative": {"match": {"query_text": qb}},
+                    "negative_boost": nb,
+                }
+            }
+        ),
+        k=10,
+    ).toPandas()
+    assert got_b.doc_id.tolist() == exp_b.doc_id.tolist()
+    assert np.allclose(got_b.score, exp_b.score, rtol=1e-9)
+    # demoted docs are present (never excluded) when k is large enough
+    all_b = eng.search(
+        spec_from_json(
+            {
+                "boosting": {
+                    "positive": {"match": {"query_text": qa}},
+                    "negative": {"match": {"query_text": qb}},
+                    "negative_boost": nb,
+                }
+            }
+        ),
+        k=10_000,
+    ).toPandas()
+    assert set(all_b.doc_id) == set(sa.index)
+    # nesting guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nest"):
+        spec_from_json(
+            {"dis_max": {"queries": [{"bool": {"must": []}}]}}
+        )
