@@ -122,6 +122,18 @@ class BoostingSpec:
     negative_boost: float = 0.5
 
 
+@dataclass
+class ConstantScoreSpec:
+    """Host `constant_score` query (Lucene ConstantScoreQuery): the
+    wrapped filter decides membership, every matching doc scores exactly
+    ``boost`` — the filter's own scores (if any) are discarded. ``filter``
+    is either a leaf QuerySpec or a SQL predicate string over corpus
+    columns (the filter-context fast path: no scoring plan at all)."""
+
+    filter: "QuerySpec | str"
+    boost: float = 1.0
+
+
 def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
     """Parse the JSON query surface:
 
@@ -180,6 +192,35 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
             negative=neg,
             negative_boost=float(body.get("negative_boost", 0.5)),
         )
+    if qtype == "constant_score":
+        if "filter" not in body:
+            raise ValueError("constant_score needs a filter")
+        flt = body["filter"]
+        if isinstance(flt, dict):
+            flt = spec_from_json(flt)
+            if not isinstance(flt, QuerySpec):
+                raise ValueError(
+                    "constant_score filter cannot nest composite queries"
+                )
+        elif not isinstance(flt, str):
+            raise ValueError(
+                "constant_score filter must be a sub-query or SQL predicate"
+            )
+        return ConstantScoreSpec(
+            filter=flt, boost=float(body.get("boost", 1.0))
+        )
+    if qtype == "range":
+        # both host shapes: {"range": {"ts": {"gte": ...}}} and the flat
+        # {"range": {"field": "ts", "gte": ...}}
+        if "field" not in body:
+            if len(body) != 1:
+                raise ValueError(
+                    "range body must be {field: {bounds}} or carry 'field'"
+                )
+            (fname, bounds), = body.items()
+            if not isinstance(bounds, dict):
+                raise ValueError("range bounds must be an object")
+            body = {"field": fname, **bounds}
     if qtype == "hybrid":
         subs = [spec_from_json(s) for s in body.get("queries", [])]
         if any(isinstance(s, HybridSpec) for s in subs):
@@ -210,6 +251,8 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "match_bool_prefix",
         "match_all",
         "ids",
+        "range",
+        "exists",
         "neural",
         "neural_sparse",
         "neural_knn",
@@ -350,6 +393,8 @@ class Engine:
             return _bound(self._dismax_scored(spec))
         if isinstance(spec, BoostingSpec):
             return _bound(self._boosting_scored(spec))
+        if isinstance(spec, ConstantScoreSpec):
+            return _bound(self._constant_score_scored(spec))
         if spec.query_type == "match":
             if (
                 self.bm25_index is not None
@@ -642,8 +687,9 @@ class Engine:
             return _bound(
                 execute(spec, self._need_corpus(spec.query_type), self.id_col)
             )
-        if spec.query_type in ("match_all", "ids"):
-            # constant-score corpus plans (MatchAllDocsQuery / IdsQuery)
+        if spec.query_type in ("match_all", "ids", "range", "exists"):
+            # constant-score corpus plans (MatchAllDocsQuery / IdsQuery /
+            # RangeQuery / ExistsQuery): pushed-down column predicates
             return _bound(
                 execute(spec, self._need_corpus(spec.query_type), self.id_col)
             )
@@ -753,6 +799,25 @@ class Engine:
             )
             .otherwise(F.col("score"))
             .alias("score"),
+        )
+
+    def _constant_score_scored(self, spec: ConstantScoreSpec) -> DataFrame:
+        """ConstantScoreQuery: membership from the wrapped filter, score
+        = boost. A SQL-predicate filter never builds a scoring plan at
+        all (one pushed-down scan); a sub-query filter keeps only its id
+        projection, so e.g. a wrapped match skips its aggregation column
+        arithmetic under whole-stage codegen."""
+        corpus = self._need_corpus("constant_score")
+        if isinstance(spec.filter, str):
+            return corpus.filter(F.expr(spec.filter)).select(
+                F.col(self.id_col).alias("doc_id"),
+                F.lit(float(spec.boost)).alias("score"),
+            )
+        matched = execute(
+            spec.filter, corpus, self.id_col, analyzers=self.analyzers
+        )
+        return matched.select(
+            "doc_id", F.lit(float(spec.boost)).alias("score")
         )
 
     def _bool_scored(self, spec: BoolSpec) -> DataFrame:
@@ -1085,6 +1150,18 @@ class Engine:
                 "reason": "boosting: positive scores, negative-membership "
                 "demotion join",
             }
+        if isinstance(spec, ConstantScoreSpec):
+            if isinstance(spec.filter, str):
+                return {
+                    "route": "corpus",
+                    "reason": "constant_score: pushed-down predicate scan, "
+                    "no scoring plan",
+                }
+            return {
+                "route": "composite",
+                "reason": "constant_score: wrapped sub-query's matched-set "
+                "projection at a fixed boost",
+            }
         unfiltered = spec.filter is None and spec.post_filter is None
         qt = spec.query_type
         if qt == "match":
@@ -1114,6 +1191,10 @@ class Engine:
         if qt in ("match_all", "ids"):
             return {"route": "corpus",
                     "reason": "constant-score id projection"}
+        if qt in ("range", "exists"):
+            return {"route": "corpus",
+                    "reason": "constant-score pushed-down column predicate "
+                    "(parquet min/max pruning is the scale path)"}
         if qt in ("prefix", "wildcard", "regexp", "terms", "term"):
             if self.bm25_index is None or not unfiltered:
                 return {"route": "corpus", "reason": "no index / filtered"}

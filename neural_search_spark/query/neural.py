@@ -88,6 +88,17 @@ class QuerySpec:
     # ``rewrite``/``execute``); an unregistered name raises, mirroring the
     # reference's "Analyzer [x] not found in shard context".
     analyzer: str | None = None
+    # range only (host RangeQueryBuilder): bounds over any scalar corpus
+    # column (numeric / timestamp / string). At least one must be set.
+    # Constant-score like Lucene's pointsonly ranges — matching docs score
+    # ``boost``. Bounds are cast to the column's type at plan time, so an
+    # ISO string against a timestamp column compares correctly, and the
+    # predicate stays a Catalyst comparison (parquet min/max pushdown —
+    # the 100-TB path is the scan pruning, not an index).
+    gt: object | None = None
+    gte: object | None = None
+    lt: object | None = None
+    lte: object | None = None
     k: int = 10  # reference default NeuralQueryBuilder.java:135
     filter: Column | None = None
     # radius-search knobs (NeuralQueryBuilder max_distance / min_score):
@@ -303,6 +314,41 @@ def execute(
         return scoped.filter(
             F.col(id_col).cast("long").isin(vals)
         ).select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(float(spec.boost)).alias("score"),
+        )
+    if spec.query_type == "range":
+        # host RangeQueryBuilder → Lucene point/term range: constant-score
+        # membership. The predicate is a plain Catalyst comparison so it
+        # pushes down to the parquet/Iceberg scan (min/max page pruning) —
+        # that pushdown IS the scale story for structured ranges; no
+        # secondary index needed.
+        bounds = [
+            (spec.gt, "__gt__"), (spec.gte, "__ge__"),
+            (spec.lt, "__lt__"), (spec.lte, "__le__"),
+        ]
+        if all(v is None for v, _ in bounds):
+            raise ValueError("range query needs at least one of gt/gte/lt/lte")
+        try:
+            dt = scoped.schema[spec.field].dataType
+        except KeyError:
+            raise ValueError(f"range field {spec.field!r} not in corpus")
+        pred = None
+        for v, op in bounds:
+            if v is None:
+                continue
+            p = getattr(F.col(spec.field), op)(F.lit(v).cast(dt))
+            pred = p if pred is None else (pred & p)
+        return scoped.filter(pred).select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(float(spec.boost)).alias("score"),
+        )
+    if spec.query_type == "exists":
+        # host ExistsQueryBuilder: docs with ANY value for the field —
+        # null never matches (Lucene indexes no terms for a null field)
+        if spec.field not in scoped.columns:
+            raise ValueError(f"exists field {spec.field!r} not in corpus")
+        return scoped.filter(F.col(spec.field).isNotNull()).select(
             F.col(id_col).alias("doc_id"),
             F.lit(float(spec.boost)).alias("score"),
         )
