@@ -2951,21 +2951,42 @@ BOOL_SHOULD = "merge"
 BOOL_MUST_NOT = "window"
 
 
+_IDS_SET = [3, 7, 11, 19, 23]
+_RANGE_LO, _RANGE_HI = 200, 260  # n_chars bounds for the range variant
+_CSCORE_BOOST = 2.0
+_DM_TIE = 0.3
+_NEG_BOOST = 0.5
+# exists needs real nulls; testdata has none, so both sides derive the
+# same nullable column: lang where source != 'src0', else NULL
+_NULLABLE_SQL = "CASE WHEN source = 'src0' THEN NULL ELSE lang END"
+
+
 def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """BooleanQuery composition end-to-end through the Engine, two
-    variants in one slot:
+    """Compound + structured query matrix through the Engine, one slot
+    (round-5 extension of the round-4 bool-only entry):
 
-    * 'mixed'   — must=[BOOL_MUST] + should=[BOOL_SHOULD] (optional,
+    * 'mixed'   — bool must=[BOOL_MUST] + should=[BOOL_SHOULD] (optional,
       score-adding) + must_not=[BOOL_MUST_NOT] (excluding, non-scoring);
-    * 'should2' — pure should over all three clause texts with
-      minimum_should_match=2 (BooleanQuery's optional-clause counting).
+    * 'should2' — bool pure should over all three clause texts with
+      minimum_should_match=2 (BooleanQuery's optional-clause counting);
+    * 'dismax'  — dis_max over BOOL_MUST / BOOL_SHOULD, tie_breaker 0.3
+      (DisjunctionMaxQuery: max + tb·(sum − max));
+    * 'boosting'— positive BOOL_MUST demoted ×0.5 where BOOL_MUST_NOT
+      also matches (BoostingQuery: demote, never exclude);
+    * 'cscore'  — constant_score wrapping match(BOOL_SHOULD) at boost 2.0
+      (membership kept, wrapped scores discarded);
+    * 'matchall'/'ids' — constant-score id projections;
+    * 'range'   — n_chars ∈ [200, 260) constant-score column predicate;
+    * 'exists'  — non-null membership over a derived nullable column.
 
-    Scores are clause sums on FULL-corpus stats (the Lucene contract:
-    gates change which docs collect, never how survivors score)."""
-    from .engine import BoolSpec, Engine
-    from .query.neural import QuerySpec
+    Scores are clause arithmetic on FULL-corpus stats (the Lucene
+    contract: gates change which docs collect, never how survivors
+    score)."""
+    from .engine import BoolSpec, BoostingSpec, ConstantScoreSpec, DisMaxSpec, Engine
+    from .query.neural import QuerySpec, execute
 
-    eng = Engine(spark, corpus=_docs(spark, sf))
+    docs = _docs(spark, sf)
+    eng = Engine(spark, corpus=docs)
     mixed = BoolSpec(
         must=[QuerySpec(query_type="match", query_text=BOOL_MUST)],
         should=[QuerySpec(query_type="match", query_text=BOOL_SHOULD)],
@@ -2978,14 +2999,83 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
         ],
         minimum_should_match=2,
     )
+    nullable = docs.withColumn("lang2", F.expr(_NULLABLE_SQL))
+    scoreds = [
+        ("mixed", eng._bool_scored(mixed)),
+        ("should2", eng._bool_scored(should2)),
+        (
+            "dismax",
+            eng._dismax_scored(
+                DisMaxSpec(
+                    queries=[
+                        QuerySpec(query_type="match", query_text=BOOL_MUST),
+                        QuerySpec(query_type="match", query_text=BOOL_SHOULD),
+                    ],
+                    tie_breaker=_DM_TIE,
+                )
+            ),
+        ),
+        (
+            "boosting",
+            eng._boosting_scored(
+                BoostingSpec(
+                    positive=QuerySpec(
+                        query_type="match", query_text=BOOL_MUST
+                    ),
+                    negative=QuerySpec(
+                        query_type="match", query_text=BOOL_MUST_NOT
+                    ),
+                    negative_boost=_NEG_BOOST,
+                )
+            ),
+        ),
+        (
+            "cscore",
+            eng._constant_score_scored(
+                ConstantScoreSpec(
+                    filter=QuerySpec(
+                        query_type="match", query_text=BOOL_SHOULD
+                    ),
+                    boost=_CSCORE_BOOST,
+                )
+            ),
+        ),
+        ("matchall", execute(QuerySpec(query_type="match_all"), docs)),
+        (
+            "ids",
+            execute(
+                QuerySpec(
+                    query_type="ids", values=[str(i) for i in _IDS_SET]
+                ),
+                docs,
+            ),
+        ),
+        (
+            "range",
+            execute(
+                QuerySpec(
+                    query_type="range",
+                    field="n_chars",
+                    gte=_RANGE_LO,
+                    lt=_RANGE_HI,
+                ),
+                docs,
+            ),
+        ),
+        (
+            "exists",
+            execute(QuerySpec(query_type="exists", field="lang2"), nullable),
+        ),
+    ]
     out = None
-    for name, spec in (("mixed", mixed), ("should2", should2)):
-        scored = eng._bool_scored(spec).select(
-            "doc_id", F.round(F.col("score"), 4).alias("score")
-        )
-        r = _ranked(scored, ["doc_id"], 20).withColumn(
-            "variant", F.lit(name)
-        )
+    for name, scored in scoreds:
+        r = _ranked(
+            scored.select(
+                "doc_id", F.round(F.col("score"), 4).alias("score")
+            ),
+            ["doc_id"],
+            20,
+        ).withColumn("variant", F.lit(name))
         out = r if out is None else out.unionByName(r)
     return out
 
@@ -3003,10 +3093,45 @@ SELECT doc_id, round(sum(score), 4) AS score FROM (
   SELECT * FROM ({m}) UNION ALL SELECT * FROM ({s})
   UNION ALL SELECT * FROM ({n})
 ) GROUP BY doc_id HAVING count(*) >= 2"""
-    return (
-        f"SELECT 'mixed' AS variant, * FROM ({_topk_sql(mixed, ['doc_id'], 20)}) "
-        f"UNION ALL "
-        f"SELECT 'should2' AS variant, * FROM ({_topk_sql(should2, ['doc_id'], 20)})"
+    dismax = f"""
+SELECT doc_id,
+       round(max(score) + {_DM_TIE} * (sum(score) - max(score)), 4) AS score
+FROM (SELECT * FROM ({m}) UNION ALL SELECT * FROM ({s}))
+GROUP BY doc_id"""
+    boosting = f"""
+SELECT p.doc_id,
+       round(p.score * CASE WHEN q.doc_id IS NOT NULL
+                            THEN {_NEG_BOOST} ELSE 1.0 END, 4) AS score
+FROM ({m}) p LEFT JOIN (SELECT DISTINCT doc_id FROM ({n})) q USING (doc_id)"""
+    cscore = f"SELECT doc_id, {_CSCORE_BOOST} AS score FROM ({s})"
+    matchall = "SELECT doc_id, 1.0 AS score FROM documents"
+    idset = ", ".join(str(i) for i in _IDS_SET)
+    ids = (
+        f"SELECT doc_id, 1.0 AS score FROM documents WHERE doc_id IN ({idset})"
+    )
+    rng = (
+        f"SELECT doc_id, 1.0 AS score FROM documents "
+        f"WHERE n_chars >= {_RANGE_LO} AND n_chars < {_RANGE_HI}"
+    )
+    exists = (
+        f"SELECT doc_id, 1.0 AS score FROM documents "
+        f"WHERE ({_NULLABLE_SQL}) IS NOT NULL"
+    )
+    parts = [
+        ("mixed", mixed),
+        ("should2", should2),
+        ("dismax", dismax),
+        ("boosting", boosting),
+        ("cscore", cscore),
+        ("matchall", matchall),
+        ("ids", ids),
+        ("range", rng),
+        ("exists", exists),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT '{name}' AS variant, * "
+        f"FROM ({_topk_sql(inner, ['doc_id'], 20)})"
+        for name, inner in parts
     )
 
 
