@@ -192,6 +192,32 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
             negative=neg,
             negative_boost=float(body.get("negative_boost", 0.5)),
         )
+    if qtype == "function_score":
+        from .query.function_score import (
+            FunctionScoreSpec,
+            functions_from_json,
+        )
+
+        sub = body.get("query")
+        if sub is not None:
+            sub = spec_from_json(sub)
+            if isinstance(sub, HybridSpec):
+                raise ValueError(
+                    "function_score cannot wrap a hybrid query"
+                )
+        return FunctionScoreSpec(
+            query=sub,
+            functions=functions_from_json(body.get("functions", [])),
+            score_mode=body.get("score_mode", "multiply"),
+            boost_mode=body.get("boost_mode", "multiply"),
+            max_boost=float(body.get("max_boost", 3.402823466e38)),
+            min_score=(
+                None
+                if body.get("min_score") is None
+                else float(body["min_score"])
+            ),
+            boost=float(body.get("boost", 1.0)),
+        )
     if qtype == "constant_score":
         if "filter" not in body:
             raise ValueError("constant_score needs a filter")
@@ -395,6 +421,10 @@ class Engine:
             return _bound(self._boosting_scored(spec))
         if isinstance(spec, ConstantScoreSpec):
             return _bound(self._constant_score_scored(spec))
+        from .query.function_score import FunctionScoreSpec
+
+        if isinstance(spec, FunctionScoreSpec):
+            return _bound(self._function_score_scored(spec))
         if spec.query_type == "match":
             if (
                 self.bm25_index is not None
@@ -820,6 +850,45 @@ class Engine:
             "doc_id", F.lit(float(spec.boost)).alias("score")
         )
 
+    def _full_scored(self, spec) -> DataFrame:
+        """Unbounded (doc_id, score) for any non-hybrid spec — the full
+        matched set a wrapping query (function_score, rescore) needs."""
+        if isinstance(spec, BoolSpec):
+            return self._bool_scored(spec)
+        if isinstance(spec, DisMaxSpec):
+            return self._dismax_scored(spec)
+        if isinstance(spec, BoostingSpec):
+            return self._boosting_scored(spec)
+        if isinstance(spec, ConstantScoreSpec):
+            return self._constant_score_scored(spec)
+        from .query.function_score import FunctionScoreSpec
+
+        if isinstance(spec, FunctionScoreSpec):
+            return self._function_score_scored(spec)
+        return execute(
+            spec, self._need_corpus(spec.query_type), self.id_col,
+            analyzers=self.analyzers,
+        )
+
+    def _function_score_scored(self, spec) -> DataFrame:
+        """FunctionScoreQuery: the wrapped query's full scored set →
+        one corpus join + pure column arithmetic (see
+        query.function_score). Wrapped query None = match_all."""
+        from .query.function_score import function_score_scored
+
+        corpus = self._need_corpus("function_score")
+        sub = spec.query
+        if sub is None:
+            base = corpus.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.lit(1.0).alias("score"),
+            )
+        else:
+            base = self._full_scored(sub).select(
+                "doc_id", F.col("score").cast("double").alias("score")
+            )
+        return function_score_scored(base, corpus, spec, id_col=self.id_col)
+
     def _bool_scored(self, spec: BoolSpec) -> DataFrame:
         """(doc_id, score) for a BoolSpec — one tall union of every
         scoring clause's full matched set, ONE doc-keyed shuffle deciding
@@ -1161,6 +1230,19 @@ class Engine:
                 "route": "composite",
                 "reason": "constant_score: wrapped sub-query's matched-set "
                 "projection at a fixed boost",
+            }
+        from .query.function_score import FunctionScoreSpec
+
+        if isinstance(spec, FunctionScoreSpec):
+            return {
+                "route": "composite",
+                "reason": "function_score: wrapped query's full scored set "
+                "+ one corpus join, function math as codegen'd column "
+                "arithmetic",
+                "query": (
+                    None if spec.query is None
+                    else self.explain_route(spec.query)
+                ),
             }
         unfiltered = spec.filter is None and spec.post_filter is None
         qt = spec.query_type

@@ -2961,6 +2961,31 @@ _NEG_BOOST = 0.5
 _NULLABLE_SQL = "CASE WHEN source = 'src0' THEN NULL ELSE lang END"
 
 
+def _fscore_scored(eng) -> "DataFrame":
+    """function_score wrapping match(BOOL_MUST): a filtered weight
+    (source='src1' → 2.0) plus field_value_factor log1p(0.5·n_chars),
+    score_mode=sum, boost_mode=multiply — the host's boost-by-recency/
+    popularity shape, all Catalyst column arithmetic."""
+    from .query.function_score import FunctionScoreSpec, ScoreFunction
+    from .query.neural import QuerySpec
+
+    return eng._function_score_scored(
+        FunctionScoreSpec(
+            query=QuerySpec(query_type="match", query_text=BOOL_MUST),
+            functions=[
+                ScoreFunction(
+                    "weight", {}, filter="source = 'src1'", weight=2.0
+                ),
+                ScoreFunction(
+                    "field_value_factor",
+                    {"field": "n_chars", "factor": 0.5, "modifier": "log1p"},
+                ),
+            ],
+            score_mode="sum",
+        )
+    )
+
+
 def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Compound + structured query matrix through the Engine, one slot
     (round-5 extension of the round-4 bool-only entry):
@@ -2977,7 +3002,9 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
       (membership kept, wrapped scores discarded);
     * 'matchall'/'ids' — constant-score id projections;
     * 'range'   — n_chars ∈ [200, 260) constant-score column predicate;
-    * 'exists'  — non-null membership over a derived nullable column.
+    * 'exists'  — non-null membership over a derived nullable column;
+    * 'fscore'  — function_score (filtered weight + field_value_factor
+      log1p, score_mode=sum, boost_mode=multiply).
 
     Scores are clause arithmetic on FULL-corpus stats (the Lucene
     contract: gates change which docs collect, never how survivors
@@ -3066,6 +3093,7 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
             "exists",
             execute(QuerySpec(query_type="exists", field="lang2"), nullable),
         ),
+        ("fscore", _fscore_scored(eng)),
     ]
     out = None
     for name, scored in scoreds:
@@ -3117,6 +3145,11 @@ FROM ({m}) p LEFT JOIN (SELECT DISTINCT doc_id FROM ({n})) q USING (doc_id)"""
         f"SELECT doc_id, 1.0 AS score FROM documents "
         f"WHERE ({_NULLABLE_SQL}) IS NOT NULL"
     )
+    fscore = f"""
+SELECT m.doc_id,
+       round(m.score * (CASE WHEN d.source = 'src1' THEN 2.0 ELSE 0.0 END
+                        + log10(1 + 0.5 * d.n_chars)), 4) AS score
+FROM ({m}) m JOIN documents d USING (doc_id)"""
     parts = [
         ("mixed", mixed),
         ("should2", should2),
@@ -3127,6 +3160,7 @@ FROM ({m}) p LEFT JOIN (SELECT DISTINCT doc_id FROM ({n})) q USING (doc_id)"""
         ("ids", ids),
         ("range", rng),
         ("exists", exists),
+        ("fscore", fscore),
     ]
     return " UNION ALL ".join(
         f"SELECT '{name}' AS variant, * "
