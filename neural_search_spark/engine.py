@@ -279,12 +279,17 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "ids",
         "range",
         "exists",
+        "more_like_this",
         "neural",
         "neural_sparse",
         "neural_knn",
     }
     if qtype not in allowed:
         raise ValueError(f"unknown query type: {qtype}; valid: {sorted(allowed)}")
+    if qtype == "more_like_this":
+        body = dict(body)
+        if isinstance(body.get("like"), str):
+            body["like"] = [body["like"]]
     if qtype == "simple_query_string":
         # the reference body uses 'query' / 'default_operator' field names
         body = dict(body)
@@ -717,6 +722,18 @@ class Engine:
             return _bound(
                 execute(spec, self._need_corpus(spec.query_type), self.id_col)
             )
+        if spec.query_type == "more_like_this":
+            if (
+                self.bm25_index is not None
+                and spec.filter is None
+                and allowed is None
+            ):
+                return self._mlt_index_topk(spec, k)
+            return _bound(
+                execute(
+                    spec, self._need_corpus("more_like_this"), self.id_col
+                )
+            )
         if spec.query_type in ("match_all", "ids", "range", "exists"):
             # constant-score corpus plans (MatchAllDocsQuery / IdsQuery /
             # RangeQuery / ExistsQuery): pushed-down column predicates
@@ -830,6 +847,59 @@ class Engine:
             .otherwise(F.col("score"))
             .alias("score"),
         )
+
+    def _mlt_index_topk(self, spec, k: int) -> DataFrame:
+        """more_like_this served from the block index: term selection
+        via a pyarrow point read of the terms dictionary (index.term_stats
+        — candidate-bounded, no Spark job), then the formed ≤25-term
+        match through the ordinary block-max kernels. like_ids resolve
+        against the corpus when one is attached; excluded likes are
+        over-fetched so the final k stays full."""
+        from .query.bm25 import bm25_topk
+        from .query.mlt import MLT_DEFAULTS, mlt_select, resolve_like
+
+        texts = resolve_like(
+            spec.like, spec.like_ids, self.corpus, id_col=self.id_col,
+            text_col=spec.field,
+        )
+        terms = mlt_select(
+            texts,
+            self.bm25_index.term_stats,
+            self.bm25_index.n_docs,
+            max_query_terms=spec.max_query_terms,
+            min_term_freq=spec.min_term_freq,
+            min_doc_freq=spec.min_doc_freq,
+            max_doc_freq=spec.max_doc_freq,
+            min_word_length=spec.min_word_length,
+            max_word_length=spec.max_word_length,
+            stop_words=spec.stop_words or (),
+        )
+        if not terms:
+            return self.spark.range(0).select(
+                F.col("id").alias("doc_id"),
+                F.lit(0.0).cast("double").alias("score"),
+            )
+        msm = (
+            spec.minimum_should_match
+            if spec.minimum_should_match is not None
+            else MLT_DEFAULTS["minimum_should_match"]
+        )
+        exclude = (
+            [int(i) for i in spec.like_ids]
+            if (not spec.include and spec.like_ids)
+            else []
+        )
+        out = bm25_topk(
+            self.bm25_index,
+            " ".join(terms),
+            k=k + len(exclude),
+            minimum_should_match=msm,
+        ).drop("rank")
+        if exclude:
+            out = out.filter(
+                ~F.col("doc_id").cast("long").isin(exclude)
+            ).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return out
 
     def _constant_score_scored(self, spec: ConstantScoreSpec) -> DataFrame:
         """ConstantScoreQuery: membership from the wrapped filter, score
@@ -1277,6 +1347,14 @@ class Engine:
             return {"route": "corpus",
                     "reason": "constant-score pushed-down column predicate "
                     "(parquet min/max pruning is the scale path)"}
+        if qt == "more_like_this":
+            if self.bm25_index is None or not unfiltered:
+                return {"route": "corpus",
+                        "reason": "no index / filtered: candidate-bounded "
+                        "df aggregation + match scan"}
+            return {"route": "index",
+                    "reason": "dictionary point-read term selection + "
+                    "block-max kernels on the formed match"}
         if qt in ("prefix", "wildcard", "regexp", "terms", "term"):
             if self.bm25_index is None or not unfiltered:
                 return {"route": "corpus", "reason": "no index / filtered"}

@@ -2952,6 +2952,7 @@ BOOL_MUST_NOT = "window"
 
 
 _IDS_SET = [3, 7, 11, 19, 23]
+_MLT_LIKE_ID = 5  # more_like_this seed doc
 _RANGE_LO, _RANGE_HI = 200, 260  # n_chars bounds for the range variant
 _CSCORE_BOOST = 2.0
 _DM_TIE = 0.3
@@ -3004,7 +3005,10 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
     * 'range'   — n_chars ∈ [200, 260) constant-score column predicate;
     * 'exists'  — non-null membership over a derived nullable column;
     * 'fscore'  — function_score (filtered weight + field_value_factor
-      log1p, score_mode=sum, boost_mode=multiply).
+      log1p, score_mode=sum, boost_mode=multiply);
+    * 'mlt'     — more_like_this seeded by doc 5 (tf/df-gated top-25
+      term selection, BM25 + 30% coverage over the formed query, like
+      doc excluded) — selection AND scoring replicated in the oracle.
 
     Scores are clause arithmetic on FULL-corpus stats (the Lucene
     contract: gates change which docs collect, never how survivors
@@ -3094,6 +3098,13 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
             execute(QuerySpec(query_type="exists", field="lang2"), nullable),
         ),
         ("fscore", _fscore_scored(eng)),
+        (
+            "mlt",
+            execute(
+                QuerySpec(query_type="more_like_this", like_ids=[_MLT_LIKE_ID]),
+                docs,
+            ),
+        ),
     ]
     out = None
     for name, scored in scoreds:
@@ -3150,6 +3161,41 @@ SELECT m.doc_id,
        round(m.score * (CASE WHEN d.source = 'src1' THEN 2.0 ELSE 0.0 END
                         + log10(1 + 0.5 * d.n_chars)), 4) AS score
 FROM ({m}) m JOIN documents d USING (doc_id)"""
+    # more_like_this entirely in SQL: selection (tf ≥ 2 in the like doc,
+    # df ≥ 5, top-25 by tf·(ln(N/(df+1))+1), ties term asc), then BM25
+    # over the selected terms with the dynamic 30% coverage gate, the
+    # like doc excluded (include=false)
+    mlt = f"""
+WITH liketxt AS (SELECT lower(text) AS lt FROM documents
+                 WHERE doc_id = {_MLT_LIKE_ID}),
+lt_toks AS (SELECT unnest(regexp_extract_all(lt, '[a-z0-9]+')) AS t
+            FROM liketxt),
+tfq AS (SELECT t, count(*) AS f FROM lt_toks GROUP BY t
+        HAVING count(*) >= 2),
+corpus AS (SELECT doc_id, {TOK} AS toks FROM documents AS r),
+nstats AS (SELECT count(*) AS nd FROM corpus),
+dfs AS (SELECT t, count(*) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM corpus)
+        WHERE t IN (SELECT t FROM tfq) GROUP BY t),
+sel AS (SELECT tfq.t FROM tfq JOIN dfs USING (t) CROSS JOIN nstats
+        WHERE dfs.df >= 5
+        ORDER BY tfq.f * (ln(nstats.nd / (dfs.df + 1.0)) + 1.0) DESC, tfq.t
+        LIMIT 25),
+mm AS (SELECT greatest(1, CAST(floor(count(*) * 30.0 / 100.0) AS INTEGER))
+              AS m FROM sel),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM corpus),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM corpus),
+tfd AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT t FROM sel) GROUP BY ALL),
+dfreq AS (SELECT term, count(*) AS df FROM tfd GROUP BY term)
+SELECT doc_id, round(scr, 4) AS score FROM (
+  SELECT doc_id,
+    sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
+        * tfd.tf / (tfd.tf + {BM25_K1}*(1.0 - {BM25_B}
+                                        + {BM25_B}*tfd.dl/s.avgdl))) AS scr
+  FROM tfd JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY doc_id HAVING count(*) >= (SELECT m FROM mm)
+) WHERE doc_id <> {_MLT_LIKE_ID}"""
     parts = [
         ("mixed", mixed),
         ("should2", should2),
@@ -3161,6 +3207,7 @@ FROM ({m}) m JOIN documents d USING (doc_id)"""
         ("range", rng),
         ("exists", exists),
         ("fscore", fscore),
+        ("mlt", mlt),
     ]
     return " UNION ALL ".join(
         f"SELECT '{name}' AS variant, * "

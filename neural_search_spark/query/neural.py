@@ -99,6 +99,22 @@ class QuerySpec:
     gte: object | None = None
     lt: object | None = None
     lte: object | None = None
+    # more_like_this only (host MoreLikeThisQueryBuilder → Lucene
+    # MoreLikeThis): like texts and/or corpus doc ids; term-selection
+    # gates; max_query_terms caps the formed query (host default 25).
+    # minimum_should_match defaults to '30%' for THIS kind (the host's
+    # MLT default, vs None for match); include=False excludes the like
+    # docs from the results (host default).
+    like: list[str] | None = None
+    like_ids: list[int] | None = None
+    max_query_terms: int = 25
+    min_term_freq: int = 2
+    min_doc_freq: int = 5
+    max_doc_freq: int | None = None
+    min_word_length: int = 0
+    max_word_length: int | None = None
+    stop_words: list[str] | None = None
+    include: bool = False
     k: int = 10  # reference default NeuralQueryBuilder.java:135
     filter: Column | None = None
     # radius-search knobs (NeuralQueryBuilder max_distance / min_score):
@@ -317,6 +333,55 @@ def execute(
             F.col(id_col).alias("doc_id"),
             F.lit(float(spec.boost)).alias("score"),
         )
+    if spec.query_type == "more_like_this":
+        from ..gate import bm25_scored
+        from .bm25 import parse_min_match
+        from .mlt import (
+            MLT_DEFAULTS,
+            corpus_df_for,
+            mlt_select,
+            resolve_like,
+        )
+
+        texts = resolve_like(
+            spec.like, spec.like_ids, scoped, id_col=id_col,
+            text_col=spec.field,
+        )
+        n_docs = scoped.count()
+        terms = mlt_select(
+            texts,
+            lambda cands: corpus_df_for(scoped, cands, text_col=spec.field),
+            n_docs,
+            max_query_terms=spec.max_query_terms,
+            min_term_freq=spec.min_term_freq,
+            min_doc_freq=spec.min_doc_freq,
+            max_doc_freq=spec.max_doc_freq,
+            min_word_length=spec.min_word_length,
+            max_word_length=spec.max_word_length,
+            stop_words=spec.stop_words or (),
+        )
+        if not terms:
+            return scoped.sparkSession.range(0).select(
+                F.col("id").alias("doc_id"),
+                F.lit(0.0).cast("double").alias("score"),
+            )
+        msm = (
+            spec.minimum_should_match
+            if spec.minimum_should_match is not None
+            else MLT_DEFAULTS["minimum_should_match"]
+        )
+        mm = parse_min_match("or", msm, len(terms))
+        out = bm25_scored(
+            scoped.withColumnRenamed(id_col, "doc_id"), ["doc_id"],
+            " ".join(terms), ndp=None, min_match=mm,
+        )
+        if not spec.include and spec.like_ids:
+            out = out.filter(
+                ~F.col("doc_id")
+                .cast("long")
+                .isin([int(i) for i in spec.like_ids])
+            )
+        return out
     if spec.query_type == "range":
         # host RangeQueryBuilder → Lucene point/term range: constant-score
         # membership. The predicate is a plain Catalyst comparison so it
