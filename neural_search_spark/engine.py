@@ -280,6 +280,7 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "range",
         "exists",
         "more_like_this",
+        "query_string",
         "neural",
         "neural_sparse",
         "neural_knn",
@@ -290,13 +291,15 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         body = dict(body)
         if isinstance(body.get("like"), str):
             body["like"] = [body["like"]]
-    if qtype == "simple_query_string":
+    if qtype in ("simple_query_string", "query_string"):
         # the reference body uses 'query' / 'default_operator' field names
         body = dict(body)
         if "query" in body:
             body["query_text"] = body.pop("query")
         if "default_operator" in body:
             body["operator"] = str(body.pop("default_operator")).lower()
+        if "default_field" in body:
+            body["field"] = body.pop("default_field")
     try:
         return QuerySpec(query_type=qtype, **body)
     except TypeError as ex:
@@ -566,6 +569,15 @@ class Engine:
                 ).drop("rank")
             return _bound(
                 execute(spec, self._need_corpus("term"), self.id_col)
+            )
+        if spec.query_type == "query_string":
+            # classic-parser fold: combinators need FULL matched sets →
+            # always a corpus plan (one tall union + one keyed agg per
+            # level; leaf predicates still push down)
+            return _bound(
+                execute(
+                    spec, self._need_corpus("query_string"), self.id_col
+                )
             )
         if spec.query_type in ("simple_query_string", "match_bool_prefix"):
             # flat term-only queries (the common case: "foo bar baz") are
@@ -1359,6 +1371,10 @@ class Engine:
             if self.bm25_index is None or not unfiltered:
                 return {"route": "corpus", "reason": "no index / filtered"}
             return {"route": "index", "reason": "dictionary walk + postings"}
+        if qt == "query_string":
+            return {"route": "corpus",
+                    "reason": "classic-parser fold needs full matched sets "
+                    "(one tall union + one keyed aggregation per level)"}
         if qt == "simple_query_string":
             flat = _sqs_as_flat_match(spec.query_text or "", spec.operator)
             if flat is not None and self.bm25_index is not None and unfiltered:

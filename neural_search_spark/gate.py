@@ -2953,6 +2953,8 @@ BOOL_MUST_NOT = "window"
 
 _IDS_SET = [3, 7, 11, 19, 23]
 _MLT_LIKE_ID = 5  # more_like_this seed doc
+# classic-parser occur resolution: +spark +merge window(should) -batch
+_QSTRING = "spark AND merge OR window -batch"
 _RANGE_LO, _RANGE_HI = 200, 260  # n_chars bounds for the range variant
 _CSCORE_BOOST = 2.0
 _DM_TIE = 0.3
@@ -3008,7 +3010,10 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
       log1p, score_mode=sum, boost_mode=multiply);
     * 'mlt'     — more_like_this seeded by doc 5 (tf/df-gated top-25
       term selection, BM25 + 30% coverage over the formed query, like
-      doc excluded) — selection AND scoring replicated in the oracle.
+      doc excluded) — selection AND scoring replicated in the oracle;
+    * 'qstring' — query_string classic-parser occur resolution
+      ('spark AND merge OR window -batch' ⇒ +spark +merge window
+      -batch).
 
     Scores are clause arithmetic on FULL-corpus stats (the Lucene
     contract: gates change which docs collect, never how survivors
@@ -3105,6 +3110,13 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
                 docs,
             ),
         ),
+        (
+            "qstring",
+            execute(
+                QuerySpec(query_type="query_string", query_text=_QSTRING),
+                docs,
+            ),
+        ),
     ]
     out = None
     for name, scored in scoreds:
@@ -3196,6 +3208,16 @@ SELECT doc_id, round(scr, 4) AS score FROM (
   FROM tfd JOIN dfreq d USING (term) CROSS JOIN stats s
   GROUP BY doc_id HAVING count(*) >= (SELECT m FROM mm)
 ) WHERE doc_id <> {_MLT_LIKE_ID}"""
+    qm = bm25_scored_sql("documents", ["doc_id"], "spark", ndp=None)
+    qs2 = bm25_scored_sql("documents", ["doc_id"], "merge", ndp=None)
+    qw = bm25_scored_sql("documents", ["doc_id"], "window", ndp=None)
+    qb = bm25_scored_sql("documents", ["doc_id"], "batch", ndp=None)
+    qstring = f"""
+SELECT m.doc_id,
+       round(m.score + s.score + coalesce(w.score, 0), 4) AS score
+FROM ({qm}) m JOIN ({qs2}) s USING (doc_id)
+LEFT JOIN ({qw}) w USING (doc_id)
+WHERE m.doc_id NOT IN (SELECT doc_id FROM ({qb}))"""
     parts = [
         ("mixed", mixed),
         ("should2", should2),
@@ -3208,6 +3230,7 @@ SELECT doc_id, round(scr, 4) AS score FROM (
         ("exists", exists),
         ("fscore", fscore),
         ("mlt", mlt),
+        ("qstring", qstring),
     ]
     return " UNION ALL ".join(
         f"SELECT '{name}' AS variant, * "

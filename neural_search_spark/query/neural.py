@@ -115,6 +115,13 @@ class QuerySpec:
     max_word_length: int | None = None
     stop_words: list[str] | None = None
     include: bool = False
+    # query_string only (host QueryStringQueryBuilder → classic Lucene
+    # QueryParser; see query.qs): ``field`` is the default field,
+    # ``operator`` the default conjunction, ``minimum_should_match``
+    # applies to the top level's optional clauses. analyzed_fields:
+    # columns scored via analyzer/BM25 (default {field}); any other
+    # referenced column keyword-matches.
+    analyzed_fields: list[str] | None = None
     k: int = 10  # reference default NeuralQueryBuilder.java:135
     filter: Column | None = None
     # radius-search knobs (NeuralQueryBuilder max_distance / min_score):
@@ -332,6 +339,20 @@ def execute(
         ).select(
             F.col(id_col).alias("doc_id"),
             F.lit(float(spec.boost)).alias("score"),
+        )
+    if spec.query_type == "query_string":
+        from .qs import query_string_scored
+
+        return query_string_scored(
+            scoped,
+            spec.query_text or "",
+            default_operator=spec.operator,
+            default_field=spec.field,
+            analyzed_fields=(
+                set(spec.analyzed_fields) if spec.analyzed_fields else None
+            ),
+            minimum_should_match=spec.minimum_should_match,
+            id_col=id_col,
         )
     if spec.query_type == "more_like_this":
         from ..gate import bm25_scored
