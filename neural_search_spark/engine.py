@@ -89,13 +89,15 @@ class BoolSpec:
                  which docs collect, never how survivors score.
 
     Sub-clauses are QuerySpec (match / match_phrase / neural /
-    neural_sparse); bool cannot nest (same restriction the Engine applies
-    to hybrid)."""
+    neural_sparse) or nested BoolSpec (Lucene BooleanQuery nests
+    arbitrarily; a nested bool scores as its own sum-and-gate and its
+    score feeds the parent like any leaf). Other composites (hybrid,
+    dis_max, …) cannot nest under bool."""
 
-    must: list[QuerySpec] = field(default_factory=list)
-    should: list[QuerySpec] = field(default_factory=list)
-    must_not: list[QuerySpec] = field(default_factory=list)
-    filter: str | list[QuerySpec] | None = None
+    must: list["QuerySpec | BoolSpec"] = field(default_factory=list)
+    should: list["QuerySpec | BoolSpec"] = field(default_factory=list)
+    must_not: list["QuerySpec | BoolSpec"] = field(default_factory=list)
+    filter: "str | list[QuerySpec | BoolSpec] | None" = None
     minimum_should_match: int | None = None
 
 
@@ -149,20 +151,26 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         raise ValueError("query spec must have exactly one top-level key")
     (qtype, body), = d.items()
     if qtype == "bool":
+        # bool clauses may be leaves or NESTED bool queries (Lucene
+        # BooleanQuery nests arbitrarily); other composites (hybrid,
+        # dis_max, …) still can't nest under bool
+        def _ok(s):
+            return isinstance(s, (QuerySpec, BoolSpec))
+
         def _subs(key):
             out = [spec_from_json(s) for s in body.get(key, [])]
-            if any(not isinstance(s, QuerySpec) for s in out):
+            if any(not _ok(s) for s in out):
                 raise ValueError(
-                    "bool clauses cannot nest composite queries"
+                    "bool clauses must be leaves or nested bool queries"
                 )
             return out
 
         flt = body.get("filter")
         if isinstance(flt, list):
             flt = [spec_from_json(s) for s in flt]
-            if any(not isinstance(s, QuerySpec) for s in flt):
+            if any(not _ok(s) for s in flt):
                 raise ValueError(
-                    "bool clauses cannot nest composite queries"
+                    "bool clauses must be leaves or nested bool queries"
                 )
         return BoolSpec(
             must=_subs("must"),
@@ -1032,6 +1040,8 @@ class Engine:
         def _clause(c) -> DataFrame:
             if id(c) in shared:
                 return shared[id(c)]
+            if isinstance(c, BoolSpec):  # nested BooleanQuery: recurse
+                return self._bool_scored(c)
             return execute(c, corpus, self.id_col, analyzers=self.analyzers)
 
         parts = []

@@ -3013,7 +3013,12 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
       doc excluded) — selection AND scoring replicated in the oracle;
     * 'qstring' — query_string classic-parser occur resolution
       ('spark AND merge OR window -batch' ⇒ +spark +merge window
-      -batch).
+      -batch);
+    * 'nested'  — bool nesting bool (Lucene BooleanQuery nests
+      arbitrarily): must=[match(BOOL_MUST)] + should=[bool(should=
+      [match(BOOL_SHOULD), match(BOOL_MUST_NOT)], msm=1)] — the inner
+      bool scores as its own sum-and-gate and feeds the parent like a
+      leaf.
 
     Scores are clause arithmetic on FULL-corpus stats (the Lucene
     contract: gates change which docs collect, never how survivors
@@ -3117,6 +3122,32 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
                 docs,
             ),
         ),
+        (
+            "nested",
+            eng._bool_scored(
+                BoolSpec(
+                    must=[
+                        QuerySpec(query_type="match", query_text=BOOL_MUST)
+                    ],
+                    should=[
+                        BoolSpec(
+                            should=[
+                                QuerySpec(
+                                    query_type="match",
+                                    query_text=BOOL_SHOULD,
+                                ),
+                                QuerySpec(
+                                    query_type="match",
+                                    query_text=BOOL_MUST_NOT,
+                                ),
+                            ],
+                            minimum_should_match=1,
+                        )
+                    ],
+                    minimum_should_match=0,
+                )
+            ),
+        ),
     ]
     out = None
     for name, scored in scoreds:
@@ -3218,6 +3249,16 @@ SELECT m.doc_id,
 FROM ({qm}) m JOIN ({qs2}) s USING (doc_id)
 LEFT JOIN ({qw}) w USING (doc_id)
 WHERE m.doc_id NOT IN (SELECT doc_id FROM ({qb}))"""
+    # 'nested': inner bool = pure-should(s, n) msm=1 → sum of present
+    # clause scores; outer = must(m) + coalesce(inner, 0)
+    nested = f"""
+WITH inner_b AS (
+  SELECT doc_id, sum(score) AS score FROM (
+    SELECT * FROM ({s}) UNION ALL SELECT * FROM ({n})
+  ) GROUP BY doc_id
+)
+SELECT m.doc_id, round(m.score + coalesce(i.score, 0), 4) AS score
+FROM ({m}) m LEFT JOIN inner_b i USING (doc_id)"""
     parts = [
         ("mixed", mixed),
         ("should2", should2),
@@ -3231,6 +3272,7 @@ WHERE m.doc_id NOT IN (SELECT doc_id FROM ({qb}))"""
         ("fscore", fscore),
         ("mlt", mlt),
         ("qstring", qstring),
+        ("nested", nested),
     ]
     return " UNION ALL ".join(
         f"SELECT '{name}' AS variant, * "

@@ -152,10 +152,84 @@ def test_spec_from_json_bool_and_nesting():
     )
     assert isinstance(s, BoolSpec)
     assert s.should[0].query_type == "match_phrase"
-    with pytest.raises(ValueError, match="nest"):
+    # bool nests under bool (Lucene BooleanQuery nests arbitrarily) ...
+    s2 = spec_from_json(
+        {
+            "bool": {
+                "must": [
+                    {"bool": {"should": [{"match": {"query_text": "a"}}]}}
+                ]
+            }
+        }
+    )
+    assert isinstance(s2.must[0], BoolSpec)
+    # ... but other composites still can't
+    with pytest.raises(ValueError, match="leaves or nested bool"):
         spec_from_json(
-            {"bool": {"must": [{"bool": {"must": []}}]}}
+            {
+                "bool": {
+                    "must": [
+                        {"hybrid": {"queries": [{"match": {"query_text": "a"}}]}}
+                    ]
+                }
+            }
         )
+
+
+def test_nested_bool_scores_like_manual_composition(bool_setup):
+    eng, clause = bool_setup
+    # (must: "tool call") AND (should>=1 of {"model", "the"} as a nested
+    # bool whose score is the sum of its matching shoulds)
+    inner = BoolSpec(should=[_match("model"), _match("the")])
+    outer = BoolSpec(must=[_match("tool call"), inner])
+    got = _run(eng, outer)
+
+    # pandas oracle: inner = pure-should bool (msm defaults to 1)
+    inner_pd = _pd_bool(clause, should=("model", "the"))
+    inner_s = inner_pd.set_index("doc_id")["score"]
+    outer_ids = set(clause["tool call"].index) & set(inner_s.index)
+    rows = [
+        (d, clause["tool call"][d] + inner_s[d]) for d in outer_ids
+    ]
+    exp = (
+        pd.DataFrame(rows, columns=["doc_id", "score"])
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    _check(got, exp)
+
+
+def test_nested_bool_in_must_not_and_filter(bool_setup):
+    eng, clause = bool_setup
+    # must_not: docs matching BOTH "model" and "the" (nested must-bool)
+    inner = BoolSpec(must=[_match("model"), _match("the")])
+    got = _run(eng, BoolSpec(must=[_match("tool call")], must_not=[inner]))
+    both = set(clause["model"].index) & set(clause["the"].index)
+    keep = [
+        (d, clause["tool call"][d])
+        for d in clause["tool call"].index
+        if d not in both
+    ]
+    exp = (
+        pd.DataFrame(keep, columns=["doc_id", "score"])
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    _check(got, exp)
+    # same nested bool as a filter clause: gates to `both`, scores
+    # unchanged (full-corpus stats contract)
+    got_f = _run(eng, BoolSpec(must=[_match("tool call")], filter=[inner]))
+    keep_f = [
+        (d, clause["tool call"][d])
+        for d in clause["tool call"].index
+        if d in both
+    ]
+    exp_f = (
+        pd.DataFrame(keep_f, columns=["doc_id", "score"])
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    _check(got_f, exp_f)
 
 
 def test_bool_inside_hybrid(bool_setup):
