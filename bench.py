@@ -350,6 +350,14 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         gate.q_engine_ann_topk(spark, SF_DIR).collect()
         out["engine_ann_topk_sec"] = round(time.time() - t1, 3)
 
+        # search-time aggregations (round-5 field, outside the headline):
+        # the full hybrid-scoped agg matrix — terms+metrics / histogram+
+        # cumulative_sum / range / extended_stats / percentiles /
+        # significant_terms — over the sf documents table in one pass
+        t1 = time.time()
+        gate.q_hybrid_agg(spark, SF_DIR).collect()
+        out["aggs_matrix_sec"] = round(time.time() - t1, 3)
+
         # on-disk bucket-partitioned LSH store: build once, then probe
         # queries read ONLY their probed partitions (PartitionFilters) —
         # reported outside the headline total like the sparse index

@@ -261,11 +261,21 @@ def cmd_search(args) -> None:
     )
     parsed = json.loads(spec)
     rescore = json.loads(args.rescore_json) if args.rescore_json else None
+    aggs = json.loads(args.aggs_json) if args.aggs_json else None
     if args.batch:
         # {query_id: spec} → one msearch job (match specs batched together)
         if rescore is not None:
             raise SystemExit("search: --rescore-json not supported with --batch")
+        if aggs is not None:
+            raise SystemExit("search: --aggs-json not supported with --batch")
         out = eng.msearch(parsed, k=args.k)
+    elif aggs is not None:
+        out, agg_frames = eng.search_with_aggs(
+            parsed, aggs, k=args.k, rescore=rescore
+        )
+        for path, frame in agg_frames.items():
+            for row in frame.collect():
+                print(json.dumps({"agg": path, **row.asDict()}, default=str))
     else:
         out = eng.search(parsed, k=args.k, rescore=rescore)
     for row in out.collect():
@@ -376,6 +386,12 @@ def main(argv=None) -> None:
     )
     s.add_argument("--spec", help="path to a JSON query spec file")
     s.add_argument("--spec-json", help="inline JSON query spec")
+    s.add_argument(
+        "--aggs-json",
+        help="inline JSON aggs tree (OpenSearch DSL); computed over the "
+        "query's full matched set, emitted as one JSON line per bucket "
+        "before the hits (needs --corpus)",
+    )
     s.add_argument("--index", help="BM25 block index dir (match queries)")
     s.add_argument(
         "--field-index",

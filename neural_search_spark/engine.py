@@ -1276,6 +1276,67 @@ class Engine:
             .withColumn("rank", F.row_number().over(w).cast("int"))
         )
 
+    def search_with_aggs(
+        self,
+        spec: QuerySpec | HybridSpec | BoolSpec | dict | str | None,
+        aggs: dict,
+        k: int = 10,
+        rescore: dict | None = None,
+    ) -> tuple[DataFrame | None, dict[str, DataFrame]]:
+        """Search plus OpenSearch-style aggregations.
+
+        Aggregations run over the query's FULL raw matched set, never the
+        top-k page — and for hybrid queries over the union of the
+        sub-queries' matched docs with raw (pre-normalization) scores,
+        the reference's contract (search/query/
+        HybridAggregationProcessor.java: aggs collect during the
+        collector phase, before the normalization processor rewrites
+        scores). A ``post_filter`` on a hybrid spec gates the agg scope
+        the same way it gates collection. ``spec=None`` aggregates the
+        whole corpus (match_all scope) without a join.
+
+        Returns ``(hits, {path: DataFrame})`` — hits is the normal
+        ``search`` result (None when spec is None); see
+        query.aggs.compute_aggs for the path convention.
+        """
+        from .query.aggs import compute_aggs
+
+        corpus = self._need_corpus("aggs")
+        base = (
+            corpus
+            if self.id_col == "doc_id"
+            else corpus.withColumnRenamed(self.id_col, "doc_id")
+        )
+        if spec is None:
+            return None, compute_aggs(
+                base.withColumn("score", F.lit(1.0)), aggs, full=base
+            )
+        if isinstance(spec, (dict, str)):
+            spec = spec_from_json(spec)
+        hits = self.search(spec, k=k, rescore=rescore)
+        if isinstance(spec, HybridSpec):
+            parts = [
+                self._full_scored(s).select(
+                    "doc_id", F.col("score").cast("double").alias("score")
+                )
+                for s in spec.sub_queries
+            ]
+            matched = parts[0]
+            for p in parts[1:]:
+                matched = matched.unionAll(p)
+            matched = matched.groupBy("doc_id").agg(
+                F.max("score").alias("score")
+            )
+            allowed = self._allowed(spec.post_filter)
+            if allowed is not None:
+                matched = matched.join(allowed, "doc_id", "left_semi")
+        else:
+            matched = self._full_scored(spec).select(
+                "doc_id", F.col("score").cast("double").alias("score")
+            )
+        scoped = base.drop("score").join(matched, "doc_id")
+        return hits, compute_aggs(scoped, aggs, full=base)
+
     def explain_route(self, spec) -> dict:
         """Which physical route a spec takes, WITHOUT running it — the
         ops-facing analog of `.explain()` one level up: {'route':

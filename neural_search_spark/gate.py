@@ -3340,21 +3340,114 @@ SELECT doc_id, round((sum(ns) / 2.0)::REAL::DOUBLE, 4) AS score FROM nn GROUP BY
 
 
 def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
-    """Aggregation alongside hybrid (reference HybridAggregationProcessor:
-    aggs see the raw per-sub-query matched set): per-source doc count and
-    max branch score over the union of both branches' matches."""
+    """Search-time aggregation matrix alongside hybrid (reference
+    HybridAggregationProcessor + the Metric/Bucket/Pipeline aggregation
+    ITs: aggs see the raw per-sub-query matched set, pre-normalization).
+    Scope = union of both branches' matches with max raw score; variants
+    (flattened to variant/key/metric/value):
+
+    * 'src'  — terms(source) with avg(n_chars) + max(score) sub-metrics
+      (one groupBy carries bucket count AND both metrics);
+    * 'hist' — histogram(n_chars, 100) with a cumulative_sum pipeline
+      over doc_count;
+    * 'rng'  — range(n_chars) buckets with a max sub-metric;
+    * 'est'  — global extended_stats(n_chars);
+    * 'pct'  — exact percentiles(n_chars, [50, 95]);
+    * 'sig'  — significant_terms(source) vs the full-corpus background
+      (Lucene JLHScore formula)."""
+    from .query.aggs import compute_aggs
+
     d = _docs(spark, sf)
     b0 = bm25_scored(d, ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs"))
     b1 = bm25_scored(d, ["doc_id"], QUERY_B, stats_key=(_sf_key(sf), "docs"))
-    matched = b0.unionAll(b1).groupBy("doc_id").agg(F.max("score").alias("best"))
-    return (
-        matched.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_matched"),
-            F.round(F.max("best"), 4).alias("max_score"),
-        )
+    matched = (
+        b0.unionAll(b1).groupBy("doc_id").agg(F.max("score").alias("score"))
     )
+    scoped = d.join(matched, "doc_id")
+    out = compute_aggs(
+        scoped,
+        {
+            "src": {
+                "terms": {"field": "source", "size": 50},
+                "aggs": {
+                    "mean_len": {"avg": {"field": "n_chars"}},
+                    "max_score": {"max": {"field": "score"}},
+                },
+            },
+            "hist": {
+                "histogram": {"field": "n_chars", "interval": 100},
+                "aggs": {
+                    "cum": {"cumulative_sum": {"buckets_path": "_count"}}
+                },
+            },
+            "rng": {
+                "range": {
+                    "field": "n_chars",
+                    "ranges": [
+                        {"to": 150, "key": "short"},
+                        {"from": 150, "to": 250, "key": "mid"},
+                        {"from": 250, "key": "long"},
+                    ],
+                },
+                "aggs": {"mx": {"max": {"field": "n_chars"}}},
+            },
+            "est": {"extended_stats": {"field": "n_chars"}},
+            "pct": {
+                "percentiles": {"field": "n_chars", "percents": [50, 95]}
+            },
+            "sig": {"significant_terms": {"field": "source", "size": 50}},
+        },
+        full=d,
+    )
+
+    def flat(variant, df, key_expr, metrics):
+        parts = []
+        for col, label in metrics:
+            parts.append(
+                df.select(
+                    F.lit(variant).alias("variant"),
+                    key_expr.alias("key"),
+                    F.lit(label).alias("metric"),
+                    F.round(F.col(col).cast("double"), 4).alias("value"),
+                )
+            )
+        return parts
+
+    pieces = []
+    pieces += flat(
+        "src", out["src"], F.col("src_key").cast("string"),
+        [("doc_count", "doc_count"), ("mean_len", "mean_len"),
+         ("max_score", "max_score")],
+    )
+    pieces += flat(
+        "hist", out["hist"],
+        F.col("hist_key").cast("bigint").cast("string"),
+        [("doc_count", "doc_count"), ("cum", "cum")],
+    )
+    pieces += flat(
+        "rng", out["rng"], F.col("rng_key").cast("string"),
+        [("doc_count", "doc_count"), ("mx", "mx")],
+    )
+    pieces += flat(
+        "est", out["est"], F.lit("_all"),
+        [("est_count", "count"), ("est_min", "min"), ("est_max", "max"),
+         ("est_avg", "avg"), ("est_sum", "sum"),
+         ("est_sum_of_squares", "sum_of_squares"),
+         ("est_variance", "variance"),
+         ("est_std_deviation", "std_deviation")],
+    )
+    pieces += flat(
+        "pct", out["pct"], F.lit("_all"),
+        [("pct_p50", "p50"), ("pct_p95", "p95")],
+    )
+    pieces += flat(
+        "sig", out["sig"], F.col("sig_key").cast("string"),
+        [("doc_count", "doc_count"), ("score", "score")],
+    )
+    res = pieces[0]
+    for p in pieces[1:]:
+        res = res.unionByName(p)
+    return res
 
 
 def sql_hybrid_agg() -> str:
@@ -3362,11 +3455,69 @@ def sql_hybrid_agg() -> str:
     b1 = bm25_scored_sql("documents", ["doc_id"], QUERY_B)
     return f"""
 WITH m AS (
-  SELECT doc_id, max(score) AS best FROM (
+  SELECT doc_id, max(score) AS score FROM (
     SELECT * FROM ({b0}) UNION ALL SELECT * FROM ({b1}))
-  GROUP BY doc_id)
-SELECT d.source, count(*) AS n_matched, round(max(m.best), 4) AS max_score
-FROM m JOIN documents d USING (doc_id) GROUP BY d.source"""
+  GROUP BY doc_id),
+s AS (SELECT d.*, m.score FROM m JOIN documents d USING (doc_id)),
+src AS (SELECT source AS key, count(*) AS doc_count,
+               avg(n_chars) AS mean_len, max(score) AS max_score
+        FROM s GROUP BY source),
+hist0 AS (SELECT CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS key,
+                 count(*) AS doc_count
+          FROM s GROUP BY 1),
+hist AS (SELECT key, doc_count,
+                sum(doc_count) OVER (ORDER BY key) AS cum
+         FROM hist0),
+rng AS (
+  SELECT 'short' AS key, count(*) AS doc_count, max(n_chars) AS mx
+  FROM s WHERE n_chars < 150
+  UNION ALL
+  SELECT 'mid', count(*), max(n_chars) FROM s
+  WHERE n_chars >= 150 AND n_chars < 250
+  UNION ALL
+  SELECT 'long', count(*), max(n_chars) FROM s WHERE n_chars >= 250),
+est AS (SELECT count(n_chars) AS cnt, min(n_chars) AS mn,
+               max(n_chars) AS mx, avg(n_chars) AS av,
+               sum(n_chars) AS sm,
+               sum(CAST(n_chars AS DOUBLE) * n_chars) AS sos,
+               var_pop(n_chars) AS vr, stddev_pop(n_chars) AS sd
+        FROM s),
+pct AS (SELECT quantile_cont(n_chars, 0.5) AS p50,
+               quantile_cont(n_chars, 0.95) AS p95 FROM s),
+fg AS (SELECT source, count(*) AS doc_count FROM s GROUP BY source),
+bg AS (SELECT source, count(*) AS bg_count FROM documents GROUP BY source),
+tots AS (SELECT (SELECT count(*) FROM s) AS fg_tot,
+                (SELECT count(*) FROM documents) AS bg_tot),
+sig AS (SELECT fg.source AS key, fg.doc_count,
+               (fg.doc_count * 1.0 / t.fg_tot
+                - bg.bg_count * 1.0 / t.bg_tot)
+               * ((fg.doc_count * 1.0 / t.fg_tot)
+                  / (bg.bg_count * 1.0 / t.bg_tot)) AS score
+        FROM fg JOIN bg USING (source) CROSS JOIN tots t
+        WHERE fg.doc_count * 1.0 / t.fg_tot > bg.bg_count * 1.0 / t.bg_tot
+          AND bg.bg_count > 0)
+SELECT 'src' AS variant, key, 'doc_count' AS metric,
+       round(doc_count, 4) AS value FROM src
+UNION ALL SELECT 'src', key, 'mean_len', round(mean_len, 4) FROM src
+UNION ALL SELECT 'src', key, 'max_score', round(max_score, 4) FROM src
+UNION ALL SELECT 'hist', CAST(key AS VARCHAR), 'doc_count',
+          round(doc_count, 4) FROM hist
+UNION ALL SELECT 'hist', CAST(key AS VARCHAR), 'cum', round(cum, 4)
+          FROM hist
+UNION ALL SELECT 'rng', key, 'doc_count', round(doc_count, 4) FROM rng
+UNION ALL SELECT 'rng', key, 'mx', round(mx, 4) FROM rng
+UNION ALL SELECT 'est', '_all', 'count', round(cnt, 4) FROM est
+UNION ALL SELECT 'est', '_all', 'min', round(mn, 4) FROM est
+UNION ALL SELECT 'est', '_all', 'max', round(mx, 4) FROM est
+UNION ALL SELECT 'est', '_all', 'avg', round(av, 4) FROM est
+UNION ALL SELECT 'est', '_all', 'sum', round(sm, 4) FROM est
+UNION ALL SELECT 'est', '_all', 'sum_of_squares', round(sos, 4) FROM est
+UNION ALL SELECT 'est', '_all', 'variance', round(vr, 4) FROM est
+UNION ALL SELECT 'est', '_all', 'std_deviation', round(sd, 4) FROM est
+UNION ALL SELECT 'pct', '_all', 'p50', round(p50, 4) FROM pct
+UNION ALL SELECT 'pct', '_all', 'p95', round(p95, 4) FROM pct
+UNION ALL SELECT 'sig', key, 'doc_count', round(doc_count, 4) FROM sig
+UNION ALL SELECT 'sig', key, 'score', round(score, 4) FROM sig"""
 
 
 def q_ml_rerank(spark: SparkSession, sf: str) -> DataFrame:

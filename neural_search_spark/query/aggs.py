@@ -1,0 +1,588 @@
+"""Search-time aggregations — the OpenSearch `aggs` section computed over
+a query's matched set, compiled to declarative DataFrame plans.
+
+Parity target: the reference exercises metric, bucket, and pipeline
+aggregations alongside hybrid queries
+(src/test/java/org/opensearch/neuralsearch/query/aggregation/
+MetricAggregationsWithHybridQueryIT.java,
+BucketAggregationsWithHybridQueryIT.java,
+PipelineAggregationsWithHybridQueryIT.java, and the dispatch in
+search/query/HybridAggregationProcessor.java) — aggregations run over the
+RAW matched set (pre-normalization scores), never the top-k page.
+
+Spark-first shape: one `groupBy` per bucket LEVEL carries the bucket's
+doc_count AND every metric sub-agg of that bucket in a single shuffle
+(partial map-side combine; no per-metric jobs). Bucket sub-trees recurse
+with the parent's key columns prepended to the grouping, so a
+terms→date_histogram→metrics tree is two groupBys total, not one per
+bucket. Pipeline aggs are Window/selection arithmetic over the (tiny)
+bucket frame. Nothing here leaves the JVM: no UDFs, no collect on a
+per-doc path.
+
+Spec format mirrors the OpenSearch DSL, one dict per agg:
+
+    {"by_src": {"terms": {"field": "source", "size": 10},
+                "aggs": {"mean_len": {"avg": {"field": "n_chars"}},
+                         "cum": {"cumulative_sum":
+                                 {"buckets_path": "mean_len"}}}}}
+
+Filter predicates (filter / filters / range.from-to / adjacency_matrix)
+are SQL expression strings over the scoped columns — portable between
+Spark and the DuckDB oracle.
+
+Results come back as a dict of path → DataFrame ("name" for top-level,
+"parent>child" for sub-trees, parent key columns included), so every
+level stays a distributed frame the caller can join, write, or collect.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["compute_aggs"]
+
+_METRICS = {
+    "avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
+    "cardinality", "percentiles", "percentile_ranks",
+}
+_BUCKETS = {
+    "terms", "histogram", "date_histogram", "range", "date_range",
+    "filter", "filters", "missing", "global", "sampler",
+    "significant_terms", "adjacency_matrix", "nested",
+}
+_PIPELINES = {
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+    "cumulative_sum", "derivative", "bucket_script", "bucket_selector",
+    "bucket_sort",
+}
+
+_DEF_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+def _subst(script: str, params: dict | None) -> str:
+    """bucket_script/bucket_selector variable binding: whole-word
+    replacement of each param var with its buckets_path column."""
+    for var, colname in (params or {}).items():
+        script = re.sub(rf"\b{re.escape(var)}\b", colname, script)
+    return script
+
+
+def _pct_label(p: float) -> str:
+    s = ("%g" % p).replace(".", "_")
+    return f"p{s}"
+
+
+def _metric_exprs(name: str, typ: str, body: dict) -> list[Column]:
+    """Aggregate expressions for one metric agg — all built-ins, all
+    eligible for partial aggregation."""
+    fld = body.get("field")
+    c = F.col(fld) if fld is not None else None
+    if typ == "avg":
+        return [F.avg(c).alias(name)]
+    if typ == "sum":
+        return [F.sum(c).alias(name)]
+    if typ == "min":
+        return [F.min(c).alias(name)]
+    if typ == "max":
+        return [F.max(c).alias(name)]
+    if typ == "value_count":
+        return [F.count(c).alias(name)]
+    if typ == "stats":
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            F.avg(c).alias(f"{name}_avg"),
+            F.sum(c).alias(f"{name}_sum"),
+        ]
+    if typ == "extended_stats":
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            F.avg(c).alias(f"{name}_avg"),
+            F.sum(c).alias(f"{name}_sum"),
+            F.sum(c * c).alias(f"{name}_sum_of_squares"),
+            F.var_pop(c).alias(f"{name}_variance"),
+            F.stddev_pop(c).alias(f"{name}_std_deviation"),
+        ]
+    if typ == "cardinality":
+        # OpenSearch cardinality is HLL-approximate; exact by default
+        # here for oracle-ability, HLL on request for the 100-TB path
+        if body.get("approx"):
+            return [
+                F.approx_count_distinct(
+                    c, rsd=float(body.get("rsd", 0.05))
+                ).alias(name)
+            ]
+        return [F.countDistinct(c).alias(name)]
+    if typ == "percentiles":
+        pcts = [float(p) for p in body.get("percents", _DEF_PERCENTS)]
+        frac = ", ".join(repr(p / 100.0) for p in pcts)
+        arr = F.expr(f"percentile({fld}, array({frac}))")
+        return [
+            arr.getItem(i).alias(f"{name}_{_pct_label(p)}")
+            for i, p in enumerate(pcts)
+        ]
+    if typ == "percentile_ranks":
+        vals = [float(v) for v in body["values"]]
+        return [
+            (
+                F.avg(F.when(c <= F.lit(v), 1.0).otherwise(0.0)) * 100.0
+            ).alias(f"{name}_rank_{('%g' % v).replace('.', '_')}")
+            for v in vals
+        ]
+    raise ValueError(f"unknown metric aggregation: {typ}")
+
+
+def _split(spec: dict) -> tuple[str, dict, dict]:
+    """({'terms': {...}, 'aggs': {...}}) → (type, body, sub_aggs)."""
+    sub = spec.get("aggs", {}) or {}
+    kinds = [k for k in spec if k != "aggs"]
+    if len(kinds) != 1:
+        raise ValueError(
+            f"aggregation spec needs exactly one type key, got {kinds}"
+        )
+    typ = kinds[0]
+    return typ, spec[typ] or {}, sub
+
+
+def _interval_seconds(iv: str) -> int:
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", iv)
+    if not m:
+        raise ValueError(f"unsupported fixed_interval: {iv!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    mult = {"ms": 0, "s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+    if unit == "ms":
+        raise ValueError("sub-second fixed_interval not supported")
+    return n * mult
+
+
+def _key_expr(typ: str, body: dict) -> Column:
+    """Single-key bucket types → the grouping expression."""
+    fld = body["field"]
+    c = F.col(fld)
+    if typ == "terms":
+        return c
+    if typ == "histogram":
+        interval = float(body["interval"])
+        offset = float(body.get("offset", 0.0))
+        return (
+            F.floor((c - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
+            + F.lit(offset)
+        )
+    if typ == "date_histogram":
+        if "calendar_interval" in body:
+            unit = body["calendar_interval"]
+            if unit not in {
+                "minute", "hour", "day", "week", "month", "quarter", "year",
+            }:
+                raise ValueError(f"unsupported calendar_interval: {unit}")
+            return F.date_trunc(unit, c)
+        secs = _interval_seconds(body["fixed_interval"])
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(c) / F.lit(secs)) * F.lit(secs)
+        )
+    raise ValueError(f"not a keyed bucket type: {typ}")
+
+
+def _enumerated_buckets(typ: str, body: dict) -> list[tuple[str, str]]:
+    """Filter-family bucket types → [(bucket_key, sql_predicate)]."""
+    if typ == "filter":
+        return [(body.get("key", "filter"), body["predicate"])]
+    if typ == "filters":
+        return list(body["filters"].items())
+    if typ == "missing":
+        return [("missing", f"{body['field']} IS NULL")]
+    if typ in {"range", "date_range"}:
+        fld = body["field"]
+        out = []
+        for r in body["ranges"]:
+            lo, hi = r.get("from"), r.get("to")
+
+            def _lit(v):
+                return f"'{v}'" if typ == "date_range" else repr(float(v))
+
+            preds = []
+            if lo is not None:
+                preds.append(f"{fld} >= {_lit(lo)}")
+            if hi is not None:
+                preds.append(f"{fld} < {_lit(hi)}")
+            key = r.get("key") or (
+                f"{lo if lo is not None else '*'}-"
+                f"{hi if hi is not None else '*'}"
+            )
+            out.append((key, " AND ".join(preds) or "TRUE"))
+        return out
+    if typ == "adjacency_matrix":
+        named = list(body["filters"].items())
+        out = [(k, p) for k, p in named]
+        for i, (ka, pa) in enumerate(named):
+            for kb, pb in named[i + 1:]:
+                out.append((f"{ka}&{kb}", f"({pa}) AND ({pb})"))
+        return out
+    raise ValueError(f"not an enumerated bucket type: {typ}")
+
+
+def _collect_metric_exprs(sub: dict) -> tuple[list[Column], dict]:
+    """Metric sub-aggs → one flat expr list; returns (exprs, leftovers)
+    where leftovers are bucket/pipeline/top_hits sub-aggs handled after
+    the groupBy."""
+    exprs: list[Column] = []
+    rest: dict = {}
+    for name, spec in sub.items():
+        typ, body, ssub = _split(spec)
+        if typ in _METRICS:
+            if ssub:
+                raise ValueError(f"metric agg {name!r} cannot have sub-aggs")
+            exprs.extend(_metric_exprs(name, typ, body))
+        else:
+            rest[name] = spec
+    return exprs, rest
+
+
+def _bucket_order(typ: str, body: dict, key: str) -> list[Column]:
+    if typ == "terms" or typ == "significant_terms":
+        order = body.get("order")
+        if order:
+            (col, direction), = order.items()
+            col = "doc_count" if col == "_count" else col
+            first = (
+                F.col(col).asc() if direction == "asc" else F.col(col).desc()
+            )
+            return [first, F.col(key).asc()]
+        if typ == "significant_terms":
+            return [F.col("score").desc(), F.col(key).asc()]
+        return [F.col("doc_count").desc(), F.col(key).asc()]
+    return [F.col(key).asc()]
+
+
+def _apply_size(
+    df: DataFrame, order: list[Column], size: int | None,
+    parent_keys: list[str],
+) -> DataFrame:
+    """Order buckets; truncate to `size` per parent bucket (Window when
+    nested, plain sort+limit at top level)."""
+    if size is None:
+        return df.orderBy(*([F.col(k) for k in parent_keys] + order))
+    if parent_keys:
+        w = Window.partitionBy(*parent_keys).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= size)
+            .drop("__rn")
+            .orderBy(*([F.col(k) for k in parent_keys] + order))
+        )
+    return df.orderBy(*order).limit(size)
+
+
+def _top_hits(
+    df: DataFrame, name: str, body: dict, parent_keys: list[str],
+) -> DataFrame:
+    """Per-bucket top hits by score desc, doc_id-asc tiebreak — one
+    Window pass, no per-bucket jobs."""
+    size = int(body.get("size", 3))
+    cols = body.get("_source", ["doc_id", "score"])
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    if parent_keys:
+        w = Window.partitionBy(*parent_keys).orderBy(*order)
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy(*order)
+    keep = [c for c in parent_keys if c not in cols]
+    return (
+        df.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= size)
+        .select(*keep, *cols, "hit_rank")
+        .orderBy(*[F.col(k) for k in parent_keys], "hit_rank")
+    )
+
+
+def _apply_pipelines(
+    buckets: DataFrame, key: str, pipelines: dict, parent_keys: list[str],
+    out: dict, path: str,
+) -> DataFrame:
+    """Pipeline aggs over a bucket frame. Sequential semantics: skips
+    (derivative's first bucket) are NULL rows, matching OpenSearch's
+    gap-less default. Runs on the bucket frame (|buckets| rows), so
+    single-partition Windows are fine by construction."""
+    part = (
+        Window.partitionBy(*parent_keys)
+        if parent_keys
+        else Window.partitionBy(F.lit(1))
+    )
+    seq = part.orderBy(F.col(key).asc())
+    for name, spec in pipelines.items():
+        typ, body, _ = _split(spec)
+        src = body.get("buckets_path")
+        src = "doc_count" if src == "_count" else src
+        if typ == "cumulative_sum":
+            buckets = buckets.withColumn(
+                name,
+                F.sum(src).over(
+                    seq.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        elif typ == "derivative":
+            buckets = buckets.withColumn(
+                name, F.col(src) - F.lag(src).over(seq)
+            )
+        elif typ in {"avg_bucket", "sum_bucket", "min_bucket",
+                     "max_bucket", "stats_bucket"}:
+            fn = {
+                "avg_bucket": [F.avg(src).alias("value")],
+                "sum_bucket": [F.sum(src).alias("value")],
+                "min_bucket": [F.min(src).alias("value")],
+                "max_bucket": [F.max(src).alias("value")],
+                "stats_bucket": [
+                    F.count(src).alias("count"),
+                    F.min(src).alias("min"),
+                    F.max(src).alias("max"),
+                    F.avg(src).alias("avg"),
+                    F.sum(src).alias("sum"),
+                ],
+            }[typ]
+            grp = (
+                buckets.groupBy(*parent_keys) if parent_keys
+                else buckets.groupBy()
+            )
+            out[f"{path}>{name}"] = grp.agg(*fn)
+        elif typ == "bucket_script":
+            buckets = buckets.withColumn(
+                name, F.expr(_subst(body["script"], body.get("params")))
+            )
+        elif typ == "bucket_selector":
+            buckets = buckets.filter(
+                F.expr(_subst(body["script"], body.get("params")))
+            )
+        elif typ == "bucket_sort":
+            sorts = [
+                F.col(c).asc() if d == "asc" else F.col(c).desc()
+                for s in body.get("sort", [])
+                for c, d in s.items()
+            ] + [F.col(key).asc()]
+            buckets = _apply_size(
+                buckets, sorts, body.get("size"), parent_keys
+            )
+        else:
+            raise ValueError(f"unknown pipeline aggregation: {typ}")
+    return buckets
+
+
+def _compile(
+    df: DataFrame, name: str, spec: dict, out: dict, path: str,
+    parent_keys: list[str], full: DataFrame | None,
+) -> None:
+    typ, body, sub = _split(spec)
+    mpath = f"{path}{name}"
+
+    if typ in _METRICS:
+        grp = df.groupBy(*parent_keys) if parent_keys else df.groupBy()
+        out[mpath] = grp.agg(*_metric_exprs(name, typ, body))
+        return
+    if typ == "top_hits":
+        out[mpath] = _top_hits(df, name, body, parent_keys)
+        return
+    if typ == "scripted_metric":
+        # restricted scripted_metric: map_script is a SQL expression per
+        # row, reduce_script one of sum/avg/min/max — the deterministic
+        # subset of the reference's painless scripts (the aggregation IT
+        # uses a summing scripted metric); arbitrary scripts are out of
+        # scope by design
+        red = body.get("reduce_script", "sum")
+        fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+        if red not in fn:
+            raise ValueError(
+                f"scripted_metric reduce_script must be one of {set(fn)}"
+            )
+        grp = df.groupBy(*parent_keys) if parent_keys else df.groupBy()
+        out[mpath] = grp.agg(
+            fn[red](F.expr(body["map_script"])).alias(name)
+        )
+        return
+    if typ not in _BUCKETS:
+        raise ValueError(f"unknown aggregation type: {typ}")
+
+    metric_exprs, rest = _collect_metric_exprs(sub)
+    pipelines = {
+        n: s for n, s in rest.items() if _split(s)[0] in _PIPELINES
+    }
+    deeper = {n: s for n, s in rest.items() if n not in pipelines}
+
+    if typ == "global":
+        if full is None:
+            raise ValueError("global agg needs the full (unscoped) frame")
+        scope = full.withColumn("score", F.lit(1.0))
+        for n, s in sub.items():
+            _compile(scope, n, s, out, f"{mpath}>", [], full)
+        out[mpath] = scope.groupBy().agg(F.count("*").alias("doc_count"))
+        return
+
+    if typ == "nested":
+        # nested docs = an array<struct> column; one explode turns the
+        # scope into the nested-doc frame (doc_count counts nested docs,
+        # OpenSearch nested-agg semantics). Struct fields must not shadow
+        # outer columns — raise rather than silently prefer one.
+        pathcol = body["path"]
+        fields = [
+            f.name for f in df.schema[pathcol].dataType.elementType.fields
+        ]
+        outer = [c for c in df.columns if c != pathcol]
+        clash = set(fields) & set(outer)
+        if clash:
+            raise ValueError(
+                f"nested path {pathcol!r} fields shadow outer columns: "
+                f"{sorted(clash)}"
+            )
+        exploded = df.select(
+            *outer, F.explode(pathcol).alias("__nested")
+        ).select(*outer, "__nested.*")
+        grp = (
+            exploded.groupBy(*parent_keys) if parent_keys
+            else exploded.groupBy()
+        )
+        out[mpath] = grp.agg(F.count("*").alias("doc_count"))
+        for n, s in sub.items():
+            _compile(exploded, n, s, out, f"{mpath}>", parent_keys, full)
+        return
+
+    if typ == "sampler":
+        shard = int(body.get("shard_size", 100))
+        w = Window.partitionBy(F.lit(1)).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        scope = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= shard)
+            .drop("__rn")
+        )
+        for n, s in sub.items():
+            _compile(scope, n, s, out, f"{mpath}>", parent_keys, full)
+        grp = (
+            scope.groupBy(*parent_keys) if parent_keys else scope.groupBy()
+        )
+        out[mpath] = grp.agg(F.count("*").alias("doc_count"))
+        return
+
+    if typ == "significant_terms":
+        if full is None:
+            raise ValueError(
+                "significant_terms needs the full (background) frame"
+            )
+        fld = body["field"]
+        size = int(body.get("size", 10))
+        fg = df.groupBy(F.col(fld).alias(f"{name}_key")).agg(
+            F.count("*").alias("doc_count")
+        )
+        bg = full.groupBy(F.col(fld).alias(f"{name}_key")).agg(
+            F.count("*").alias("bg_count")
+        )
+        fg_tot = df.count()
+        bg_tot = full.count()
+        # JLH score (Lucene JLHScore.java semantics): published formula,
+        # (fg% − bg%) · (fg% / bg%); broadcast the (vocabulary-bounded)
+        # background counts
+        joined = fg.join(F.broadcast(bg), f"{name}_key")
+        fgp = F.col("doc_count") / F.lit(float(fg_tot))
+        bgp = F.col("bg_count") / F.lit(float(bg_tot))
+        scored = joined.withColumn(
+            "score",
+            F.when(
+                (fgp > bgp) & (F.col("bg_count") > 0),
+                (fgp - bgp) * (fgp / bgp),
+            ).otherwise(F.lit(0.0)),
+        ).filter(F.col("score") > 0)
+        out[mpath] = _apply_size(
+            scored, _bucket_order(typ, body, f"{name}_key"), size, [],
+        )
+        return
+
+    if typ in {"filter", "filters", "missing", "range", "date_range",
+               "adjacency_matrix"}:
+        enum = _enumerated_buckets(typ, body)
+        key = f"{name}_key"
+        frames = []
+        for bkey, pred in enum:
+            part = df.filter(F.expr(pred))
+            grp = (
+                part.groupBy(*parent_keys) if parent_keys
+                else part.groupBy()
+            )
+            b = grp.agg(
+                F.count("*").alias("doc_count"), *metric_exprs
+            ).withColumn(key, F.lit(bkey))
+            frames.append(b.select(*parent_keys, key, *[
+                c for c in b.columns if c not in parent_keys + [key]
+            ]))
+            for n, s in deeper.items():
+                _compile(
+                    part.withColumn(key, F.lit(bkey)), n, s, out,
+                    f"{mpath}[{bkey}]>", parent_keys + [key], full,
+                )
+        buckets = frames[0]
+        for fr in frames[1:]:
+            buckets = buckets.unionByName(fr)
+        # single-bucket 'filter' keeps all rows (even zero-count buckets
+        # appear — count(*) over empty grouped-all is handled by Spark
+        # returning a 0 row only for grouped-all; enumerated unions are
+        # per-predicate so empties vanish, matching min_doc_count=1)
+        buckets = _apply_pipelines(
+            buckets, key, pipelines, parent_keys, out, mpath
+        )
+        out[mpath] = buckets.orderBy(
+            *[F.col(k) for k in parent_keys], F.col(key).asc()
+        )
+        return
+
+    # keyed buckets: terms / histogram / date_histogram
+    key = f"{name}_key"
+    keyed = df.withColumn(key, _key_expr(typ, body))
+    grp_keys = parent_keys + [key]
+    buckets = keyed.groupBy(*grp_keys).agg(
+        F.count("*").alias("doc_count"), *metric_exprs
+    )
+    mdc = int(body.get("min_doc_count", 1))
+    if mdc > 0:
+        buckets = buckets.filter(F.col("doc_count") >= mdc)
+    size = body.get("size")
+    if typ == "terms" and size is None:
+        size = 10
+    buckets = _apply_size(
+        buckets, _bucket_order(typ, body, key), size, parent_keys
+    )
+    buckets = _apply_pipelines(
+        buckets, key, pipelines, parent_keys, out, mpath
+    )
+    out[mpath] = buckets
+    if deeper:
+        # sub-aggs are computed for the SURVIVING buckets only
+        # (post-min_doc_count/size), per OpenSearch semantics: semi-join
+        # the doc frame down to them, then recurse one level deeper
+        survivors = buckets.select(*grp_keys)
+        scoped = keyed.join(F.broadcast(survivors), grp_keys, "left_semi")
+        for n, s in deeper.items():
+            _compile(scoped, n, s, out, f"{mpath}>", grp_keys, full)
+
+
+def compute_aggs(
+    scoped: DataFrame,
+    aggs: dict,
+    *,
+    full: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Compute an OpenSearch-style `aggs` tree over `scoped` — the
+    query's matched docs joined back to their source columns (must carry
+    `doc_id` and `score`; pass the corpus itself with score=1.0 for
+    match_all scope). `full` is the unscoped corpus, needed only by
+    `global` and `significant_terms`.
+
+    Returns {path: DataFrame} — "name" per top-level agg,
+    "parent>child" for nested levels (parent key columns included),
+    "bucket>pipeline" for bucket-metric pipelines.
+    """
+    out: dict[str, DataFrame] = {}
+    for name, spec in aggs.items():
+        _compile(scoped, name, spec, out, "", [], full)
+    return out

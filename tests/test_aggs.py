@@ -1,0 +1,491 @@
+"""Search-time aggregations (query/aggs.py): every agg family checked
+against a pandas oracle computed from the same scoped frame; Engine
+integration checked for scoping semantics (raw matched set, hybrid
+pre-normalization union, post_filter gating)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.engine import Engine, HybridSpec
+from neural_search_spark.index.build import doc_id_col
+from neural_search_spark.query.aggs import compute_aggs
+from neural_search_spark.query.neural import QuerySpec
+
+
+@pytest.fixture(scope="module")
+def scoped(spark, transcripts_df):
+    # deterministic "matched set with scores": every turn, score from a
+    # stable hash; plus a numeric and a timestamp column for metrics
+    df = (
+        transcripts_df.withColumn("doc_id", doc_id_col())
+        .withColumn("n_chars", F.length("text"))
+        .withColumn(
+            "score", (F.abs(F.col("doc_id")) % 1000).cast("double") / 100.0
+        )
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestamp'2026-01-01 00:00:00' + make_interval("
+                "0, 0, 0, 0, cast(abs(doc_id) % 72 as int), 0, 0)"
+            ),
+        )
+    )
+    return df
+
+
+@pytest.fixture(scope="module")
+def scoped_pd(scoped):
+    return scoped.toPandas()
+
+
+def test_metric_aggs_global(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "mean_len": {"avg": {"field": "n_chars"}},
+            "tot": {"sum": {"field": "n_chars"}},
+            "lo": {"min": {"field": "n_chars"}},
+            "hi": {"max": {"field": "n_chars"}},
+            "n": {"value_count": {"field": "text"}},
+            "st": {"stats": {"field": "n_chars"}},
+            "est": {"extended_stats": {"field": "n_chars"}},
+            "card": {"cardinality": {"field": "role"}},
+        },
+    )
+    r = {k: v.toPandas() for k, v in out.items()}
+    col = scoped_pd["n_chars"]
+    assert np.isclose(r["mean_len"]["mean_len"][0], col.mean())
+    assert r["tot"]["tot"][0] == col.sum()
+    assert r["lo"]["lo"][0] == col.min()
+    assert r["hi"]["hi"][0] == col.max()
+    assert r["n"]["n"][0] == len(scoped_pd)
+    assert r["st"]["st_count"][0] == len(col)
+    assert np.isclose(r["st"]["st_avg"][0], col.mean())
+    assert np.isclose(r["est"]["est_variance"][0], col.var(ddof=0))
+    assert np.isclose(
+        r["est"]["est_sum_of_squares"][0], (col.astype(float) ** 2).sum()
+    )
+    assert r["card"]["card"][0] == scoped_pd["role"].nunique()
+
+
+def test_percentiles_and_ranks(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "pct": {"percentiles": {"field": "n_chars",
+                                    "percents": [50, 95]}},
+            "pr": {"percentile_ranks": {"field": "n_chars",
+                                        "values": [100]}},
+        },
+    )
+    pct = out["pct"].toPandas()
+    col = scoped_pd["n_chars"].astype(float)
+    assert np.isclose(
+        pct["pct_p50"][0], np.percentile(col, 50, method="linear")
+    )
+    assert np.isclose(
+        pct["pct_p95"][0], np.percentile(col, 95, method="linear")
+    )
+    pr = out["pr"].toPandas()
+    assert np.isclose(pr["pr_rank_100"][0], (col <= 100).mean() * 100.0)
+
+
+def test_terms_with_metric_subagg_one_groupby(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "by_role": {
+                "terms": {"field": "role", "size": 10},
+                "aggs": {"mean_len": {"avg": {"field": "n_chars"}}},
+            }
+        },
+    )
+    got = out["by_role"].toPandas()
+    exp = (
+        scoped_pd.groupby("role")
+        .agg(doc_count=("role", "size"), mean_len=("n_chars", "mean"))
+        .reset_index()
+        .sort_values(["doc_count", "role"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert list(got["by_role_key"]) == list(exp["role"])
+    assert list(got["doc_count"]) == list(exp["doc_count"])
+    assert np.allclose(got["mean_len"], exp["mean_len"])
+    # the bucket + its metrics must be ONE shuffle: a single Aggregate
+    # over the key, no join in the plan
+    plan = out["by_role"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_terms_order_size_min_doc_count(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "top2": {"terms": {"field": "role", "size": 2,
+                               "order": {"_count": "asc"}}},
+            "rare": {"terms": {"field": "role", "min_doc_count": 10**9}},
+        },
+    )
+    vc = scoped_pd["role"].value_counts()
+    got = out["top2"].toPandas()
+    exp_keys = list(vc.sort_values(ascending=True).index[:2])
+    # ties broken key-asc after count-asc
+    assert len(got) == 2
+    assert got["doc_count"].is_monotonic_increasing
+    assert set(got["top2_key"]) <= set(vc.index)
+    assert list(got["top2_key"]) == sorted(
+        exp_keys, key=lambda k: (vc[k], k)
+    )
+    assert out["rare"].count() == 0
+
+
+def test_histogram_and_date_histogram(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "h": {"histogram": {"field": "n_chars", "interval": 50}},
+            "dh": {"date_histogram": {"field": "ts",
+                                      "fixed_interval": "1d"}},
+            "dm": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day"}},
+        },
+    )
+    h = out["h"].toPandas()
+    exp = (
+        (scoped_pd["n_chars"] // 50 * 50)
+        .value_counts()
+        .sort_index()
+    )
+    assert list(h["h_key"]) == list(exp.index.astype(float))
+    assert list(h["doc_count"]) == list(exp.values)
+    dh = out["dh"].toPandas()
+    exp_dh = (
+        scoped_pd["ts"].dt.floor("1D").value_counts().sort_index()
+    )
+    assert list(dh["dh_key"]) == list(exp_dh.index)
+    assert list(dh["doc_count"]) == list(exp_dh.values)
+    dm = out["dm"].toPandas()
+    assert list(dm["dm_key"]) == list(exp_dh.index)
+
+
+def test_range_filters_missing(scoped, scoped_pd):
+    nullable = scoped.withColumn(
+        "maybe", F.when(F.col("turn_idx") % 3 == 0, F.col("role"))
+    )
+    npd = nullable.toPandas()
+    out = compute_aggs(
+        nullable,
+        {
+            "r": {
+                "range": {
+                    "field": "n_chars",
+                    "ranges": [
+                        {"to": 50, "key": "short"},
+                        {"from": 50, "to": 150, "key": "mid"},
+                        {"from": 150, "key": "long"},
+                    ],
+                },
+                "aggs": {"m": {"max": {"field": "n_chars"}}},
+            },
+            "f": {
+                "filters": {
+                    "filters": {
+                        "user": "role = 'user'",
+                        "asst": "role = 'assistant'",
+                    }
+                }
+            },
+            "miss": {"missing": {"field": "maybe"}},
+        },
+    )
+    r = out["r"].toPandas().set_index("r_key")
+    assert r.loc["short", "doc_count"] == (npd["n_chars"] < 50).sum()
+    assert r.loc["mid", "doc_count"] == (
+        (npd["n_chars"] >= 50) & (npd["n_chars"] < 150)
+    ).sum()
+    assert r.loc["long", "doc_count"] == (npd["n_chars"] >= 150).sum()
+    assert r.loc["long", "m"] == npd["n_chars"].max()
+    f = out["f"].toPandas().set_index("f_key")
+    assert f.loc["user", "doc_count"] == (npd["role"] == "user").sum()
+    assert f.loc["asst", "doc_count"] == (npd["role"] == "assistant").sum()
+    assert out["miss"].toPandas()["doc_count"][0] == npd["maybe"].isna().sum()
+
+
+def test_adjacency_matrix(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "adj": {
+                "adjacency_matrix": {
+                    "filters": {
+                        "long": "n_chars >= 100",
+                        "user": "role = 'user'",
+                    }
+                }
+            }
+        },
+    )
+    a = out["adj"].toPandas().set_index("adj_key")
+    long_m = scoped_pd["n_chars"] >= 100
+    user_m = scoped_pd["role"] == "user"
+    assert a.loc["long", "doc_count"] == long_m.sum()
+    assert a.loc["user", "doc_count"] == user_m.sum()
+    assert a.loc["long&user", "doc_count"] == (long_m & user_m).sum()
+
+
+def test_nested_terms_date_histogram_two_groupbys(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "by_role": {
+                "terms": {"field": "role", "size": 3},
+                "aggs": {
+                    "per_day": {
+                        "date_histogram": {"field": "ts",
+                                           "fixed_interval": "1d"},
+                        "aggs": {"s": {"sum": {"field": "n_chars"}}},
+                    }
+                },
+            }
+        },
+    )
+    top = out["by_role"].toPandas()
+    nested = out["by_role>per_day"].toPandas()
+    top_roles = set(top["by_role_key"])
+    sub = scoped_pd[scoped_pd["role"].isin(top_roles)].copy()
+    sub["day"] = sub["ts"].dt.floor("1D")
+    exp = (
+        sub.groupby(["role", "day"])
+        .agg(doc_count=("role", "size"), s=("n_chars", "sum"))
+        .reset_index()
+    )
+    m = nested.merge(
+        exp,
+        left_on=["by_role_key", "per_day_key"],
+        right_on=["role", "day"],
+        suffixes=("", "_exp"),
+    )
+    assert len(m) == len(exp) == len(nested)
+    assert (m["doc_count"] == m["doc_count_exp"]).all()
+    assert (m["s"] == m["s_exp"]).all()
+
+
+def test_top_hits_subagg(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "by_role": {
+                "terms": {"field": "role", "size": 10},
+                "aggs": {
+                    "best": {"top_hits": {"size": 2,
+                                          "_source": ["doc_id", "score"]}}
+                },
+            }
+        },
+    )
+    th = out["by_role>best"].toPandas()
+    for role, grp in scoped_pd.groupby("role"):
+        exp = grp.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(2)
+        got = th[th["by_role_key"] == role].sort_values("hit_rank")
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+
+
+def test_pipeline_aggs(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "per_day": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                "aggs": {
+                    "s": {"sum": {"field": "n_chars"}},
+                    "cum": {"cumulative_sum": {"buckets_path": "s"}},
+                    "dx": {"derivative": {"buckets_path": "s"}},
+                    "ratio": {
+                        "bucket_script": {
+                            "script": "x / doc_count",
+                            "params": {"x": "s"},
+                        }
+                    },
+                    "avg_s": {"avg_bucket": {"buckets_path": "s"}},
+                    "stats_s": {"stats_bucket": {"buckets_path": "s"}},
+                },
+            }
+        },
+    )
+    b = out["per_day"].toPandas().sort_values("per_day_key")
+    exp = (
+        scoped_pd.assign(day=scoped_pd["ts"].dt.floor("1D"))
+        .groupby("day")["n_chars"]
+        .sum()
+        .sort_index()
+    )
+    assert np.allclose(b["cum"], exp.cumsum().values)
+    assert np.isnan(b["dx"].iloc[0])
+    assert np.allclose(b["dx"].iloc[1:], np.diff(exp.values))
+    assert np.allclose(b["ratio"], b["s"] / b["doc_count"])
+    assert np.isclose(
+        out["per_day>avg_s"].toPandas()["value"][0], exp.mean()
+    )
+    st = out["per_day>stats_s"].toPandas()
+    assert st["count"][0] == len(exp)
+    assert st["sum"][0] == exp.sum()
+
+
+def test_bucket_selector_and_sort(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "by_role": {
+                "terms": {"field": "role", "size": 10},
+                "aggs": {
+                    "keep": {
+                        "bucket_selector": {
+                            "script": "c >= 10",
+                            "params": {"c": "doc_count"},
+                        }
+                    },
+                    "srt": {
+                        "bucket_sort": {
+                            "sort": [{"doc_count": "asc"}],
+                            "size": 2,
+                        }
+                    },
+                },
+            }
+        },
+    )
+    got = out["by_role"].toPandas()
+    vc = scoped_pd["role"].value_counts()
+    surviving = vc[vc >= 10]
+    assert len(got) == min(2, len(surviving))
+    assert got["doc_count"].is_monotonic_increasing
+
+
+def test_significant_terms_and_sampler(scoped, scoped_pd):
+    fg = scoped.filter(F.col("n_chars") >= 120)
+    out = compute_aggs(
+        fg,
+        {
+            "sig": {"significant_terms": {"field": "role", "size": 5}},
+            "samp": {
+                "sampler": {"shard_size": 50},
+                "aggs": {"m": {"avg": {"field": "n_chars"}}},
+            },
+        },
+        full=scoped,
+    )
+    sig = out["sig"].toPandas()
+    fg_pd = scoped_pd[scoped_pd["n_chars"] >= 120]
+    for _, row in sig.iterrows():
+        fgp = (fg_pd["role"] == row["sig_key"]).sum() / len(fg_pd)
+        bgp = (scoped_pd["role"] == row["sig_key"]).sum() / len(scoped_pd)
+        assert fgp > bgp
+        assert np.isclose(row["score"], (fgp - bgp) * (fgp / bgp))
+    assert out["samp"].toPandas()["doc_count"][0] == 50
+    samp_exp = (
+        fg_pd.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(50)["n_chars"]
+        .mean()
+    )
+    assert np.isclose(out["samp>m"].toPandas()["m"][0], samp_exp)
+
+
+def test_global_agg_escapes_scope(scoped, scoped_pd):
+    fg = scoped.filter(F.col("role") == "user")
+    out = compute_aggs(
+        fg,
+        {
+            "in_scope": {"value_count": {"field": "doc_id"}},
+            "everything": {
+                "global": {},
+                "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+            },
+        },
+        full=scoped,
+    )
+    n_user = (scoped_pd["role"] == "user").sum()
+    assert out["in_scope"].toPandas()["in_scope"][0] == n_user
+    assert out["everything"].toPandas()["doc_count"][0] == len(scoped_pd)
+    assert out["everything>n"].toPandas()["n"][0] == len(scoped_pd)
+
+
+def test_nested_and_scripted_metric(scoped, scoped_pd):
+    # array<struct> column: one nested doc per 40-char span of the text
+    with_spans = scoped.withColumn(
+        "spans",
+        F.expr(
+            "transform(sequence(0, int(floor(n_chars / 40))), "
+            "i -> struct(i AS span_idx, substring(text, i * 40 + 1, 40) "
+            "AS span_text))"
+        ),
+    )
+    out = compute_aggs(
+        with_spans,
+        {
+            "sp": {
+                "nested": {"path": "spans"},
+                "aggs": {"mx": {"max": {"field": "span_idx"}}},
+            },
+            "sm": {
+                "scripted_metric": {
+                    "map_script": "n_chars * 2 + turn_idx",
+                    "reduce_script": "sum",
+                }
+            },
+        },
+    )
+    n_nested = (scoped_pd["n_chars"] // 40 + 1).sum()
+    assert out["sp"].toPandas()["doc_count"][0] == n_nested
+    assert out["sp>mx"].toPandas()["mx"][0] == (
+        scoped_pd["n_chars"] // 40
+    ).max()
+    assert out["sm"].toPandas()["sm"][0] == (
+        scoped_pd["n_chars"] * 2 + scoped_pd["turn_idx"]
+    ).sum()
+    # shadowing struct fields are an error, not a silent pick
+    shadow = scoped.withColumn(
+        "bad", F.expr("array(struct(1 AS role, 2 AS x))")
+    )
+    with pytest.raises(ValueError, match="shadow"):
+        compute_aggs(shadow, {"b": {"nested": {"path": "bad"}}})
+
+
+def test_engine_search_with_aggs_scoping(spark, transcripts_df):
+    docs = transcripts_df.withColumn("doc_id", doc_id_col()).withColumn(
+        "n_chars", F.length("text")
+    )
+    eng = Engine(spark, corpus=docs)
+    spec = QuerySpec(query_type="match", query_text="tool call")
+    hits, out = eng.search_with_aggs(
+        spec, {"by_role": {"terms": {"field": "role"}}}, k=5
+    )
+    assert hits.count() == 5
+    # agg scope == FULL matched set, not the page
+    matched = eng._full_scored(spec).toPandas()
+    got = out["by_role"].toPandas()
+    assert got["doc_count"].sum() == len(matched)
+
+    # hybrid: union of raw branch matches
+    hspec = HybridSpec(
+        sub_queries=[
+            QuerySpec(query_type="match", query_text="tool call"),
+            QuerySpec(query_type="match", query_text="model"),
+        ]
+    )
+    _, hout = eng.search_with_aggs(
+        hspec, {"n": {"value_count": {"field": "doc_id"}}}, k=5
+    )
+    a = set(eng._full_scored(hspec.sub_queries[0]).toPandas()["doc_id"])
+    b = set(eng._full_scored(hspec.sub_queries[1]).toPandas()["doc_id"])
+    assert hout["n"].toPandas()["n"][0] == len(a | b)
+
+    # match_all scope without a query
+    none_hits, nout = eng.search_with_aggs(
+        None, {"n": {"value_count": {"field": "doc_id"}}}
+    )
+    assert none_hits is None
+    assert nout["n"].toPandas()["n"][0] == docs.count()
