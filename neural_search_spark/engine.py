@@ -1334,6 +1334,10 @@ class Engine:
             matched = self._full_scored(spec).select(
                 "doc_id", F.col("score").cast("double").alias("score")
             )
+        # each agg path collects separately; cache the (doc_id, score)
+        # matched set so scoring runs once, not once per returned frame.
+        # |matched| is corpus-bounded but carries two columns only.
+        matched = matched.persist()
         scoped = base.drop("score").join(matched, "doc_id")
         return hits, compute_aggs(scoped, aggs, full=base)
 

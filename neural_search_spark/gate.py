@@ -3354,7 +3354,15 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
     * 'est'  — global extended_stats(n_chars);
     * 'pct'  — exact percentiles(n_chars, [50, 95]);
     * 'sig'  — significant_terms(source) vs the full-corpus background
-      (Lucene JLHScore formula)."""
+      (Lucene JLHScore formula);
+    * 'cmp'  — composite(lang × histogram(n_chars,100)) page of 6 with
+      an exclusive after-cursor (the pre-groupBy filtered scale path);
+    * 'mt'   — multi_terms(lang, source) top-5 by doc_count with an avg
+      sub-metric;
+    * 'rare' — rare_terms(source, max_doc_count=3);
+    * 'wa'   — weighted_avg(n_chars weighted by raw score);
+    * 'tm'   — top_metrics(n_chars, sort n_chars desc, size 3) — integer
+      sort so the cross-engine ordering is exact."""
     from .query.aggs import compute_aggs
 
     d = _docs(spark, sf)
@@ -3363,7 +3371,9 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
     matched = (
         b0.unionAll(b1).groupBy("doc_id").agg(F.max("score").alias("score"))
     )
-    scoped = d.join(matched, "doc_id")
+    # the matrix unions ~20 tiny projections of the same scoped frame —
+    # cache it so the two-branch BM25 scan + join runs once, not per branch
+    scoped = d.join(matched, "doc_id").persist()
     out = compute_aggs(
         scoped,
         {
@@ -3396,6 +3406,44 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
                 "percentiles": {"field": "n_chars", "percents": [50, 95]}
             },
             "sig": {"significant_terms": {"field": "source", "size": 50}},
+            # round-5b additions: the scale-path composite cursor page,
+            # multi-key terms, the long-tail rare_terms, weighted_avg,
+            # and top_metrics on a deterministic integer sort
+            "cmp": {
+                "composite": {
+                    "size": 6,
+                    "sources": [
+                        {"lg": {"terms": {"field": "lang"}}},
+                        {"len": {"histogram": {"field": "n_chars",
+                                               "interval": 100}}},
+                    ],
+                    "after": {"lg": "de", "len": 100.0},
+                },
+                "aggs": {"mx": {"max": {"field": "n_chars"}}},
+            },
+            "mt": {
+                "multi_terms": {
+                    "terms": [{"field": "lang"}, {"field": "source"}],
+                    "size": 5,
+                },
+                "aggs": {"mean_len": {"avg": {"field": "n_chars"}}},
+            },
+            "rare": {
+                "rare_terms": {"field": "source", "max_doc_count": 3}
+            },
+            "wa": {
+                "weighted_avg": {
+                    "value": {"field": "n_chars"},
+                    "weight": {"field": "score"},
+                }
+            },
+            "tm": {
+                "top_metrics": {
+                    "metrics": [{"field": "n_chars"}],
+                    "sort": [{"n_chars": "desc"}],
+                    "size": 3,
+                }
+            },
         },
         full=d,
     )
@@ -3443,6 +3491,28 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
     pieces += flat(
         "sig", out["sig"], F.col("sig_key").cast("string"),
         [("doc_count", "doc_count"), ("score", "score")],
+    )
+    pieces += flat(
+        "cmp", out["cmp"],
+        F.concat_ws(
+            "|", F.col("cmp_lg"),
+            F.col("cmp_len").cast("bigint").cast("string"),
+        ),
+        [("doc_count", "doc_count"), ("mx", "mx")],
+    )
+    pieces += flat(
+        "mt", out["mt"],
+        F.concat_ws("|", F.col("mt_key_lang"), F.col("mt_key_source")),
+        [("doc_count", "doc_count"), ("mean_len", "mean_len")],
+    )
+    pieces += flat(
+        "rare", out["rare"], F.col("rare_key").cast("string"),
+        [("doc_count", "doc_count")],
+    )
+    pieces += flat("wa", out["wa"], F.lit("_all"), [("wa", "wa")])
+    pieces += flat(
+        "tm", out["tm"], F.col("metric_rank").cast("string"),
+        [("n_chars", "n_chars")],
     )
     res = pieces[0]
     for p in pieces[1:]:
@@ -3495,7 +3565,24 @@ sig AS (SELECT fg.source AS key, fg.doc_count,
                   / (bg.bg_count * 1.0 / t.bg_tot)) AS score
         FROM fg JOIN bg USING (source) CROSS JOIN tots t
         WHERE fg.doc_count * 1.0 / t.fg_tot > bg.bg_count * 1.0 / t.bg_tot
-          AND bg.bg_count > 0)
+          AND bg.bg_count > 0),
+cmp0 AS (SELECT lang, floor(n_chars / 100.0) * 100 AS len, n_chars
+         FROM s
+         WHERE lang > 'de' OR (lang = 'de'
+                               AND floor(n_chars / 100.0) * 100 > 100.0)),
+cmp AS (SELECT lang, len, count(*) AS doc_count, max(n_chars) AS mx
+        FROM cmp0 GROUP BY 1, 2 ORDER BY lang, len LIMIT 6),
+mt AS (SELECT lang, source, count(*) AS doc_count,
+              avg(n_chars) AS mean_len
+       FROM s GROUP BY 1, 2
+       ORDER BY doc_count DESC, lang, source LIMIT 5),
+rare AS (SELECT source AS key, count(*) AS doc_count
+         FROM s GROUP BY 1 HAVING count(*) <= 3),
+wa AS (SELECT sum(n_chars * score) / sum(score) AS wa FROM s),
+tm AS (SELECT n_chars,
+              row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+              AS metric_rank
+       FROM s QUALIFY metric_rank <= 3)
 SELECT 'src' AS variant, key, 'doc_count' AS metric,
        round(doc_count, 4) AS value FROM src
 UNION ALL SELECT 'src', key, 'mean_len', round(mean_len, 4) FROM src
@@ -3517,7 +3604,19 @@ UNION ALL SELECT 'est', '_all', 'std_deviation', round(sd, 4) FROM est
 UNION ALL SELECT 'pct', '_all', 'p50', round(p50, 4) FROM pct
 UNION ALL SELECT 'pct', '_all', 'p95', round(p95, 4) FROM pct
 UNION ALL SELECT 'sig', key, 'doc_count', round(doc_count, 4) FROM sig
-UNION ALL SELECT 'sig', key, 'score', round(score, 4) FROM sig"""
+UNION ALL SELECT 'sig', key, 'score', round(score, 4) FROM sig
+UNION ALL SELECT 'cmp', lang || '|' || CAST(CAST(len AS BIGINT) AS VARCHAR),
+          'doc_count', round(doc_count, 4) FROM cmp
+UNION ALL SELECT 'cmp', lang || '|' || CAST(CAST(len AS BIGINT) AS VARCHAR),
+          'mx', round(mx, 4) FROM cmp
+UNION ALL SELECT 'mt', lang || '|' || source, 'doc_count',
+          round(doc_count, 4) FROM mt
+UNION ALL SELECT 'mt', lang || '|' || source, 'mean_len',
+          round(mean_len, 4) FROM mt
+UNION ALL SELECT 'rare', key, 'doc_count', round(doc_count, 4) FROM rare
+UNION ALL SELECT 'wa', '_all', 'wa', round(wa, 4) FROM wa
+UNION ALL SELECT 'tm', CAST(metric_rank AS VARCHAR), 'n_chars',
+          round(n_chars, 4) FROM tm"""
 
 
 def q_ml_rerank(spark: SparkSession, sf: str) -> DataFrame:

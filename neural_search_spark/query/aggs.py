@@ -19,6 +19,16 @@ bucket. Pipeline aggs are Window/selection arithmetic over the (tiny)
 bucket frame. Nothing here leaves the JVM: no UDFs, no collect on a
 per-doc path.
 
+`composite` is the 100-TB bucket path: unbounded key spaces page through
+in key order with an exclusive `after` cursor, and the cursor predicate
+is applied to the source EXPRESSIONS before the groupBy, so Catalyst
+pushes it toward the scan — a deep page neither re-aggregates nor even
+re-reads earlier buckets' rows (min/max pruning applies when the key is
+the sort/partition column). `rare_terms` is exact (groupBy + filter)
+rather than the reference's CuckooFilter approximation — same shuffle
+either way in Spark, and the doc_count<=N filter prunes before any
+ordering.
+
 Spec format mirrors the OpenSearch DSL, one dict per agg:
 
     {"by_src": {"terms": {"field": "source", "size": 10},
@@ -46,12 +56,13 @@ __all__ = ["compute_aggs"]
 
 _METRICS = {
     "avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
-    "cardinality", "percentiles", "percentile_ranks",
+    "cardinality", "percentiles", "percentile_ranks", "weighted_avg",
 }
 _BUCKETS = {
     "terms", "histogram", "date_histogram", "range", "date_range",
     "filter", "filters", "missing", "global", "sampler",
     "significant_terms", "adjacency_matrix", "nested",
+    "composite", "multi_terms", "rare_terms", "diversified_sampler",
 }
 _PIPELINES = {
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
@@ -134,6 +145,17 @@ def _metric_exprs(name: str, typ: str, body: dict) -> list[Column]:
                 F.avg(F.when(c <= F.lit(v), 1.0).otherwise(0.0)) * 100.0
             ).alias(f"{name}_rank_{('%g' % v).replace('.', '_')}")
             for v in vals
+        ]
+    if typ == "weighted_avg":
+        # Σ(v·w)/Σ(w) over rows where BOTH are present (OpenSearch skips
+        # docs missing the value; weight default handled by caller data)
+        cv = F.col(body["value"]["field"])
+        cw = F.col(body["weight"]["field"])
+        both = cv.isNotNull() & cw.isNotNull()
+        return [
+            (
+                F.sum(F.when(both, cv * cw)) / F.sum(F.when(both, cw))
+            ).alias(name)
         ]
     raise ValueError(f"unknown metric aggregation: {typ}")
 
@@ -301,19 +323,21 @@ def _top_hits(
 
 
 def _apply_pipelines(
-    buckets: DataFrame, key: str, pipelines: dict, parent_keys: list[str],
-    out: dict, path: str,
+    buckets: DataFrame, key: str | list[str], pipelines: dict,
+    parent_keys: list[str], out: dict, path: str,
 ) -> DataFrame:
     """Pipeline aggs over a bucket frame. Sequential semantics: skips
     (derivative's first bucket) are NULL rows, matching OpenSearch's
     gap-less default. Runs on the bucket frame (|buckets| rows), so
-    single-partition Windows are fine by construction."""
+    single-partition Windows are fine by construction. `key` may be a
+    list (composite / multi_terms buckets order by the key tuple)."""
+    key_cols = [key] if isinstance(key, str) else list(key)
     part = (
         Window.partitionBy(*parent_keys)
         if parent_keys
         else Window.partitionBy(F.lit(1))
     )
-    seq = part.orderBy(F.col(key).asc())
+    seq = part.orderBy(*[F.col(k).asc() for k in key_cols])
     for name, spec in pipelines.items():
         typ, body, _ = _split(spec)
         src = body.get("buckets_path")
@@ -362,7 +386,7 @@ def _apply_pipelines(
                 F.col(c).asc() if d == "asc" else F.col(c).desc()
                 for s in body.get("sort", [])
                 for c, d in s.items()
-            ] + [F.col(key).asc()]
+            ] + [F.col(k).asc() for k in key_cols]
             buckets = _apply_size(
                 buckets, sorts, body.get("size"), parent_keys
             )
@@ -384,6 +408,34 @@ def _compile(
         return
     if typ == "top_hits":
         out[mpath] = _top_hits(df, name, body, parent_keys)
+        return
+    if typ == "top_metrics":
+        # metric fields read off the best row(s) per bucket by an
+        # arbitrary sort — one Window pass, like top_hits but projecting
+        # the metric columns plus the sort key
+        size = int(body.get("size", 1))
+        sorts = [
+            F.col(c).asc() if d == "asc" else F.col(c).desc()
+            for s in body["sort"]
+            for c, d in s.items()
+        ] + [F.col("doc_id").asc()]
+        mcols = [m["field"] for m in body["metrics"]]
+        scols = [c for s in body["sort"] for c in s]
+        w = (
+            Window.partitionBy(*parent_keys).orderBy(*sorts)
+            if parent_keys
+            else Window.partitionBy(F.lit(1)).orderBy(*sorts)
+        )
+        out[mpath] = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= size)
+            .select(
+                *parent_keys,
+                *dict.fromkeys(scols + mcols),
+                F.col("__rn").alias("metric_rank"),
+            )
+            .orderBy(*[F.col(k) for k in parent_keys], "metric_rank")
+        )
         return
     if typ == "scripted_metric":
         # restricted scripted_metric: map_script is a SQL expression per
@@ -464,6 +516,139 @@ def _compile(
             scope.groupBy(*parent_keys) if parent_keys else scope.groupBy()
         )
         out[mpath] = grp.agg(F.count("*").alias("doc_count"))
+        return
+
+    if typ == "diversified_sampler":
+        # sampler with a per-value cap: at most max_docs_per_value of any
+        # one `field` value make the shard_size pool — two Window passes,
+        # first keyed by the diversity value (distributes by that key),
+        # then the global score cut
+        shard = int(body.get("shard_size", 100))
+        per_val = int(body.get("max_docs_per_value", 1))
+        order = [F.col("score").desc(), F.col("doc_id").asc()]
+        wv = Window.partitionBy(body["field"]).orderBy(*order)
+        wg = Window.partitionBy(F.lit(1)).orderBy(*order)
+        scope = (
+            df.withColumn("__dv", F.row_number().over(wv))
+            .filter(F.col("__dv") <= per_val)
+            .drop("__dv")
+            .withColumn("__rn", F.row_number().over(wg))
+            .filter(F.col("__rn") <= shard)
+            .drop("__rn")
+        )
+        for n, s in sub.items():
+            _compile(scope, n, s, out, f"{mpath}>", parent_keys, full)
+        grp = (
+            scope.groupBy(*parent_keys) if parent_keys else scope.groupBy()
+        )
+        out[mpath] = grp.agg(F.count("*").alias("doc_count"))
+        return
+
+    if typ == "composite":
+        # the scale-path bucket pagination: no top-N truncation, pages of
+        # `size` buckets in key order, `after` resumes EXCLUSIVE of the
+        # last key. The after predicate is applied to the source
+        # expressions BEFORE the groupBy, so Catalyst pushes it toward
+        # the scan and a deep page never re-aggregates earlier buckets.
+        size = int(body.get("size", 10))
+        names, exprs = [], []
+        for srcspec in body["sources"]:
+            (sname, sspec), = srcspec.items()
+            (styp, sbody), = sspec.items()
+            names.append(f"{name}_{sname}")
+            exprs.append(_key_expr(styp, sbody))
+        keyed = df
+        for n_, e_ in zip(names, exprs):
+            keyed = keyed.withColumn(n_, e_)
+        after = body.get("after")
+        if after:
+            vals = [after[n.split(f"{name}_", 1)[1]] for n in names]
+            pred = F.lit(False)
+            for i in range(len(names)):
+                eqs = F.lit(True)
+                for j in range(i):
+                    eqs = eqs & (F.col(names[j]) == F.lit(vals[j]))
+                pred = pred | (eqs & (F.col(names[i]) > F.lit(vals[i])))
+            keyed = keyed.filter(pred)
+        grp_keys = parent_keys + names
+        buckets = keyed.groupBy(*grp_keys).agg(
+            F.count("*").alias("doc_count"), *metric_exprs
+        )
+        order = [F.col(n).asc() for n in names]
+        buckets = _apply_size(buckets, order, size, parent_keys)
+        buckets = _apply_pipelines(
+            buckets, names, pipelines, parent_keys, out, mpath
+        )
+        out[mpath] = buckets
+        if deeper:
+            survivors = buckets.select(*grp_keys)
+            scoped = keyed.join(
+                F.broadcast(survivors), grp_keys, "left_semi"
+            )
+            for n, s in deeper.items():
+                _compile(scoped, n, s, out, f"{mpath}>", grp_keys, full)
+        return
+
+    if typ == "multi_terms":
+        # terms over a key tuple; one groupBy on all key fields, ordered
+        # by doc_count desc (OpenSearch default) with the key tuple as
+        # tiebreak
+        size = int(body.get("size", 10))
+        fields = [t["field"] for t in body["terms"]]
+        names = [f"{name}_key_{f}" for f in fields]
+        keyed = df
+        for n_, f_ in zip(names, fields):
+            keyed = keyed.withColumn(n_, F.col(f_))
+        grp_keys = parent_keys + names
+        buckets = keyed.groupBy(*grp_keys).agg(
+            F.count("*").alias("doc_count"), *metric_exprs
+        )
+        mdc = int(body.get("min_doc_count", 1))
+        if mdc > 0:
+            buckets = buckets.filter(F.col("doc_count") >= mdc)
+        order = [F.col("doc_count").desc()] + [
+            F.col(n).asc() for n in names
+        ]
+        buckets = _apply_size(buckets, order, size, parent_keys)
+        buckets = _apply_pipelines(
+            buckets, names, pipelines, parent_keys, out, mpath
+        )
+        out[mpath] = buckets
+        if deeper:
+            survivors = buckets.select(*grp_keys)
+            scoped = keyed.join(
+                F.broadcast(survivors), grp_keys, "left_semi"
+            )
+            for n, s in deeper.items():
+                _compile(scoped, n, s, out, f"{mpath}>", grp_keys, full)
+        return
+
+    if typ == "rare_terms":
+        # the long-tail complement of terms: buckets with doc_count <=
+        # max_doc_count, ascending. Exact (one groupBy + filter) rather
+        # than the reference's CuckooFilter approximation — the groupBy
+        # is the same shuffle either way in Spark; the filter prunes
+        # before any ordering so no top-N heap is involved
+        mdc = int(body.get("max_doc_count", 1))
+        key = f"{name}_key"
+        keyed = df.withColumn(key, F.col(body["field"]))
+        grp_keys = parent_keys + [key]
+        buckets = keyed.groupBy(*grp_keys).agg(
+            F.count("*").alias("doc_count"), *metric_exprs
+        ).filter(F.col("doc_count") <= mdc)
+        order = [F.col("doc_count").asc(), F.col(key).asc()]
+        buckets = _apply_size(buckets, order, None, parent_keys)
+        buckets = _apply_pipelines(
+            buckets, key, pipelines, parent_keys, out, mpath
+        )
+        out[mpath] = buckets
+        if deeper:
+            survivors = buckets.select(*grp_keys)
+            scoped = keyed.join(
+                F.broadcast(survivors), grp_keys, "left_semi"
+            )
+            for n, s in deeper.items():
+                _compile(scoped, n, s, out, f"{mpath}>", grp_keys, full)
         return
 
     if typ == "significant_terms":

@@ -489,3 +489,188 @@ def test_engine_search_with_aggs_scoping(spark, transcripts_df):
     )
     assert none_hits is None
     assert nout["n"].toPandas()["n"][0] == docs.count()
+
+
+def test_weighted_avg(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "wa": {
+                "weighted_avg": {
+                    "value": {"field": "n_chars"},
+                    "weight": {"field": "turn_idx"},
+                }
+            }
+        },
+    )
+    exp = (scoped_pd["n_chars"] * scoped_pd["turn_idx"]).sum() / scoped_pd[
+        "turn_idx"
+    ].sum()
+    assert np.isclose(out["wa"].toPandas()["wa"][0], exp)
+
+
+def test_composite_paging(scoped, scoped_pd):
+    spec = {
+        "cmp": {
+            "composite": {
+                "size": 4,
+                "sources": [
+                    {"r": {"terms": {"field": "role"}}},
+                    {"len": {"histogram": {"field": "n_chars",
+                                           "interval": 100}}},
+                ],
+            },
+            "aggs": {"mx": {"max": {"field": "n_chars"}}},
+        }
+    }
+    exp = (
+        scoped_pd.assign(len=(scoped_pd["n_chars"] // 100 * 100).astype(float))
+        .groupby(["role", "len"])
+        .agg(doc_count=("role", "size"), mx=("n_chars", "max"))
+        .reset_index()
+        .sort_values(["role", "len"])
+        .reset_index(drop=True)
+    )
+    pages = []
+    after = None
+    for _ in range(20):
+        s = {"cmp": {"composite": dict(spec["cmp"]["composite"]),
+                     "aggs": spec["cmp"]["aggs"]}}
+        if after:
+            s["cmp"]["composite"]["after"] = after
+        page = compute_aggs(scoped, s)["cmp"].toPandas()
+        if page.empty:
+            break
+        pages.append(page)
+        last = page.iloc[-1]
+        after = {"r": last["cmp_r"], "len": last["cmp_len"]}
+    got = pd.concat(pages, ignore_index=True)
+    # every page except possibly the last is exactly `size` buckets
+    assert all(len(p) == 4 for p in pages[:-1])
+    assert len(got) == len(exp)
+    assert list(got["cmp_r"]) == list(exp["role"])
+    assert list(got["cmp_len"]) == list(exp["len"])
+    assert list(got["doc_count"]) == list(exp["doc_count"])
+    assert list(got["mx"]) == list(exp["mx"])
+
+
+def test_multi_terms(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "mt": {
+                "multi_terms": {
+                    "terms": [{"field": "role"}, {"field": "tool"}],
+                    "size": 5,
+                },
+                "aggs": {"mean_len": {"avg": {"field": "n_chars"}}},
+            }
+        },
+    )
+    got = out["mt"].toPandas()
+    exp = (
+        scoped_pd.fillna({"tool": "__null__"})
+        .groupby(["role", "tool"])
+        .agg(doc_count=("role", "size"), mean_len=("n_chars", "mean"))
+        .reset_index()
+        .sort_values(["doc_count", "role", "tool"],
+                     ascending=[False, True, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_count"]) == list(exp["doc_count"])
+    got_keys = list(
+        zip(got["mt_key_role"], got["mt_key_tool"].fillna("__null__"))
+    )
+    assert got_keys == list(zip(exp["role"], exp["tool"]))
+    assert np.allclose(got["mean_len"], exp["mean_len"])
+
+
+def test_rare_terms(scoped, scoped_pd):
+    vc = scoped_pd["conv_id"].value_counts()
+    mdc = int(vc.min()) + 1
+    out = compute_aggs(
+        scoped,
+        {"rt": {"rare_terms": {"field": "conv_id",
+                               "max_doc_count": mdc}}},
+    )
+    got = out["rt"].toPandas()
+    exp = vc[vc <= mdc].reset_index()
+    exp.columns = ["key", "doc_count"]
+    exp = exp.sort_values(["doc_count", "key"]).reset_index(drop=True)
+    assert list(got["rt_key"]) == list(exp["key"])
+    assert list(got["doc_count"]) == list(exp["doc_count"])
+    assert got["doc_count"].max() <= mdc
+
+
+def test_top_metrics(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "tm": {
+                "top_metrics": {
+                    "metrics": [{"field": "n_chars"}],
+                    "sort": [{"score": "desc"}],
+                    "size": 1,
+                }
+            }
+        },
+    )
+    got = out["tm"].toPandas()
+    best = scoped_pd.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).iloc[0]
+    assert len(got) == 1
+    assert got["n_chars"][0] == best["n_chars"]
+    assert got["score"][0] == best["score"]
+
+
+def test_diversified_sampler(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "ds": {
+                "diversified_sampler": {
+                    "shard_size": 5,
+                    "field": "role",
+                    "max_docs_per_value": 2,
+                },
+                "aggs": {"roles": {"terms": {"field": "role"}}},
+            }
+        },
+    )
+    assert out["ds"].toPandas()["doc_count"][0] == 5
+    # replicate: at most 2 per role by (score desc, doc_id asc), then
+    # global top 5 by the same order
+    s = scoped_pd.sort_values(["score", "doc_id"],
+                              ascending=[False, True])
+    capped = s.groupby("role", group_keys=False).head(2)
+    pool = capped.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(5)
+    exp = pool["role"].value_counts()
+    got = out["ds>roles"].toPandas().set_index("roles_key")["doc_count"]
+    assert got.to_dict() == exp.to_dict()
+    assert (got <= 2).all()
+
+
+def test_composite_after_prefilters_before_groupby(scoped):
+    # the cursor predicate must sit BELOW the Aggregate in the optimized
+    # plan (pre-groupBy row filter -> scan-pushable), not above it
+    out = compute_aggs(
+        scoped,
+        {
+            "c": {
+                "composite": {
+                    "size": 2,
+                    "sources": [{"r": {"terms": {"field": "role"}}}],
+                    "after": {"r": "assistant"},
+                }
+            }
+        },
+    )
+    plan = out["c"]._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos = plan.find("Aggregate")
+    filt_pos = plan.find("Filter")
+    assert agg_pos != -1 and filt_pos != -1 and filt_pos > agg_pos
+    got = out["c"].toPandas()
+    assert list(got["c_r"]) == ["tool", "user"]
