@@ -352,6 +352,43 @@ def main():
     )
     print("serving cache: no exchange between cache and kernel — ok")
 
+    # aggregations: a bucket + its metric sub-aggs must be ONE hash
+    # aggregate (single exchange, map-side partials), and a composite
+    # after-cursor must reach the parquet scan as a pushed filter
+    from neural_search_spark.query.aggs import compute_aggs
+
+    docs = gate._docs(spark, sf).withColumn("score", F.lit(1.0))
+    agg_terms = compute_aggs(
+        docs,
+        {"by_src": {"terms": {"field": "source", "size": 10},
+                    "aggs": {"mean_len": {"avg": {"field": "n_chars"}},
+                             "mx": {"max": {"field": "n_chars"}}}}},
+    )["by_src"]
+    plans["aggs terms bucket + metric sub-aggs (one hash aggregate)"] = (
+        agg_terms
+    )
+    at_tree = cap(agg_terms).split("\n\n")[0]
+    assert at_tree.count("Exchange") == 1, (
+        "terms+metrics should be ONE groupBy exchange, found "
+        f"{at_tree.count('Exchange')}"
+    )
+    assert "TakeOrderedAndProject" in at_tree, (
+        "terms size-truncation should plan as TakeOrdered, not full sort"
+    )
+    agg_cmp = compute_aggs(
+        docs,
+        {"c": {"composite": {
+            "size": 5,
+            "sources": [{"lg": {"terms": {"field": "lang"}}}],
+            "after": {"lg": "de"}}}},
+    )["c"]
+    plans["aggs composite after-cursor (filter pushed to the scan)"] = agg_cmp
+    ac_text = cap(agg_cmp)
+    assert "PushedFilters: [" in ac_text and "GreaterThan(lang,de)" in ac_text, (
+        "composite after-cursor not pushed into the parquet scan"
+    )
+    print("aggs plans: one-exchange buckets, cursor pushdown — ok")
+
     out = ["# PLANS — physical-plan audit (auto-generated)\n"]
     out.append(
         "Generated by `scripts/explain_audit.py`; greps each plan for the "
