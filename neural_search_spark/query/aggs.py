@@ -249,6 +249,88 @@ def _enumerated_buckets(typ: str, body: dict) -> list[tuple[str, str]]:
     raise ValueError(f"not an enumerated bucket type: {typ}")
 
 
+_CAL_STEP = {
+    "minute": "interval 1 minute", "hour": "interval 1 hour",
+    "day": "interval 1 day", "week": "interval 7 day",
+    "month": "interval 1 month", "quarter": "interval 3 month",
+    "year": "interval 1 year",
+}
+
+
+def _dense_fill(
+    buckets: DataFrame, typ: str, body: dict, key: str,
+    parent_keys: list[str],
+) -> DataFrame:
+    """min_doc_count=0 for histogram/date_histogram: emit EMPTY buckets
+    across the observed key range, optionally widened by
+    ``extended_bounds`` (snapped to bucket boundaries). The domain is
+    generated per parent bucket with ``F.sequence`` — bucket-count rows,
+    never doc rows — and the sparse buckets left-join back onto it.
+    Empty buckets carry doc_count=0 and NULL metric sub-aggs (pipeline
+    aggs like derivative then see the gap-less series OpenSearch
+    guarantees)."""
+    grp = (
+        buckets.groupBy(*parent_keys) if parent_keys else buckets.groupBy()
+    )
+    bounds = grp.agg(F.min(key).alias("__lo"), F.max(key).alias("__hi"))
+    eb = body.get("extended_bounds")
+    if typ == "histogram":
+        interval = float(body["interval"])
+        offset = float(body.get("offset", 0.0))
+
+        def snap(v):
+            return (
+                F.floor((F.lit(float(v)) - offset) / interval) * interval
+                + offset
+            )
+
+        if eb:
+            bounds = bounds.withColumn(
+                "__lo", F.least("__lo", snap(eb["min"]))
+            ).withColumn("__hi", F.greatest("__hi", snap(eb["max"])))
+        lo_i = ((F.col("__lo") - offset) / interval).cast("long")
+        hi_i = ((F.col("__hi") - offset) / interval).cast("long")
+        dom = bounds.select(
+            *parent_keys, F.explode(F.sequence(lo_i, hi_i)).alias("__i")
+        ).select(
+            *parent_keys,
+            (F.col("__i") * F.lit(interval) + offset)
+            .cast("double")
+            .alias(key),
+        )
+    else:
+        if "calendar_interval" in body:
+            unit = body["calendar_interval"]
+            step = _CAL_STEP[unit]
+
+            def snap(v):
+                return F.date_trunc(unit, F.lit(v).cast("timestamp"))
+
+        else:
+            secs = _interval_seconds(body["fixed_interval"])
+            step = f"interval {secs} second"
+
+            def snap(v):
+                return F.timestamp_seconds(
+                    F.floor(
+                        F.unix_timestamp(F.lit(v).cast("timestamp"))
+                        / F.lit(secs)
+                    )
+                    * F.lit(secs)
+                )
+
+        if eb:
+            bounds = bounds.withColumn(
+                "__lo", F.least("__lo", snap(eb["min"]))
+            ).withColumn("__hi", F.greatest("__hi", snap(eb["max"])))
+        dom = bounds.select(
+            *parent_keys,
+            F.explode(F.expr(f"sequence(__lo, __hi, {step})")).alias(key),
+        )
+    joined = dom.join(buckets, parent_keys + [key], "left")
+    return joined.fillna({"doc_count": 0})
+
+
 def _collect_metric_exprs(sub: dict) -> tuple[list[Column], dict]:
     """Metric sub-aggs → one flat expr list; returns (exprs, leftovers)
     where leftovers are bucket/pipeline/top_hits sub-aggs handled after
@@ -731,6 +813,8 @@ def _compile(
     mdc = int(body.get("min_doc_count", 1))
     if mdc > 0:
         buckets = buckets.filter(F.col("doc_count") >= mdc)
+    elif typ in {"histogram", "date_histogram"}:
+        buckets = _dense_fill(buckets, typ, body, key, parent_keys)
     size = body.get("size")
     if typ == "terms" and size is None:
         size = 10

@@ -674,3 +674,57 @@ def test_composite_after_prefilters_before_groupby(scoped):
     assert agg_pos != -1 and filt_pos != -1 and filt_pos > agg_pos
     got = out["c"].toPandas()
     assert list(got["c_r"]) == ["tool", "user"]
+
+
+def test_histogram_min_doc_count_zero_fills_gaps(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 1.0), (2, 25.0, 1.0), (3, 305.0, 1.0)],
+        "doc_id long, v double, score double",
+    )
+    out = compute_aggs(
+        df,
+        {"h": {"histogram": {"field": "v", "interval": 100,
+                             "min_doc_count": 0},
+               "aggs": {"mx": {"max": {"field": "v"}}}}},
+    )["h"].toPandas()
+    assert list(out["h_key"]) == [0.0, 100.0, 200.0, 300.0]
+    assert list(out["doc_count"]) == [2, 0, 0, 1]
+    # empty buckets carry NULL metrics
+    assert pd.isna(out["mx"][1]) and pd.isna(out["mx"][2])
+    assert out["mx"][0] == 25.0 and out["mx"][3] == 305.0
+
+
+def test_date_histogram_extended_bounds_and_derivative(spark):
+    df = spark.createDataFrame(
+        [(1, "2026-01-01 00:10:00", 1.0),
+         (2, "2026-01-01 00:20:00", 1.0),
+         (3, "2026-01-01 03:05:00", 1.0)],
+        "doc_id long, t string, score double",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    out = compute_aggs(
+        df,
+        {"dh": {"date_histogram": {
+            "field": "t", "fixed_interval": "1h", "min_doc_count": 0,
+            "extended_bounds": {"min": "2026-01-01 00:00:00",
+                                "max": "2026-01-01 05:00:00"}},
+            "aggs": {"d": {"derivative": {"buckets_path": "_count"}}}}},
+    )["dh"].toPandas()
+    assert len(out) == 6  # 00..05 inclusive, hours 4-5 from the bounds
+    assert list(out["doc_count"]) == [2, 0, 0, 1, 0, 0]
+    # derivative over the DENSE series: first NULL, then stepwise diffs
+    assert pd.isna(out["d"][0])
+    assert list(out["d"][1:]) == [-2, 0, 1, -1, 0]
+
+
+def test_calendar_dense_fill(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {"dm": {"date_histogram": {"field": "ts",
+                                   "calendar_interval": "hour",
+                                   "min_doc_count": 0}}},
+    )["dm"].toPandas()
+    exp = scoped_pd["ts"].dt.floor("h").value_counts().sort_index()
+    full = pd.date_range(exp.index.min(), exp.index.max(), freq="h")
+    dense = exp.reindex(full, fill_value=0)
+    assert list(out["dm_key"]) == list(dense.index)
+    assert list(out["doc_count"]) == list(dense.values)
