@@ -57,17 +57,23 @@ __all__ = ["compute_aggs"]
 _METRICS = {
     "avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
     "cardinality", "percentiles", "percentile_ranks", "weighted_avg",
+    "matrix_stats",
 }
 _BUCKETS = {
     "terms", "histogram", "date_histogram", "range", "date_range",
     "filter", "filters", "missing", "global", "sampler",
-    "significant_terms", "adjacency_matrix", "nested",
+    "significant_terms", "significant_text", "adjacency_matrix", "nested",
     "composite", "multi_terms", "rare_terms", "diversified_sampler",
 }
 _PIPELINES = {
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
     "cumulative_sum", "derivative", "bucket_script", "bucket_selector",
-    "bucket_sort",
+    "bucket_sort", "moving_fn", "moving_avg", "serial_diff",
+}
+
+_MOVING_FNS = {
+    "unweightedAvg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+    "stdDev": F.stddev_pop,
 }
 
 _DEF_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
@@ -146,6 +152,32 @@ def _metric_exprs(name: str, typ: str, body: dict) -> list[Column]:
             ).alias(f"{name}_rank_{('%g' % v).replace('.', '_')}")
             for v in vals
         ]
+    if typ == "matrix_stats":
+        # per-field moments + pairwise covariance/correlation in ONE
+        # aggregate (Spark's population definitions for variance and
+        # the standardized 3rd/4th moments)
+        fields = body["fields"]
+        exprs = []
+        for f_ in fields:
+            c_ = F.col(f_)
+            exprs += [
+                F.count(c_).alias(f"{name}_{f_}_count"),
+                F.avg(c_).alias(f"{name}_{f_}_mean"),
+                F.var_pop(c_).alias(f"{name}_{f_}_variance"),
+                F.skewness(c_).alias(f"{name}_{f_}_skewness"),
+                F.kurtosis(c_).alias(f"{name}_{f_}_kurtosis"),
+            ]
+        for i, fa in enumerate(fields):
+            for fb in fields[i + 1:]:
+                exprs += [
+                    F.covar_pop(F.col(fa), F.col(fb)).alias(
+                        f"{name}_{fa}_{fb}_covariance"
+                    ),
+                    F.corr(F.col(fa), F.col(fb)).alias(
+                        f"{name}_{fa}_{fb}_correlation"
+                    ),
+                ]
+        return exprs
     if typ == "weighted_avg":
         # Σ(v·w)/Σ(w) over rows where BOTH are present (OpenSearch skips
         # docs missing the value; weight default handled by caller data)
@@ -434,6 +466,37 @@ def _apply_pipelines(
         elif typ == "derivative":
             buckets = buckets.withColumn(
                 name, F.col(src) - F.lag(src).over(seq)
+            )
+        elif typ in {"moving_fn", "moving_avg"}:
+            # sliding window of `window` buckets; shift=0 (the default)
+            # means the window ENDS at the previous bucket, shift=window
+            # slides it to include the current one — OpenSearch
+            # MovingFunctions semantics. moving_avg is the deprecated
+            # alias for moving_fn unweightedAvg.
+            win = int(body.get("window", 5))
+            shift = int(body.get("shift", 0))
+            fn_name = (
+                "unweightedAvg" if typ == "moving_avg"
+                else body.get("script", "unweightedAvg")
+            )
+            # accept both bare names and the documented
+            # "MovingFunctions.<fn>(values)" script form
+            m = re.search(r"MovingFunctions\.(\w+)", fn_name)
+            if m:
+                fn_name = m.group(1)
+            if fn_name not in _MOVING_FNS:
+                raise ValueError(
+                    f"moving_fn supports {sorted(_MOVING_FNS)}, got "
+                    f"{fn_name!r}"
+                )
+            frame = seq.rowsBetween(shift - win, shift - 1)
+            buckets = buckets.withColumn(
+                name, _MOVING_FNS[fn_name](src).over(frame)
+            )
+        elif typ == "serial_diff":
+            lag_n = int(body.get("lag", 1))
+            buckets = buckets.withColumn(
+                name, F.col(src) - F.lag(src, lag_n).over(seq)
             )
         elif typ in {"avg_bucket", "sum_bucket", "min_bucket",
                      "max_bucket", "stats_bucket"}:
@@ -733,25 +796,54 @@ def _compile(
                 _compile(scoped, n, s, out, f"{mpath}>", grp_keys, full)
         return
 
-    if typ == "significant_terms":
+    if typ in {"significant_terms", "significant_text"}:
         if full is None:
-            raise ValueError(
-                "significant_terms needs the full (background) frame"
-            )
+            raise ValueError(f"{typ} needs the full (background) frame")
         fld = body["field"]
         size = int(body.get("size", 10))
-        fg = df.groupBy(F.col(fld).alias(f"{name}_key")).agg(
-            F.count("*").alias("doc_count")
-        )
-        bg = full.groupBy(F.col(fld).alias(f"{name}_key")).agg(
-            F.count("*").alias("bg_count")
-        )
+        key = f"{name}_key"
+        if typ == "significant_terms":
+            fg = df.groupBy(F.col(fld).alias(key)).agg(
+                F.count("*").alias("doc_count")
+            )
+            bg = full.groupBy(F.col(fld).alias(key)).agg(
+                F.count("*").alias("bg_count")
+            )
+            # vocabulary-bounded keyed field → broadcast the background
+            joined = fg.join(F.broadcast(bg), key)
+        else:
+            # significant_text: the bucket keys are the ANALYZED tokens
+            # of a text field; doc_count counts documents containing the
+            # token (array_distinct before explode — per-doc dedup
+            # map-side, no extra shuffle). The background join stays a
+            # token-keyed equi-join, NOT a broadcast: at corpus scale the
+            # text vocabulary is unbounded. min_doc_count prunes the
+            # foreground BEFORE the join.
+            from ..tokenizer import tokenize_expr
+
+            min_dc = int(body.get("min_doc_count", 3))
+
+            def doc_tokens(frame):
+                return frame.select(
+                    F.explode(
+                        F.array_distinct(tokenize_expr(fld))
+                    ).alias(key)
+                )
+
+            fg = (
+                doc_tokens(df)
+                .groupBy(key)
+                .agg(F.count("*").alias("doc_count"))
+                .filter(F.col("doc_count") >= min_dc)
+            )
+            bg = doc_tokens(full).groupBy(key).agg(
+                F.count("*").alias("bg_count")
+            )
+            joined = fg.join(bg, key)
         fg_tot = df.count()
         bg_tot = full.count()
         # JLH score (Lucene JLHScore.java semantics): published formula,
-        # (fg% − bg%) · (fg% / bg%); broadcast the (vocabulary-bounded)
-        # background counts
-        joined = fg.join(F.broadcast(bg), f"{name}_key")
+        # (fg% − bg%) · (fg% / bg%)
         fgp = F.col("doc_count") / F.lit(float(fg_tot))
         bgp = F.col("bg_count") / F.lit(float(bg_tot))
         scored = joined.withColumn(
@@ -762,7 +854,10 @@ def _compile(
             ).otherwise(F.lit(0.0)),
         ).filter(F.col("score") > 0)
         out[mpath] = _apply_size(
-            scored, _bucket_order(typ, body, f"{name}_key"), size, [],
+            scored,
+            _bucket_order("significant_terms", body, key),
+            size,
+            [],
         )
         return
 

@@ -728,3 +728,89 @@ def test_calendar_dense_fill(scoped, scoped_pd):
     dense = exp.reindex(full, fill_value=0)
     assert list(out["dm_key"]) == list(dense.index)
     assert list(out["doc_count"]) == list(dense.values)
+
+
+def test_moving_fn_and_serial_diff(spark):
+    df = spark.createDataFrame(
+        [(i, float(100 + i), 1.0) for i in range(8)],
+        "doc_id long, v double, score double",
+    )
+    out = compute_aggs(
+        df,
+        {"h": {"histogram": {"field": "v", "interval": 1},
+               "aggs": {
+                   "mavg": {"moving_fn": {"buckets_path": "_count",
+                                          "window": 3}},
+                   "mmax": {"moving_fn": {
+                       "buckets_path": "_count", "window": 2, "shift": 2,
+                       "script": "MovingFunctions.max(values)"}},
+                   "sd": {"serial_diff": {"buckets_path": "_count",
+                                          "lag": 2}},
+               }}},
+    )["h"].toPandas()
+    # doc_count is 1 everywhere; default shift=0 → window ends at the
+    # PREVIOUS bucket, so the first bucket has no window (NULL)
+    assert pd.isna(out["mavg"][0])
+    assert list(out["mavg"][1:4]) == [1.0, 1.0, 1.0]
+    # shift=window → includes the current bucket
+    assert list(out["mmax"]) == [1.0] * len(out)
+    assert pd.isna(out["sd"][0]) and pd.isna(out["sd"][1])
+    assert list(out["sd"][2:]) == [0.0] * (len(out) - 2)
+
+
+def test_matrix_stats(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {"ms": {"matrix_stats": {"fields": ["n_chars", "turn_idx"]}}},
+    )["ms"].toPandas()
+    a = scoped_pd["n_chars"].astype(float)
+    b = scoped_pd["turn_idx"].astype(float)
+    assert out["ms_n_chars_count"][0] == len(a)
+    assert np.isclose(out["ms_n_chars_mean"][0], a.mean())
+    assert np.isclose(out["ms_n_chars_variance"][0], a.var(ddof=0))
+    assert np.isclose(
+        out["ms_n_chars_turn_idx_covariance"][0], np.cov(a, b, bias=True)[0, 1]
+    )
+    assert np.isclose(
+        out["ms_n_chars_turn_idx_correlation"][0], np.corrcoef(a, b)[0, 1]
+    )
+
+
+def test_significant_text(spark, transcripts_df):
+    from neural_search_spark.index.build import doc_id_col
+    from neural_search_spark.tokenizer import tokenize_py
+
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    full_pd = docs.toPandas()
+    scoped = docs.filter(F.col("role") == "tool").withColumn(
+        "score", F.lit(1.0)
+    )
+    out = compute_aggs(
+        scoped,
+        {"st": {"significant_text": {"field": "text", "size": 10,
+                                     "min_doc_count": 3}}},
+        full=docs,
+    )["st"].toPandas()
+
+    def doc_token_counts(frame_pd):
+        from collections import Counter
+        c = Counter()
+        for t in frame_pd["text"]:
+            c.update(set(tokenize_py(t)))
+        return c
+
+    fg_pd = full_pd[full_pd["role"] == "tool"]
+    fgc, bgc = doc_token_counts(fg_pd), doc_token_counts(full_pd)
+    fg_tot, bg_tot = len(fg_pd), len(full_pd)
+    scores = {}
+    for tok, dc in fgc.items():
+        if dc < 3:
+            continue
+        fgp, bgp = dc / fg_tot, bgc[tok] / bg_tot
+        if fgp > bgp:
+            scores[tok] = (fgp - bgp) * (fgp / bgp)
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(out["st_key"]) == [k for k, _ in exp]
+    assert np.allclose(out["score"], [v for _, v in exp])
+    # tokens distinctive of tool turns should rank high
+    assert len(out) == 10
