@@ -280,6 +280,10 @@ def cmd_search(args) -> None:
         out = eng.search(parsed, k=args.k, rescore=rescore)
     for row in out.collect():
         print(json.dumps(row.asDict()))
+    if getattr(args, "explain_ids", None):
+        ids = [int(x) for x in args.explain_ids.split(",") if x.strip()]
+        for row in eng.explain_score(parsed, ids).collect():
+            print(json.dumps({"explain": True, **row.asDict()}))
 
 
 def main(argv=None) -> None:
@@ -391,6 +395,11 @@ def main(argv=None) -> None:
         help="inline JSON aggs tree (OpenSearch DSL); computed over the "
         "query's full matched set, emitted as one JSON line per bucket "
         "before the hits (needs --corpus)",
+    )
+    s.add_argument(
+        "--explain-ids",
+        help="comma-separated doc ids: after the hits, print the "
+        "per-term BM25 Explanation breakdown (match specs only)",
     )
     s.add_argument("--index", help="BM25 block index dir (match queries)")
     s.add_argument(

@@ -1341,6 +1341,119 @@ class Engine:
         scoped = base.drop("score").join(matched, "doc_id")
         return hits, compute_aggs(scoped, aggs, full=base)
 
+    def explain_score(self, spec, doc_ids: list[int]) -> DataFrame:
+        """Lucene Explanation analog (the _explain API /
+        BM25Similarity.explain: "product of idf and tfNorm"): for a
+        `match` spec and a bounded list of doc ids, the per-(doc, term)
+        BM25 breakdown — tf, df, dl, idf, tf_norm, contribution — plus
+        the doc total, using the SAME stats source as the route
+        ``search`` takes.
+
+        Index route (bm25_index attached, no filter/fuzziness): df and
+        n_docs/avgdl come from the index stats tables (driver point
+        reads), per-doc tf/dl decode from only the query terms' pruned
+        posting partitions filtered to the explained docs. Corpus route
+        mirrors the scan scorer exactly (one tokenize pass, df over all
+        matching docs). Tombstoned docs remain explainable until an
+        expunge merge — explain reads raw postings, like Lucene's
+        explain over a reader with deletes.
+        """
+        import pandas as pd  # noqa: F811 (local alias)
+
+        from pyspark.sql import Window
+
+        from .query.bm25 import BM25_B, BM25_K1, lucene_idf, tid_py
+        from .tokenizer import tokenize_expr, tokenize_py
+
+        if isinstance(spec, (dict, str)):
+            spec = spec_from_json(spec)
+        if not isinstance(spec, QuerySpec) or spec.query_type != "match":
+            raise ValueError(
+                "explain_score explains match specs (the BM25 leaf); "
+                "decompose compound queries into their leaves"
+            )
+        if spec.fuzziness is not None or spec.filter is not None:
+            raise ValueError(
+                "explain_score: plain match only (no fuzziness/filter)"
+            )
+        ids = [int(d) for d in doc_ids]
+        terms = sorted(set(tokenize_py(spec.query_text)))
+        tfnorm = lambda tf, dl, avgdl: tf / (  # noqa: E731
+            tf + F.lit(BM25_K1)
+            * (1.0 - BM25_B + BM25_B * dl / F.lit(avgdl))
+        )
+        if self.bm25_index is not None:
+            from .index.merge import decoded_postings
+
+            idx = self.bm25_index
+            dfm = idx.term_stats(terms)
+            meta = self.spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "tid": [tid_py(t) for t in terms],
+                        "term": terms,
+                        "df": [int(dfm.get(t, 0)) for t in terms],
+                        "idf": [
+                            lucene_idf(idx.n_docs, dfm.get(t, 0))
+                            for t in terms
+                        ],
+                    }
+                )
+            )
+            rows = (
+                decoded_postings(idx.postings_for(terms))
+                .filter(F.col("doc_id").isin(ids))
+                .join(F.broadcast(meta), "tid")
+                .drop("tid", "shard_id")
+            )
+            avgdl = idx.avgdl
+        else:
+            corpus = self._need_corpus("explain_score")
+            base = (
+                corpus
+                if self.id_col == "doc_id"
+                else corpus.withColumnRenamed(self.id_col, "doc_id")
+            )
+            toks = base.select(
+                "doc_id", tokenize_expr("text").alias("toks")
+            ).withColumn("dl", F.size("toks"))
+            srow = toks.agg(
+                F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+            ).collect()[0]
+            n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
+            qdf = self.spark.createDataFrame(
+                pd.DataFrame({"term": terms})
+            )
+            tf = (
+                toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+                .join(F.broadcast(qdf), "term")
+                .groupBy("doc_id", "dl", "term")
+                .agg(F.count("*").alias("tf"))
+            )
+            dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+            rows = (
+                tf.filter(F.col("doc_id").isin(ids))
+                .join(F.broadcast(dfreq), "term")
+                .withColumn(
+                    "idf",
+                    F.log(
+                        1.0
+                        + (F.lit(n_docs) - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    ),
+                )
+            )
+        out = rows.withColumn(
+            "tf_norm", tfnorm(F.col("tf"), F.col("dl"), avgdl)
+        ).withColumn("contribution", F.col("idf") * F.col("tf_norm"))
+        w = Window.partitionBy("doc_id")
+        return out.withColumn(
+            "total", F.sum("contribution").over(w)
+        ).select(
+            "doc_id", "term", "tf", "df", "dl",
+            "idf", "tf_norm", "contribution", "total",
+        ).orderBy("doc_id", "term")
+
     def explain_route(self, spec) -> dict:
         """Which physical route a spec takes, WITHOUT running it — the
         ops-facing analog of `.explain()` one level up: {'route':
