@@ -320,3 +320,41 @@ def test_dis_max_and_boosting_queries(spark, transcripts_df):
         spec_from_json(
             {"dis_max": {"queries": [{"bool": {"must": []}}]}}
         )
+
+
+def test_best_fragments_passage_scoring():
+    from neural_search_spark.extras.highlight import best_fragments
+
+    text = ("alpha beta gamma. " + "filler " * 30
+            + "alpha rare. " + "filler " * 30 + "beta only here.")
+    # unweighted: the two-term passage wins over one-term passages
+    frags = best_fragments(
+        text, {"alpha", "beta", "rare"}, fragment_size=40,
+        number_of_fragments=2,
+    )
+    assert len(frags) == 2
+    assert frags[0].startswith("<em>alpha</em> <em>beta</em>")
+    # weighted: rare-term passage outranks the two-common-term one
+    frags_w = best_fragments(
+        text, {"alpha", "beta", "rare"}, fragment_size=40,
+        number_of_fragments=1,
+        term_weights={"alpha": 0.1, "beta": 0.1, "rare": 5.0},
+    )
+    assert "<em>rare</em>" in frags_w[0]
+    # no matches → no fragments
+    assert best_fragments("nothing here", {"zz"}, 40, 3) == []
+
+
+def test_highlight_topk_fragments(spark):
+    from neural_search_spark.extras.highlight import highlight_topk
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta " + "x " * 50 + "alpha end")],
+        "doc_id long, text string",
+    )
+    out = highlight_topk(
+        df, "alpha beta", fragment_size=30, number_of_fragments=2
+    ).collect()[0]
+    assert out["highlighted"].count("<em>") == 3
+    assert len(out["fragments"]) == 2
+    assert out["fragments"][0].startswith("<em>alpha</em> <em>beta</em>")
