@@ -3362,7 +3362,9 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
     * 'rare' — rare_terms(source, max_doc_count=3);
     * 'wa'   — weighted_avg(n_chars weighted by raw score);
     * 'tm'   — top_metrics(n_chars, sort n_chars desc, size 3) — integer
-      sort so the cross-engine ordering is exact."""
+      sort so the cross-engine ordering is exact;
+    * 'stext'— significant_text over the analyzed tokens of matched docs
+      vs the corpus background (per-doc dedup, min_doc_count=5, JLH)."""
     from .query.aggs import compute_aggs
 
     d = _docs(spark, sf)
@@ -3444,6 +3446,11 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
                     "size": 3,
                 }
             },
+            "stext": {
+                "significant_text": {
+                    "field": "text", "size": 15, "min_doc_count": 5,
+                }
+            },
         },
         full=d,
     )
@@ -3514,6 +3521,10 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
         "tm", out["tm"], F.col("metric_rank").cast("string"),
         [("n_chars", "n_chars")],
     )
+    pieces += flat(
+        "stext", out["stext"], F.col("stext_key").cast("string"),
+        [("doc_count", "doc_count"), ("score", "score")],
+    )
     res = pieces[0]
     for p in pieces[1:]:
         res = res.unionByName(p)
@@ -3523,6 +3534,7 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
 def sql_hybrid_agg() -> str:
     b0 = bm25_scored_sql("documents", ["doc_id"], QUERY_A)
     b1 = bm25_scored_sql("documents", ["doc_id"], QUERY_B)
+    toks = btoks = tokenize_sql("text")
     return f"""
 WITH m AS (
   SELECT doc_id, max(score) AS score FROM (
@@ -3582,7 +3594,23 @@ wa AS (SELECT sum(n_chars * score) / sum(score) AS wa FROM s),
 tm AS (SELECT n_chars,
               row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
               AS metric_rank
-       FROM s QUALIFY metric_rank <= 3)
+       FROM s QUALIFY metric_rank <= 3),
+stf AS (SELECT key, count(*) AS doc_count FROM (
+          SELECT doc_id, unnest(list_distinct({toks})) AS key FROM s)
+        GROUP BY 1 HAVING count(*) >= 5),
+stb AS (SELECT key, count(*) AS bg_count FROM (
+          SELECT doc_id, unnest(list_distinct({btoks})) AS key
+          FROM documents)
+        GROUP BY 1),
+stx AS (SELECT f.key, f.doc_count,
+               (f.doc_count * 1.0 / t.fg_tot
+                - b.bg_count * 1.0 / t.bg_tot)
+               * ((f.doc_count * 1.0 / t.fg_tot)
+                  / (b.bg_count * 1.0 / t.bg_tot)) AS score
+        FROM stf f JOIN stb b USING (key) CROSS JOIN tots t
+        WHERE f.doc_count * 1.0 / t.fg_tot > b.bg_count * 1.0 / t.bg_tot
+          AND b.bg_count > 0
+        QUALIFY row_number() OVER (ORDER BY score DESC, key ASC) <= 15)
 SELECT 'src' AS variant, key, 'doc_count' AS metric,
        round(doc_count, 4) AS value FROM src
 UNION ALL SELECT 'src', key, 'mean_len', round(mean_len, 4) FROM src
@@ -3616,7 +3644,9 @@ UNION ALL SELECT 'mt', lang || '|' || source, 'mean_len',
 UNION ALL SELECT 'rare', key, 'doc_count', round(doc_count, 4) FROM rare
 UNION ALL SELECT 'wa', '_all', 'wa', round(wa, 4) FROM wa
 UNION ALL SELECT 'tm', CAST(metric_rank AS VARCHAR), 'n_chars',
-          round(n_chars, 4) FROM tm"""
+          round(n_chars, 4) FROM tm
+UNION ALL SELECT 'stext', key, 'doc_count', round(doc_count, 4) FROM stx
+UNION ALL SELECT 'stext', key, 'score', round(score, 4) FROM stx"""
 
 
 def q_ml_rerank(spark: SparkSession, sf: str) -> DataFrame:
