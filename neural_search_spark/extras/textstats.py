@@ -62,11 +62,18 @@ def _ratio_in(tokens: Column, words: list[str]) -> Column:
     )
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, *, tokens: Column | None = None) -> Column:
     """Stopword-ratio language ID: argmax over per-language stopword
     hit-rates, 'unknown' when the best rate is under LANG_MIN_RATIO.
-    Ties broken by language code ascending (deterministic)."""
-    toks = tokenize_expr(col)
+    Ties broken by language code ascending (deterministic).
+
+    Single argmax fold over the (ratio, lang) pairs — a nested
+    filter/array_max shape would re-evaluate the pairs array per element
+    under Spark's interpreted higher-order functions. Callers that
+    already materialized a token-array column should pass it via
+    ``tokens`` so the ratios read an attribute instead of re-tokenizing.
+    """
+    toks = tokenize_expr(col) if tokens is None else tokens
     pairs = F.array(
         *[
             F.struct(
@@ -76,11 +83,18 @@ def lang_id(col: Column | str) -> Column:
         ]
     )
     # max ratio wins; equal ratios → lexicographically smallest lang code
-    mx = F.array_max(F.transform(pairs, lambda p: p["r"]))
-    winner = F.array_min(
-        F.filter(pairs, lambda p: p["r"] == mx)
-    )["lang"]
-    return F.when(mx >= LANG_MIN_RATIO, winner).otherwise(F.lit("unknown"))
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1.0).alias("r"), F.lit("").alias("lang")),
+        lambda acc, p: F.when(
+            (p["r"] > acc["r"])
+            | ((p["r"] == acc["r"]) & (p["lang"] < acc["lang"])),
+            p,
+        ).otherwise(acc),
+    )
+    return F.when(best["r"] >= LANG_MIN_RATIO, best["lang"]).otherwise(
+        F.lit("unknown")
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -91,7 +105,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     Gopher/C4-style gates, frozen thresholds).
     """
     c = F.col(text_col)
-    toks = tokenize_expr(text_col)
+    # materialized once per row — see repetition_features on why inlining
+    # tokenize_expr into every consumer re-runs the regex split per use
+    df = df.withColumn("_q_toks", tokenize_expr(text_col))
+    toks = F.col("_q_toks")
     n_tok = F.size(toks)
     alnum = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
     out = (
@@ -115,15 +132,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("mean_token_len") >= 2.0)
         & (F.col("mean_token_len") <= 12.0)
         & (F.col("non_alnum_ratio") <= 0.6),
-    )
+    ).drop("_q_toks")
 
 
-def fingerprint(col: Column | str) -> Column:
+def fingerprint(col: Column | str, *, tokens: Column | None = None) -> Column:
     """Document fingerprint: md5 over the normalized token stream —
     whitespace/case/punctuation-insensitive content hash (the rolling-hash
-    fingerprint of the brief, realized as a content-defined digest)."""
-    joined = F.array_join(tokenize_expr(col), " ")
-    return F.md5(joined.cast("binary"))
+    fingerprint of the brief, realized as a content-defined digest).
+    Pass a materialized token-array column via ``tokens`` to skip the
+    re-tokenize."""
+    toks = tokenize_expr(col) if tokens is None else tokens
+    return F.md5(F.array_join(toks, " ").cast("binary"))
 
 
 # ---------------------------------------------------------------------------
@@ -149,20 +168,42 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     * dup_bigram_frac  — 1 − distinct/total token bigrams;
     * top_bigram_frac  — occurrences of the modal bigram / total bigrams.
 
-    Pure map-side array expressions (whole-stage codegen, zero shuffle):
-    the modal count folds over the distinct bigrams per doc, O(d·n) in
-    document length — bounded work per row at any corpus scale."""
-    toks = tokenize_expr(text_col)
-    bi = _bigrams(toks)
+    Pure map-side array expressions, zero shuffle. The token and bigram
+    arrays are materialized as intermediate columns: Spark evaluates
+    higher-order-function lambdas interpretively, re-evaluating any
+    captured expression tree per element — inlining ``tokenize_expr``
+    here would re-run the regex split O(n·d) times per row. Because the
+    aliases are non-cheap and multiply-referenced, CollapseProject keeps
+    the layered Projects, so each array is built exactly once per row.
+    The modal-bigram count is a sorted run-length fold (O(n log n)),
+    not a distinct×scan nested loop (O(d·n))."""
+    out = df.withColumn("_rep_toks", tokenize_expr(text_col)).withColumn(
+        "_rep_bi", _bigrams(F.col("_rep_toks"))
+    )
+    toks, bi = F.col("_rep_toks"), F.col("_rep_bi")
     n_t, n_b = F.size(toks), F.size(bi)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(bi),
-            lambda b: F.size(F.filter(bi, lambda x: x == b)),
-        )
+    # modal count = longest run in the sorted bigram array
+    top = F.aggregate(
+        F.array_sort(bi),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return (
-        df.withColumn(
+        out.withColumn(
             "dup_token_frac",
             F.when(
                 n_t > 0, 1.0 - F.size(F.array_distinct(toks)) / n_t
@@ -178,6 +219,7 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "top_bigram_frac",
             F.when(n_b > 0, top / n_b).otherwise(F.lit(0.0)),
         )
+        .drop("_rep_toks", "_rep_bi")
     )
 
 
