@@ -325,6 +325,25 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         q[name] = round(time.time() - t1, 3)
 
     if mode == "full":
+        # end-to-end curation funnel over the documents table (one corpus
+        # pass + one fingerprint shuffle): docs/sec through ALL gates —
+        # reported as a separate field, like the other round-N measures
+        from neural_search_spark.extras.curate import (
+            CurateConfig,
+            annotate,
+            funnel,
+        )
+
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        cfg = CurateConfig(sample_rate=0.5, redact_pii=True)
+        funnel(annotate(docs, cfg)).collect()  # warm
+        t1 = time.time()
+        rep = funnel(annotate(docs, cfg)).collect()[0]
+        dt = time.time() - t1
+        out["curate_docs_per_sec"] = round(rep["n_input"] / dt, 1)
+        out["curate_kept_frac"] = round(rep["n_kept"] / rep["n_input"], 4)
+
+    if mode == "full":
         # round-3 measures — reported as separate fields (NOT inside the
         # headline `queries` total) so the headline stays round-over-round
         # comparable, like the sparse-index lines.

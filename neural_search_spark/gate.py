@@ -1889,21 +1889,67 @@ FROM f"""
 _SAMPLE_RATE = 0.2
 
 
+_CURATE_SAMPLE_RATE = 0.5
+
+
 def q_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic hash sample (holdout-split / decontamination rerun
-    primitive): membership is a pure function of the key, so the oracle
-    reproduces it exactly and re-runs at any scale agree row-for-row."""
-    return textstats.deterministic_sample(
+    """Deterministic-membership matrix:
+
+    * 'sample'  — hash holdout sample (pure function of the key);
+    * 'curated' — the full end-to-end curation funnel (lang gate →
+      quality → repetition → exact-dedup canonicals → salted split
+      sampling, `extras/curate.py`): the rows a default-config
+      pre-training curation run would keep from the documents table.
+
+    Both are pure functions of the row (never of partitioning or RNG),
+    so the DuckDB oracle reproduces membership exactly — the property
+    decontamination re-runs and holdout splits need at 100 TB."""
+    from .extras.curate import CurateConfig, curate
+
+    base = textstats.deterministic_sample(
         _docs(spark, sf), rate=_SAMPLE_RATE, salt="val"
-    ).select("doc_id", "lang", "source")
+    ).select(F.lit("sample").alias("variant"), "doc_id", "lang", "source")
+    cur = curate(
+        _docs(spark, sf).select("doc_id", "text", "lang", "source"),
+        CurateConfig(
+            langs=("en",),
+            redact_pii=False,
+            sample_rate=_CURATE_SAMPLE_RATE,
+            sample_salt="train",
+        ),
+    ).select(F.lit("curated").alias("variant"), "doc_id", "lang", "source")
+    return base.unionAll(cur)
 
 
 def sql_sample_documents() -> str:
     from .extras.hashing import h60_unit_sql
 
     u = h60_unit_sql("doc_id::VARCHAR", "val")
+    u_train = h60_unit_sql("doc_id::VARCHAR", "train")
+    # the funnel's oracle: recompose the gate flags from the per-feature
+    # oracle twins, then the fingerprint window + salted sample
+    curated = f"""
+WITH flags AS (
+  SELECT d.doc_id, d.lang, d.source,
+         (l.pred_lang = 'en') AS lang_ok,
+         (q.quality_ok AND q.n_tokens >= 5) AS q_ok,
+         (r.dup_bigram_frac <= 0.75 AND r.top_bigram_frac <= 0.30) AS rep_ok,
+         f.fp
+  FROM documents d
+  JOIN ({sql_lang_id()}) l USING (doc_id)
+  JOIN ({sql_quality()}) q USING (doc_id)
+  JOIN ({_sql_repetition()}) r USING (doc_id)
+  JOIN ({sql_fingerprints()}) f USING (doc_id)),
+p AS (SELECT *, (lang_ok AND q_ok AND rep_ok) AS passes FROM flags),
+c AS (SELECT *, passes AND row_number() OVER (
+        PARTITION BY fp ORDER BY passes DESC, doc_id ASC) = 1 AS is_canonical
+      FROM p)
+SELECT doc_id, lang, source FROM c
+WHERE is_canonical AND {u_train} < {_CURATE_SAMPLE_RATE}"""
     return f"""
-SELECT doc_id, lang, source FROM documents WHERE {u} < {_SAMPLE_RATE}"""
+SELECT 'sample' AS variant, doc_id, lang, source FROM documents WHERE {u} < {_SAMPLE_RATE}
+UNION ALL
+SELECT 'curated' AS variant, doc_id, lang, source FROM ({curated})"""
 
 
 def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
