@@ -14,19 +14,17 @@ path's scan bytes are unchanged whether or not phrases are enabled (the same
 reason Lucene puts positions in a separate file the scorer only opens on
 demand).
 
-Build shape (one tokenize pass, one postings-shaped shuffle):
+Build shape (one tokenize pass, ONE shuffle — the write repartition):
 
   transcripts → tokenized_turns (pure-Catalyst, shared with the main build)
-              → posexplode(toks) → (doc_id, dl, pos, tid)
-              → groupBy(doc_id, tid) + sort_array(collect_list(pos))
+              → vectorized Arrow kernel: (doc_id, dl, term, positions[])
+                computed ROW-LOCALLY (a doc's positions for a term all come
+                from one token-array cell — no doc-keyed exchange)
               → parquet partitioned by term_bucket, sorted (tid, doc_id)
 
-Everything stays in whole-stage codegen — positions are written as a plain
-``array<int>`` column (parquet's own delta/RLE encoding compresses the
-ascending ints; no Python in the build at all). collect_list partially
-aggregates map-side, and since a turn's tokens arrive in ONE input row the
-lists are complete before the shuffle — shuffled rows ≈ distinct (doc, term)
-pairs, the same cardinality as the tf table the main build shuffles.
+Positions are written as a plain ``array<int>`` column (parquet's own
+delta/RLE encoding compresses the ascending ints). The kernel is pyarrow
+C++ + one numpy stable argsort per batch — no per-row Python.
 
 Scale notes (10^12 turns): the shuffle key is (doc_id, tid) — doc-keyed, so
 hot TERMS do not concentrate (a stopword's positions spread across its docs'
@@ -42,6 +40,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .build import (
     INDEX_FORMAT_VERSION,
@@ -54,8 +53,92 @@ from .build import (
 POSITIONS_FORMAT_VERSION = 1
 
 
+_POS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dl", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _positions_kernel(batches):
+    """Row-local (doc, term) → sorted positions, vectorized per Arrow
+    batch (the positions-sidecar twin of the main build's tf kernel):
+    flatten + dictionary_encode (pyarrow C++), ONE stable argsort of the
+    int64 (row, term-code) key, then ListArray.from_arrays rebuilds the
+    per-group position lists — ascending by construction because the
+    stable sort preserves flat (= position) order within each key."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        toks = batch.column(2)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            continue
+        parent = (
+            pc.list_parent_indices(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(d.dictionary)
+        key = parent * v + codes
+        # position within the row = flat index − the row's start offset
+        offs = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum(
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            out=offs[1:],
+        )
+        pos = np.arange(len(flat), dtype=np.int64) - offs[parent]
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        uk = ks[starts]
+        up = pa.array(uk // v)
+        list_offs = np.empty(len(starts) + 1, dtype=np.int32)
+        list_offs[:-1] = starts
+        list_offs[-1] = len(ks)
+        positions = pa.ListArray.from_arrays(
+            pa.array(list_offs),
+            pa.array(pos[order].astype(np.int32)),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pc.take(batch.column(0), up),
+                pc.take(batch.column(1), up),
+                pc.take(d.dictionary, pa.array(uk % v)),
+                positions,
+            ],
+            names=["doc_id", "dl", "term", "positions"],
+        )
+
+
 def positions_table(transcripts: DataFrame) -> DataFrame:
-    """(tid, doc_id, dl, positions sorted array<int>) — one Catalyst pass."""
+    """(tid, doc_id, dl, positions sorted array<int>) with NO exchange:
+    like the main build's tf kernel, a doc's positions for a term are
+    row-local, so the doc-keyed groupBy+collect_list shuffle of the full
+    occurrence stream is unnecessary — the term_bucket write repartition
+    is the sidecar build's only shuffle. Output-identical to
+    ``positions_table_catalyst`` (parity-tested)."""
+    toks = tokenized_turns(transcripts)
+    return toks.select("doc_id", "dl", "toks").mapInArrow(
+        _positions_kernel, _POS_SCHEMA
+    ).select(
+        tid_expr("term").alias("tid"), "doc_id", "dl", "positions"
+    )
+
+
+def positions_table_catalyst(transcripts: DataFrame) -> DataFrame:
+    """The pure-Catalyst twin (posexplode → doc-keyed groupBy +
+    collect_list): same output, one extra occurrence-stream exchange.
+    Kept as the parity oracle for the Arrow kernel."""
     toks = tokenized_turns(transcripts)
     return (
         toks.select(

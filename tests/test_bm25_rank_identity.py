@@ -273,3 +273,31 @@ def test_msearch_does_not_batch_option_carrying_match(spark, index, oracle, tran
     got_or = out[out.query_id == "plain"].sort_values("rank")
     exp_or = oracle.topk("the tool call", k=10)
     assert got_or.doc_id.tolist() == exp_or.doc_id.tolist()
+
+
+def test_arrow_tf_kernel_matches_catalyst_groupby(spark, transcripts_df):
+    """The exchange-free Arrow tf kernel (postings_from_tokens) is
+    row-for-row identical to the Catalyst explode→groupBy twin — the
+    builder's posting stream, term stats and salt plan all hang off it.
+    Covers empty-token docs (no postings either way) and repeated terms
+    (tf > 1)."""
+    from neural_search_spark.index.build import (
+        postings_from_tokens,
+        postings_from_tokens_catalyst,
+        tokenized_turns,
+    )
+
+    toks = tokenized_turns(transcripts_df)
+    a = postings_from_tokens(toks)
+    b = postings_from_tokens_catalyst(toks)
+    # symmetric difference must be empty: every (doc, dl, tid, tf) row
+    # appears exactly once on each side
+    bad = (
+        a.unionAll(b)
+        .groupBy("doc_id", "dl", "tid", "tf")
+        .count()
+        .filter(F.col("count") != 2)
+        .count()
+    )
+    assert bad == 0
+    assert a.count() == b.count() > 0

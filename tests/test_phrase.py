@@ -684,3 +684,27 @@ def test_phrase_topk_batch_cached_and_msearch(ph_setup, transcripts_df, spark):
     finally:
         idx._positions_cache.unpersist()
         idx._positions_cache = None
+
+
+def test_positions_arrow_kernel_matches_catalyst(spark, transcripts_df):
+    """The exchange-free positions kernel is row-for-row identical to the
+    Catalyst posexplode→groupBy+collect_list twin, including sorted
+    position order inside every list."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.index.positions import (
+        positions_table,
+        positions_table_catalyst,
+    )
+
+    a = positions_table(transcripts_df)
+    b = positions_table_catalyst(transcripts_df)
+    bad = (
+        a.unionAll(b)
+        .groupBy("tid", "doc_id", "dl", "positions")
+        .count()
+        .filter(F.col("count") != 2)
+        .count()
+    )
+    assert bad == 0
+    assert a.count() == b.count() > 0
