@@ -301,3 +301,26 @@ def test_arrow_tf_kernel_matches_catalyst_groupby(spark, transcripts_df):
     )
     assert bad == 0
     assert a.count() == b.count() > 0
+
+
+def test_postings_plan_has_no_exchange(spark, transcripts_df):
+    """The posting stream must reach the salted repartition WITHOUT a
+    doc-keyed exchange: tf is computed row-locally by the Arrow kernel,
+    so postings_from_tokens plans zero Exchange nodes — the structural
+    guarantee that the salted repartition-by-term stays the build's only
+    full-data shuffle."""
+    import contextlib
+    import io
+
+    from neural_search_spark.index.build import (
+        postings_from_tokens,
+        tokenized_turns,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        postings_from_tokens(tokenized_turns(transcripts_df)).explain(
+            "formatted"
+        )
+    tree = buf.getvalue().split("\n\n")[0]
+    assert tree.count("Exchange") == 0
