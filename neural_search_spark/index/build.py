@@ -259,6 +259,11 @@ def _tf_kernel(batches):
 
     for batch in batches:
         toks = batch.column(2)
+        if toks.null_count:
+            # null text tokenizes to a null array cell; it contributes no
+            # postings (the explode twin drops such docs the same way)
+            batch = batch.filter(pc.is_valid(toks))
+            toks = batch.column(2)
         flat = pc.list_flatten(toks)
         if len(flat) == 0:
             continue

@@ -76,6 +76,11 @@ def _positions_kernel(batches):
 
     for batch in batches:
         toks = batch.column(2)
+        if toks.null_count:
+            # null text → null token cell → no positions (explode twin
+            # drops such docs the same way)
+            batch = batch.filter(pc.is_valid(toks))
+            toks = batch.column(2)
         flat = pc.list_flatten(toks)
         if len(flat) == 0:
             continue

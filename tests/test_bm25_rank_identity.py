@@ -324,3 +324,31 @@ def test_postings_plan_has_no_exchange(spark, transcripts_df):
         )
     tree = buf.getvalue().split("\n\n")[0]
     assert tree.count("Exchange") == 0
+
+
+def test_null_text_docs_produce_no_postings(spark):
+    """A null-text turn tokenizes to a null token cell; both tf kernels
+    and the positions kernel must drop it (the Lucene analog: a document
+    with no tokens simply has no postings)."""
+    from neural_search_spark.index.build import (
+        postings_from_tokens,
+        postings_from_tokens_catalyst,
+        tokenized_turns,
+    )
+    from neural_search_spark.index.positions import positions_table
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hello world hello", "", None),
+         ("c1", 1, "assistant", None, "", None),
+         ("c2", 0, "user", None, "", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    toks = tokenized_turns(df)
+    a = postings_from_tokens(toks).toPandas()
+    b = postings_from_tokens_catalyst(toks).toPandas()
+    assert len(a) == len(b) == 2  # hello(tf2) + world, from the one live doc
+    assert sorted(a.tf.tolist()) == sorted(b.tf.tolist()) == [1, 2]
+    p = positions_table(df).toPandas()
+    assert len(p) == 2
+    assert sorted(map(tuple, p.positions)) == [(0, 2), (1,)]
