@@ -2617,13 +2617,23 @@ def q_multi_match(spark: SparkSession, sf: str) -> DataFrame:
         # 'ixf': cross_fields through the co-partitioned batch kernel
         ("ixf", "cross_fields", 0.3),
     ):
+        # 'ibest0' over-fetches the FULL match set (k'=n_docs): with
+        # tie_breaker=0 the dis-max score of every doc whose tool field
+        # equals a query token is IDENTICAL (single-token field → same
+        # tf/dl), so the tie class grows with the corpus (~250 docs per
+        # source value at sf0.1) and no fixed k' survives a scale-up; the
+        # variant gates the combine's correctness, pruning is gated by
+        # the bm25_index_topk family. 'imost'/'ixf' keep k'=50: their
+        # scores include the text field's real-valued contribution, so
+        # rank-20 tie classes stay narrow.
+        kk = fidx["text"].n_docs if name == "ibest0" else 50
         raw = multi_match_index_topk(
             fidx,
             MULTI_MATCH_Q,
             ["text", "tool^2.0"],
             match_type=mt,
             tie_breaker=tb,
-            k=50,
+            k=kk,
             mode="distributed",
         ).drop("rank")
         # doc_id(index) = xxhash64(conv_id, turn_idx); recover the
