@@ -77,6 +77,22 @@ def main():
         "engine ANN route (bucket filter ahead of scoring)":
             gate.q_engine_ann_topk(spark, sf),
     }
+    # the build's posting stream must plan ZERO Exchange nodes (row-local
+    # Arrow tf kernel): the salted repartition-by-term is the build's only
+    # full-data shuffle — same for the positions sidecar stream
+    from neural_search_spark.index.build import (
+        postings_from_tokens,
+        tokenized_turns,
+    )
+    from neural_search_spark.index.positions import positions_table
+
+    tr_audit = gate.derived_transcripts(spark, sf)
+    plans["posting stream (row-local Arrow tf kernel — MUST show zero Exchange)"] = (
+        postings_from_tokens(tokenized_turns(tr_audit))
+    )
+    plans["positions stream (row-local kernel — MUST show zero Exchange)"] = (
+        positions_table(tr_audit)
+    )
     # on-disk LSH store: the probe scan must be PARTITION-pruned
     from neural_search_spark.extras.similarity import LshAnnIndex
 
