@@ -1026,9 +1026,10 @@ def bm25_topk_batch(
 def bm25_score_all_join(
     spark: SparkSession, transcripts: DataFrame, query_text: str
 ) -> DataFrame:
-    """Pure-Catalyst BM25 of all matching docs straight off the corpus:
-    no custom code in the plan at all (scan → UDF tokenize → explode →
-    broadcast join → partial-agg sum → project)."""
+    """BM25 of all matching docs straight off the corpus: scan →
+    row-local Arrow tf kernel (zero exchange) → broadcast query-term
+    join → doc-keyed partial-agg sum — only MATCHING postings ever
+    shuffle."""
     terms = sorted(set(tokenize_py(query_text)))
     if not terms:
         return spark.createDataFrame([], schema="doc_id long, score float")
