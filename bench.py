@@ -156,9 +156,21 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
     from neural_search_spark.query.bm25 import bm25_topk_batch
 
     pairs = [(r["query_id"], r["query_text"]) for r in queries]
-    t0 = time.time()
-    bm25_topk_batch(idx, pairs, k=10).collect()
-    batch_s = time.time() - t0
+    if mode == "scaling":
+        # the scaling efficiency divides two single measurements, so the
+        # query axis gets the same best-of-N protocol the sweep applies
+        # across rounds: warm the batch path once (untimed), then take the
+        # best of 3 identical batch jobs — identically on both legs
+        bm25_topk_batch(idx, pairs[:5], k=10).collect()
+        batch_s = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            bm25_topk_batch(idx, pairs, k=10).collect()
+            batch_s = min(batch_s, time.time() - t0)
+    else:
+        t0 = time.time()
+        bm25_topk_batch(idx, pairs, k=10).collect()
+        batch_s = time.time() - t0
     q["bm25_batched_all"] = round(batch_s, 3)
     out["bm25_batched_qps"] = round(len(pairs) / batch_s, 2)
 

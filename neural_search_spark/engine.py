@@ -113,6 +113,18 @@ class DisMaxSpec:
 
 
 @dataclass
+class SpanSpec:
+    """Span clause tree (host span_term / span_or / span_near /
+    span_first / span_not → Lucene spans package; see query.spans).
+    Positional by definition, so it serves ONLY from the attached BM25
+    index's positions sidecar (build_positions), like distributed
+    match_phrase — there is no scan twin, and post_filter is rejected
+    (the index kernel pre-truncates to k before a filter could apply)."""
+
+    clause: object
+
+
+@dataclass
 class BoostingSpec:
     """Host `boosting` query (Lucene BoostingQuery semantics): docs score
     by the positive sub-query; docs ALSO matching the negative sub-query
@@ -270,6 +282,10 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
             collapse_field=body.get("collapse_field"),
             rerank_by_field=body.get("rerank_by_field"),
         )
+    if qtype in ("span_term", "span_or", "span_near", "span_first", "span_not"):
+        from .query.spans import span_from_json
+
+        return SpanSpec(clause=span_from_json(d))
     allowed = {
         "match",
         "match_phrase",
@@ -292,6 +308,8 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "neural",
         "neural_sparse",
         "neural_knn",
+        "terms_set",
+        "rank_feature",
     }
     if qtype not in allowed:
         raise ValueError(f"unknown query type: {qtype}; valid: {sorted(allowed)}")
@@ -299,6 +317,33 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         body = dict(body)
         if isinstance(body.get("like"), str):
             body["like"] = [body["like"]]
+    if qtype == "terms_set" and "field" not in body:
+        # host shape: {"terms_set": {codes: {"terms": [...],
+        # "minimum_should_match_field": "required"}}}
+        if len(body) != 1:
+            raise ValueError(
+                "terms_set body must be {field: {terms, "
+                "minimum_should_match_field}} or carry 'field'"
+            )
+        (fname, inner), = body.items()
+        if not isinstance(inner, dict) or "terms" not in inner:
+            raise ValueError("terms_set needs a 'terms' list")
+        body = {"field": fname, "values": inner["terms"]}
+        if "minimum_should_match_field" in inner:
+            body["minimum_should_match_field"] = inner[
+                "minimum_should_match_field"
+            ]
+    if qtype == "rank_feature":
+        # host shape: {"rank_feature": {"field": "f", "saturation":
+        # {"pivot": 8}}} — the function arrives as a nested key
+        body = dict(body)
+        for fn in ("saturation", "log", "sigmoid", "linear"):
+            if fn in body:
+                params = body.pop(fn) or {}
+                body["rf_function"] = fn
+                for key in ("pivot", "scaling_factor", "exponent"):
+                    if key in params:
+                        body[key] = float(params[key])
     if qtype in ("simple_query_string", "query_string"):
         # the reference body uses 'query' / 'default_operator' field names
         body = dict(body)
@@ -437,6 +482,20 @@ class Engine:
             return _bound(self._boosting_scored(spec))
         if isinstance(spec, ConstantScoreSpec):
             return _bound(self._constant_score_scored(spec))
+        if isinstance(spec, SpanSpec):
+            if self.bm25_index is None:
+                raise ValueError(
+                    "span queries need an attached bm25_index with a "
+                    "positions sidecar (index.positions.build_positions)"
+                )
+            if allowed is not None:
+                raise ValueError(
+                    "span queries do not support post_filter (the index "
+                    "kernel pre-truncates to k)"
+                )
+            from .query.spans import span_topk
+
+            return span_topk(self.bm25_index, spec.clause, k=k).drop("rank")
         from .query.function_score import FunctionScoreSpec
 
         if isinstance(spec, FunctionScoreSpec):
@@ -754,9 +813,15 @@ class Engine:
                     spec, self._need_corpus("more_like_this"), self.id_col
                 )
             )
-        if spec.query_type in ("match_all", "ids", "range", "exists"):
-            # constant-score corpus plans (MatchAllDocsQuery / IdsQuery /
-            # RangeQuery / ExistsQuery): pushed-down column predicates
+        if spec.query_type in (
+            "match_all", "ids", "range", "exists", "terms_set",
+            "rank_feature",
+        ):
+            # corpus-column plans (MatchAllDocsQuery / IdsQuery /
+            # RangeQuery / ExistsQuery / CoveringQuery / FeatureField):
+            # pushed-down column predicates; terms_set needs the per-doc
+            # msm column and rank_feature the feature column, neither of
+            # which lives in the inverted index
             return _bound(
                 execute(spec, self._need_corpus(spec.query_type), self.id_col)
             )

@@ -447,6 +447,96 @@ def term_scored_scan(
     )
 
 
+def terms_set_scored_scan(
+    docs: DataFrame,
+    values: list[str],
+    msm_field: str | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Index-free `terms_set` scorer → (doc_id, score double) — the host
+    TermsSetQueryBuilder → Lucene CoveringQuery shape: each value is a
+    verbatim term clause; a doc matches when its matched-clause count ≥
+    max(1, its ``msm_field`` value) (null msm → 1; msm above the clause
+    count is per-doc unmatchable); score = Σ matched clauses' BM25 term
+    scores (CoveringQuery sums its sub-scorers).
+
+    Plan shape (100-TB path): one tokenize pass, clause tfs as map-side
+    array filters (no explode — the clause set is a query constant), dfs
+    via one small agg over the matched subset, one final projection. The
+    per-doc msm column rides the same scan; no join, no extra shuffle."""
+    from .. import BM25_B, BM25_K1
+    from .bm25 import lucene_idf
+
+    spark = docs.sparkSession
+    empty_scan = spark.range(0).select(
+        F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+    )
+    vals = sorted({str(v) for v in (values or [])})
+    if not vals:
+        return empty_scan
+    msm = (
+        F.coalesce(F.col(msm_field).cast("long"), F.lit(1))
+        if msm_field
+        else F.lit(1)
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_expr(text_col).alias("toks"),
+        F.greatest(msm, F.lit(1)).alias("msm"),
+    ).withColumn("dl", F.size("toks"))
+    srow = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"] or 1.0)
+    def _eq(v):
+        # NB: a 2-arg lambda would make F.filter pass (element, index)
+        return lambda t: t == v
+
+    tf_cols = [
+        F.size(F.filter("toks", _eq(v))).alias(f"tf{i}")
+        for i, v in enumerate(vals)
+    ]
+    per_doc = toks.select("doc_id", "dl", "msm", *tf_cols).withColumn(
+        "matched",
+        sum(
+            (F.when(F.col(f"tf{i}") > 0, 1).otherwise(0) for i in range(len(vals))),
+            F.lit(0),
+        ),
+    )
+    hits = per_doc.filter(F.col("matched") >= F.col("msm"))
+    # dfs come from the SCOPED frame like every scan scorer (one agg)
+    dfs = toks.agg(
+        *[
+            F.sum(
+                F.when(F.size(F.filter("toks", _eq(v))) > 0, 1).otherwise(0)
+            ).alias(f"df{i}")
+            for i, v in enumerate(vals)
+        ]
+    ).collect()[0]
+    idfs = [
+        lucene_idf(n_docs, int(dfs[f"df{i}"] or 0)) if int(dfs[f"df{i}"] or 0) else 0.0
+        for i in range(len(vals))
+    ]
+    parts = [
+        F.when(
+            F.col(f"tf{i}") > 0,
+            F.lit(idfs[i])
+            * F.col(f"tf{i}")
+            / (
+                F.col(f"tf{i}")
+                + F.lit(BM25_K1)
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+            ),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(vals))
+    ]
+    out = hits.select(
+        "doc_id", sum(parts[1:], parts[0]).alias("score")
+    )
+    return out
+
+
 def multiterm_scored_scan(
     docs: DataFrame,
     value: str,

@@ -115,6 +115,28 @@ class QuerySpec:
     max_word_length: int | None = None
     stop_words: list[str] | None = None
     include: bool = False
+    # terms_set only (host TermsSetQueryBuilder → Lucene CoveringQuery):
+    # ``values`` are the verbatim term clauses over the analyzed field;
+    # the per-doc required-match count is read from this numeric corpus
+    # column (minimum_should_match_field — the script form is not
+    # implemented). A doc matches when its matched-clause count ≥
+    # max(1, its msm value; null → 1), msm values above the clause count
+    # make the doc unmatchable (CoveringScorer never sees a doc outside
+    # its clauses' union, and minMatch is per-doc). Scores sum the
+    # matched clauses' BM25 term scores (CoveringQuery sums sub-scorers).
+    minimum_should_match_field: str | None = None
+    # rank_feature only (host RankFeatureQueryBuilder → Lucene
+    # FeatureField queries): ``field`` is a positive numeric corpus
+    # column; docs with a null or non-positive value never match
+    # (FeatureField stores strictly-positive floats). score = boost ×
+    # fn(S): saturation S/(S+pivot) (pivot defaulting to the geometric
+    # mean of positive values, the analog of Lucene's computePivot over
+    # index stats), log ln(scaling_factor + S), sigmoid
+    # S^exp/(S^exp+pivot^exp), linear S.
+    rf_function: str = "saturation"
+    pivot: float | None = None
+    scaling_factor: float | None = None
+    exponent: float | None = None
     # query_string only (host QueryStringQueryBuilder → classic Lucene
     # QueryParser; see query.qs): ``field`` is the default field,
     # ``operator`` the default conjunction, ``minimum_should_match``
@@ -318,6 +340,29 @@ def execute(
 
         return term_scored_scan(
             scoped, spec.value or "", id_col=id_col, text_col=spec.field
+        )
+    if spec.query_type == "terms_set":
+        from .multiterm import terms_set_scored_scan
+
+        return terms_set_scored_scan(
+            scoped,
+            spec.values or [],
+            spec.minimum_should_match_field,
+            id_col=id_col,
+            text_col=spec.field,
+        )
+    if spec.query_type == "rank_feature":
+        from .rank_feature import rank_feature_scored
+
+        return rank_feature_scored(
+            scoped,
+            spec.field,
+            function=spec.rf_function,
+            pivot=spec.pivot,
+            scaling_factor=spec.scaling_factor,
+            exponent=spec.exponent,
+            boost=spec.boost,
+            id_col=id_col,
         )
     if spec.query_type == "match_all":
         # MatchAllDocsQuery: every scoped doc at the constant boost —
