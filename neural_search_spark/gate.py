@@ -600,6 +600,11 @@ PHRASE_Q = "merge data"
 # prefix form: fixed "merge" + trailing prefix "da" (expands to data/…)
 PHRASE_PREFIX_Q = "merge da"
 PHRASE_PREFIX_MAX_EXP = 10
+# span variants (round-5): near = PHRASE_Q's terms at slop 0 in order,
+# first = or(merge|window) ending within the first SPAN_FIRST_END
+# positions, not = 'data' with no 'merge' in the pre-1 window
+SPAN_FIRST_END = 8
+SPAN_NOT_PRE = 1
 
 _POSITIONS_CACHE: dict[tuple, str] = {}
 
@@ -619,17 +624,31 @@ def _gate_positions_index(spark: SparkSession, sf: str) -> str:
 
 
 def q_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Positional phrase top-k served from the positions sidecar — four
-    variants in one union entry, each hash-checked against a positional
-    self-join oracle in DuckDB: exact match_phrase (PhraseQuery /
-    ExactPhraseScorer: freq = aligned-position count, idf summed per token
-    IN SEQUENCE) in driver and distributed modes, and match_phrase_prefix
-    (MultiPhrasePrefixQuery: last token expanded to the lexicographically
-    first ≤max_expansions dictionary terms, union positions at the last
-    offset, each expansion's idf added) in both modes."""
+    """Positional phrase + span top-k served from the positions sidecar
+    — eight variants in one union entry, each hash-checked against a
+    positional self-join oracle in DuckDB: exact match_phrase
+    (PhraseQuery / ExactPhraseScorer: freq = aligned-position count, idf
+    summed per token IN SEQUENCE) in driver and distributed modes;
+    match_phrase_prefix (MultiPhrasePrefixQuery: last token expanded to
+    the lexicographically first ≤max_expansions dictionary terms, union
+    positions at the last offset, each expansion's idf added) in both
+    modes; and the round-5 span family (Lucene spans package): span_near
+    slop 0 in order over PHRASE_Q's terms (both modes; width-0 matches
+    make sloppyFreq the aligned-pair count, so the phrase oracle is the
+    span oracle), span_first(span_or(merge|window), end) — union
+    positions ending within the cut-off — and span_not('data' minus a
+    pre-1 'merge' window)."""
     from .index.build import doc_id_col
     from .query.bm25 import BM25Index
     from .query.phrase import phrase_prefix_topk, phrase_topk
+    from .query.spans import (
+        SpanFirst,
+        SpanNear,
+        SpanNot,
+        SpanOr,
+        SpanTerm,
+        span_topk,
+    )
 
     path = _gate_positions_index(spark, sf)
     idx = BM25Index(spark, path)
@@ -659,6 +678,63 @@ def q_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
                 k=50,
                 max_expansions=PHRASE_PREFIX_MAX_EXP,
                 mode="distributed",
+            ),
+        ),
+        # span family (round-5): near at slop 0 == the exact phrase's
+        # aligned pairs (each match width 0 → sloppyFreq = pair count;
+        # idf over DISTINCT terms == per-occurrence here, both terms
+        # unique), so the proven phrase oracle doubles as the span_near
+        # oracle; first/or and not get their own positional predicates
+        (
+            "span_near",
+            lambda: span_topk(
+                idx,
+                SpanNear(
+                    (SpanTerm("merge"), SpanTerm("data")),
+                    slop=0,
+                    in_order=True,
+                ),
+                k=50,
+                mode="driver",
+            ),
+        ),
+        (
+            "span_near_dist",
+            lambda: span_topk(
+                idx,
+                SpanNear(
+                    (SpanTerm("merge"), SpanTerm("data")),
+                    slop=0,
+                    in_order=True,
+                ),
+                k=50,
+                mode="distributed",
+            ),
+        ),
+        (
+            "span_first_or",
+            lambda: span_topk(
+                idx,
+                SpanFirst(
+                    SpanOr((SpanTerm("merge"), SpanTerm("window"))),
+                    end=SPAN_FIRST_END,
+                ),
+                k=50,
+                mode="driver",
+            ),
+        ),
+        (
+            "span_not",
+            lambda: span_topk(
+                idx,
+                SpanNot(
+                    SpanTerm("data"),
+                    SpanTerm("merge"),
+                    pre=SPAN_NOT_PRE,
+                    post=0,
+                ),
+                k=50,
+                mode="driver",
             ),
         ),
     ]
@@ -767,6 +843,35 @@ SELECT conv_id, turn_idx, score FROM (
 )"""
 
 
+def _span_scored_sql(scoring_terms: list[str], fr_body: str) -> str:
+    """Shared span-oracle scaffold: the phrase oracle's corpus/stats/tok
+    CTEs, idf summed over DISTINCT scoring terms (SpanWeight gathers
+    termStates keyed by term — repeats count once, and span_not's
+    exclude side contributes none), ``fr_body`` supplies the per-doc
+    span-frequency relation (conv_id, turn_idx, dl, freq) over ``tok``.
+    Only width-0 variants are gated here (freq = match count); sloppy
+    widths are pytest-verified against the brute-force enumerator."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(scoring_terms)))
+    return f"""
+SELECT conv_id, turn_idx, score FROM (
+  WITH corpus AS (SELECT conv_id, turn_idx, {TOK} AS toks
+                  FROM {TRANSCRIPTS_SQL} AS r),
+  stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM corpus),
+  tok AS (SELECT conv_id, turn_idx, len(toks) AS dl, unnest(toks) AS term,
+          unnest(range(len(toks))) AS pos FROM corpus),
+  dfreq AS (SELECT term, count(DISTINCT conv_id || '/' || turn_idx) AS df
+            FROM tok WHERE term IN ({terms}) GROUP BY term),
+  idft AS (SELECT sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))) AS idf_total
+           FROM dfreq d CROSS JOIN stats s),
+  fr AS ({fr_body})
+  SELECT f.conv_id, f.turn_idx,
+    round(i.idf_total * f.freq
+          / (f.freq + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*f.dl/s.avgdl)),
+          4) AS score
+  FROM fr f CROSS JOIN stats s CROSS JOIN idft i
+)"""
+
+
 def sql_phrase_topk() -> str:
     one = _topk_sql(_phrase_scored_sql(PHRASE_Q), ["conv_id", "turn_idx"], 20)
     pre = _topk_sql(
@@ -774,11 +879,40 @@ def sql_phrase_topk() -> str:
         ["conv_id", "turn_idx"],
         20,
     )
+    near = one  # slop-0 ordered 2-term near == the exact phrase oracle
+    first_or = _topk_sql(
+        _span_scored_sql(
+            ["merge", "window"],
+            "SELECT conv_id, turn_idx, dl, count(*) AS freq FROM tok "
+            f"WHERE term IN ('merge', 'window') AND pos + 1 <= {SPAN_FIRST_END} "
+            "GROUP BY 1, 2, 3",
+        ),
+        ["conv_id", "turn_idx"],
+        20,
+    )
+    spnot = _topk_sql(
+        _span_scored_sql(
+            ["data"],
+            "SELECT t.conv_id, t.turn_idx, t.dl, count(*) AS freq FROM tok t "
+            "WHERE t.term = 'data' AND NOT EXISTS ("
+            "  SELECT 1 FROM tok e"
+            "  WHERE e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx"
+            f"    AND e.term = 'merge'"
+            f"    AND e.pos BETWEEN t.pos - {SPAN_NOT_PRE} AND t.pos) "
+            "GROUP BY 1, 2, 3",
+        ),
+        ["conv_id", "turn_idx"],
+        20,
+    )
     return (
         f"SELECT 'driver' AS mode, * FROM ({one}) "
         f"UNION ALL SELECT 'distributed' AS mode, * FROM ({one}) "
         f"UNION ALL SELECT 'prefix_driver' AS mode, * FROM ({pre}) "
-        f"UNION ALL SELECT 'prefix_distributed' AS mode, * FROM ({pre})"
+        f"UNION ALL SELECT 'prefix_distributed' AS mode, * FROM ({pre}) "
+        f"UNION ALL SELECT 'span_near' AS mode, * FROM ({near}) "
+        f"UNION ALL SELECT 'span_near_dist' AS mode, * FROM ({near}) "
+        f"UNION ALL SELECT 'span_first_or' AS mode, * FROM ({first_or}) "
+        f"UNION ALL SELECT 'span_not' AS mode, * FROM ({spnot})"
     )
 
 
@@ -3018,6 +3152,8 @@ _NEG_BOOST = 0.5
 # exists needs real nulls; testdata has none, so both sides derive the
 # same nullable column: lang where source != 'src0', else NULL
 _NULLABLE_SQL = "CASE WHEN source = 'src0' THEN NULL ELSE lang END"
+_TSET_TERMS = ("spark", "merge", "window", "batch")  # terms_set clause set
+_TSET_MSM_SQL = "1 + (doc_id % 3)"  # per-doc minimum_should_match column
 
 
 def _fscore_scored(eng) -> "DataFrame":
@@ -3074,7 +3210,11 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
       arbitrarily): must=[match(BOOL_MUST)] + should=[bool(should=
       [match(BOOL_SHOULD), match(BOOL_MUST_NOT)], msm=1)] — the inner
       bool scores as its own sum-and-gate and feeds the parent like a
-      leaf.
+      leaf;
+    * 'tset'    — terms_set (CoveringQuery) over _TSET_TERMS with the
+      per-doc minimum_should_match column 1+(doc_id%3);
+    * 'rfeat'   — rank_feature saturation on n_chars at the default
+      pivot (geometric mean of the positive values).
 
     Scores are clause arithmetic on FULL-corpus stats (the Lucene
     contract: gates change which docs collect, never how survivors
@@ -3204,6 +3344,21 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ),
         ),
+        (
+            "tset",
+            execute(
+                QuerySpec(
+                    query_type="terms_set",
+                    values=list(_TSET_TERMS),
+                    minimum_should_match_field="req",
+                ),
+                docs.withColumn("req", F.expr(_TSET_MSM_SQL).cast("int")),
+            ),
+        ),
+        (
+            "rfeat",
+            execute(QuerySpec(query_type="rank_feature", field="n_chars"), docs),
+        ),
     ]
     out = None
     for name, scored in scoreds:
@@ -3315,6 +3470,33 @@ WITH inner_b AS (
 )
 SELECT m.doc_id, round(m.score + coalesce(i.score, 0), 4) AS score
 FROM ({m}) m LEFT JOIN inner_b i USING (doc_id)"""
+    # terms_set (CoveringQuery): verbatim term clauses, per-doc msm from
+    # a column, matched-clause count gates, survivors sum their clauses'
+    # BM25 term scores on full-corpus stats
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(_TSET_TERMS)))
+    tset = f"""
+WITH corpus AS (SELECT doc_id, greatest(1, {_TSET_MSM_SQL}) AS msm,
+                       {TOK} AS toks FROM documents AS r),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM corpus),
+tok AS (SELECT doc_id, msm, len(toks) AS dl, unnest(toks) AS term FROM corpus),
+tfd AS (SELECT doc_id, msm, dl, term, count(*) AS tf FROM tok
+        WHERE term IN ({tlist}) GROUP BY ALL),
+dfreq AS (SELECT term, count(*) AS df FROM tfd GROUP BY term)
+SELECT doc_id, round(scr, 4) AS score FROM (
+  SELECT doc_id,
+    sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
+        * tfd.tf / (tfd.tf + {BM25_K1}*(1.0 - {BM25_B}
+                                        + {BM25_B}*tfd.dl/s.avgdl))) AS scr
+  FROM tfd JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY doc_id, msm HAVING count(*) >= msm
+)"""
+    # rank_feature saturation at the default pivot (FeatureField
+    # computePivot: geometric mean of the positive feature values)
+    rfeat = """
+WITH s AS (SELECT exp(avg(ln(n_chars))) AS pivot
+           FROM documents WHERE n_chars > 0)
+SELECT doc_id, round(n_chars / (n_chars + s.pivot), 4) AS score
+FROM documents CROSS JOIN s WHERE n_chars > 0"""
     parts = [
         ("mixed", mixed),
         ("should2", should2),
@@ -3329,6 +3511,8 @@ FROM ({m}) m LEFT JOIN inner_b i USING (doc_id)"""
         ("mlt", mlt),
         ("qstring", qstring),
         ("nested", nested),
+        ("tset", tset),
+        ("rfeat", rfeat),
     ]
     return " UNION ALL ".join(
         f"SELECT '{name}' AS variant, * "
