@@ -282,7 +282,17 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
             collapse_field=body.get("collapse_field"),
             rerank_by_field=body.get("rerank_by_field"),
         )
-    if qtype in ("span_term", "span_or", "span_near", "span_first", "span_not"):
+    if qtype in (
+        "span_term",
+        "span_or",
+        "span_near",
+        "span_first",
+        "span_not",
+        "span_containing",
+        "span_within",
+        "span_multi",
+        "field_masking_span",
+    ):
         from .query.spans import span_from_json
 
         return SpanSpec(clause=span_from_json(d))
@@ -310,6 +320,7 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "neural_knn",
         "terms_set",
         "rank_feature",
+        "distance_feature",
     }
     if qtype not in allowed:
         raise ValueError(f"unknown query type: {qtype}; valid: {sorted(allowed)}")
@@ -344,6 +355,13 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
                 for key in ("pivot", "scaling_factor", "exponent"):
                     if key in params:
                         body[key] = float(params[key])
+    if qtype == "distance_feature":
+        # host shape: {"distance_feature": {"field", "origin", "pivot"}}
+        # — 'pivot' maps to the spec's df_pivot (rank_feature owns
+        # QuerySpec.pivot)
+        body = dict(body)
+        if "pivot" in body:
+            body["df_pivot"] = body.pop("pivot")
     if qtype in ("simple_query_string", "query_string"):
         # the reference body uses 'query' / 'default_operator' field names
         body = dict(body)
@@ -815,13 +833,14 @@ class Engine:
             )
         if spec.query_type in (
             "match_all", "ids", "range", "exists", "terms_set",
-            "rank_feature",
+            "rank_feature", "distance_feature",
         ):
             # corpus-column plans (MatchAllDocsQuery / IdsQuery /
-            # RangeQuery / ExistsQuery / CoveringQuery / FeatureField):
-            # pushed-down column predicates; terms_set needs the per-doc
-            # msm column and rank_feature the feature column, neither of
-            # which lives in the inverted index
+            # RangeQuery / ExistsQuery / CoveringQuery / FeatureField /
+            # distance-feature): pushed-down column predicates;
+            # terms_set needs the per-doc msm column and the feature
+            # queries their signal columns, none of which live in the
+            # inverted index
             return _bound(
                 execute(spec, self._need_corpus(spec.query_type), self.id_col)
             )

@@ -602,9 +602,15 @@ PHRASE_PREFIX_Q = "merge da"
 PHRASE_PREFIX_MAX_EXP = 10
 # span variants (round-5): near = PHRASE_Q's terms at slop 0 in order,
 # first = or(merge|window) ending within the first SPAN_FIRST_END
-# positions, not = 'data' with no 'merge' in the pre-1 window
+# positions, not = 'data' with no 'merge' in the pre-1 window,
+# within = 'data' inside a first-SPAN_WITHIN_END-capped merge-data
+# adjacency, multi = span_first over a prefix expansion
 SPAN_FIRST_END = 8
 SPAN_NOT_PRE = 1
+SPAN_WITHIN_END = 10
+SPAN_MULTI_PREFIX = "mer"
+SPAN_MULTI_MAXEXP = 10
+SPAN_MULTI_END = 8
 
 _POSITIONS_CACHE: dict[tuple, str] = {}
 
@@ -625,7 +631,7 @@ def _gate_positions_index(spark: SparkSession, sf: str) -> str:
 
 def q_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Positional phrase + span top-k served from the positions sidecar
-    — eight variants in one union entry, each hash-checked against a
+    — ten variants in one union entry, each hash-checked against a
     positional self-join oracle in DuckDB: exact match_phrase
     (PhraseQuery / ExactPhraseScorer: freq = aligned-position count, idf
     summed per token IN SEQUENCE) in driver and distributed modes;
@@ -636,17 +642,21 @@ def q_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
     slop 0 in order over PHRASE_Q's terms (both modes; width-0 matches
     make sloppyFreq the aligned-pair count, so the phrase oracle is the
     span oracle), span_first(span_or(merge|window), end) — union
-    positions ending within the cut-off — and span_not('data' minus a
-    pre-1 'merge' window)."""
+    positions ending within the cut-off — span_not('data' minus a pre-1
+    'merge' window), span_within('data' inside a first-capped merge-data
+    adjacency; both sides' terms score), and span_multi (prefix → capped
+    lexicographic dictionary expansion, re-derived in SQL)."""
     from .index.build import doc_id_col
     from .query.bm25 import BM25Index
     from .query.phrase import phrase_prefix_topk, phrase_topk
     from .query.spans import (
         SpanFirst,
+        SpanMulti,
         SpanNear,
         SpanNot,
         SpanOr,
         SpanTerm,
+        SpanWithin,
         span_topk,
     )
 
@@ -732,6 +742,41 @@ def q_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
                     SpanTerm("merge"),
                     pre=SPAN_NOT_PRE,
                     post=0,
+                ),
+                k=50,
+                mode="driver",
+            ),
+        ),
+        # 'data' little spans contained in a big = span_first-capped
+        # merge-data adjacency: freq = data positions immediately after
+        # a merge, ending within the cut-off; both sides' terms score
+        (
+            "span_within",
+            lambda: span_topk(
+                idx,
+                SpanWithin(
+                    SpanFirst(
+                        SpanNear(
+                            (SpanTerm("merge"), SpanTerm("data")), slop=0
+                        ),
+                        end=SPAN_WITHIN_END,
+                    ),
+                    SpanTerm("data"),
+                ),
+                k=50,
+                mode="driver",
+            ),
+        ),
+        # span_multi: prefix expansion → span_or rewrite, capped first-N
+        (
+            "span_multi_first",
+            lambda: span_topk(
+                idx,
+                SpanFirst(
+                    SpanMulti(
+                        "prefix", SPAN_MULTI_PREFIX, SPAN_MULTI_MAXEXP
+                    ),
+                    end=SPAN_MULTI_END,
                 ),
                 k=50,
                 mode="driver",
@@ -843,24 +888,34 @@ SELECT conv_id, turn_idx, score FROM (
 )"""
 
 
-def _span_scored_sql(scoring_terms: list[str], fr_body: str) -> str:
+def _span_scored_sql(
+    scoring_terms: list[str] | None,
+    fr_body: str,
+    extra_cte: str = "",
+    terms_in: str | None = None,
+) -> str:
     """Shared span-oracle scaffold: the phrase oracle's corpus/stats/tok
     CTEs, idf summed over DISTINCT scoring terms (SpanWeight gathers
     termStates keyed by term — repeats count once, and span_not's
     exclude side contributes none), ``fr_body`` supplies the per-doc
     span-frequency relation (conv_id, turn_idx, dl, freq) over ``tok``.
-    Only width-0 variants are gated here (freq = match count); sloppy
-    widths are pytest-verified against the brute-force enumerator."""
-    terms = ", ".join(f"'{t}'" for t in sorted(set(scoring_terms)))
+    ``extra_cte``/``terms_in`` let a variant derive its scoring-term set
+    in SQL (span_multi's dictionary expansion). Only width-0 variants
+    are gated here (freq = match count); sloppy widths are
+    pytest-verified against the brute-force enumerator."""
+    if terms_in is None:
+        terms_in = "(" + ", ".join(
+            f"'{t}'" for t in sorted(set(scoring_terms or []))
+        ) + ")"
     return f"""
 SELECT conv_id, turn_idx, score FROM (
   WITH corpus AS (SELECT conv_id, turn_idx, {TOK} AS toks
                   FROM {TRANSCRIPTS_SQL} AS r),
   stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM corpus),
   tok AS (SELECT conv_id, turn_idx, len(toks) AS dl, unnest(toks) AS term,
-          unnest(range(len(toks))) AS pos FROM corpus),
+          unnest(range(len(toks))) AS pos FROM corpus),{extra_cte}
   dfreq AS (SELECT term, count(DISTINCT conv_id || '/' || turn_idx) AS df
-            FROM tok WHERE term IN ({terms}) GROUP BY term),
+            FROM tok WHERE term IN {terms_in} GROUP BY term),
   idft AS (SELECT sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))) AS idf_total
            FROM dfreq d CROSS JOIN stats s),
   fr AS ({fr_body})
@@ -904,6 +959,41 @@ def sql_phrase_topk() -> str:
         ["conv_id", "turn_idx"],
         20,
     )
+    # within: 'data' positions immediately after a 'merge', with the
+    # containing adjacency span ending inside the span_first cut-off;
+    # scoring terms = big ∪ little = {merge, data}
+    within = _topk_sql(
+        _span_scored_sql(
+            ["merge", "data"],
+            "SELECT t.conv_id, t.turn_idx, t.dl, count(*) AS freq FROM tok t "
+            "JOIN tok m ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx "
+            "  AND m.term = 'merge' AND m.pos = t.pos - 1 "
+            f"WHERE t.term = 'data' AND t.pos + 1 <= {SPAN_WITHIN_END} "
+            "GROUP BY 1, 2, 3",
+        ),
+        ["conv_id", "turn_idx"],
+        20,
+    )
+    # span_multi: the expansion set is derived in SQL exactly as the
+    # engine derives it from the dictionary — lexicographically-first
+    # ≤max_expansions vocabulary terms under the prefix
+    exp_cte = (
+        "\n  exp AS (SELECT DISTINCT term FROM tok "
+        f"WHERE term LIKE '{SPAN_MULTI_PREFIX}%' "
+        f"ORDER BY term LIMIT {SPAN_MULTI_MAXEXP}),"
+    )
+    multi = _topk_sql(
+        _span_scored_sql(
+            None,
+            "SELECT conv_id, turn_idx, dl, count(*) AS freq FROM tok "
+            "WHERE term IN (SELECT term FROM exp) "
+            f"AND pos + 1 <= {SPAN_MULTI_END} GROUP BY 1, 2, 3",
+            extra_cte=exp_cte,
+            terms_in="(SELECT term FROM exp)",
+        ),
+        ["conv_id", "turn_idx"],
+        20,
+    )
     return (
         f"SELECT 'driver' AS mode, * FROM ({one}) "
         f"UNION ALL SELECT 'distributed' AS mode, * FROM ({one}) "
@@ -912,7 +1002,9 @@ def sql_phrase_topk() -> str:
         f"UNION ALL SELECT 'span_near' AS mode, * FROM ({near}) "
         f"UNION ALL SELECT 'span_near_dist' AS mode, * FROM ({near}) "
         f"UNION ALL SELECT 'span_first_or' AS mode, * FROM ({first_or}) "
-        f"UNION ALL SELECT 'span_not' AS mode, * FROM ({spnot})"
+        f"UNION ALL SELECT 'span_not' AS mode, * FROM ({spnot}) "
+        f"UNION ALL SELECT 'span_within' AS mode, * FROM ({within}) "
+        f"UNION ALL SELECT 'span_multi_first' AS mode, * FROM ({multi})"
     )
 
 
@@ -3154,6 +3246,7 @@ _NEG_BOOST = 0.5
 _NULLABLE_SQL = "CASE WHEN source = 'src0' THEN NULL ELSE lang END"
 _TSET_TERMS = ("spark", "merge", "window", "batch")  # terms_set clause set
 _TSET_MSM_SQL = "1 + (doc_id % 3)"  # per-doc minimum_should_match column
+_DFEAT_ORIGIN, _DFEAT_PIVOT = 230, 25  # distance_feature over n_chars
 
 
 def _fscore_scored(eng) -> "DataFrame":
@@ -3214,7 +3307,9 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
     * 'tset'    — terms_set (CoveringQuery) over _TSET_TERMS with the
       per-doc minimum_should_match column 1+(doc_id%3);
     * 'rfeat'   — rank_feature saturation on n_chars at the default
-      pivot (geometric mean of the positive values).
+      pivot (geometric mean of the positive values);
+    * 'dfeat'   — distance_feature on n_chars (boost × pivot /
+      (pivot + |v − origin|), Lucene newDistanceFeatureQuery).
 
     Scores are clause arithmetic on FULL-corpus stats (the Lucene
     contract: gates change which docs collect, never how survivors
@@ -3359,6 +3454,18 @@ def q_bool_topk(spark: SparkSession, sf: str) -> DataFrame:
             "rfeat",
             execute(QuerySpec(query_type="rank_feature", field="n_chars"), docs),
         ),
+        (
+            "dfeat",
+            execute(
+                QuerySpec(
+                    query_type="distance_feature",
+                    field="n_chars",
+                    origin=_DFEAT_ORIGIN,
+                    df_pivot=_DFEAT_PIVOT,
+                ),
+                docs,
+            ),
+        ),
     ]
     out = None
     for name, scored in scoreds:
@@ -3497,6 +3604,12 @@ WITH s AS (SELECT exp(avg(ln(n_chars))) AS pivot
            FROM documents WHERE n_chars > 0)
 SELECT doc_id, round(n_chars / (n_chars + s.pivot), 4) AS score
 FROM documents CROSS JOIN s WHERE n_chars > 0"""
+    # distance_feature: boost × pivot / (pivot + |v − origin|)
+    dfeat = (
+        f"SELECT doc_id, round({_DFEAT_PIVOT} / ({_DFEAT_PIVOT} "
+        f"+ abs(n_chars - {_DFEAT_ORIGIN})), 4) AS score "
+        "FROM documents WHERE n_chars IS NOT NULL"
+    )
     parts = [
         ("mixed", mixed),
         ("should2", should2),
@@ -3513,6 +3626,7 @@ FROM documents CROSS JOIN s WHERE n_chars > 0"""
         ("nested", nested),
         ("tset", tset),
         ("rfeat", rfeat),
+        ("dfeat", dfeat),
     ]
     return " UNION ALL ".join(
         f"SELECT '{name}' AS variant, * "

@@ -137,6 +137,14 @@ class QuerySpec:
     pivot: float | None = None
     scaling_factor: float | None = None
     exponent: float | None = None
+    # distance_feature only (host DistanceFeatureQueryBuilder → Lucene
+    # LongPoint.newDistanceFeatureQuery): score = boost × pivot /
+    # (pivot + |field − origin|) over non-null ``field``; origin is
+    # numeric or ISO date, df_pivot numeric or an Nd/Nh/Nm/Ns duration
+    # (kept separate from rank_feature's ``pivot`` so a bool composing
+    # both leaf kinds can't cross-contaminate)
+    origin: object = None
+    df_pivot: object = None
     # query_string only (host QueryStringQueryBuilder → classic Lucene
     # QueryParser; see query.qs): ``field`` is the default field,
     # ``operator`` the default conjunction, ``minimum_should_match``
@@ -350,6 +358,19 @@ def execute(
             spec.minimum_should_match_field,
             id_col=id_col,
             text_col=spec.field,
+        )
+    if spec.query_type == "distance_feature":
+        from .distance_feature import distance_feature_scored
+
+        if spec.origin is None or spec.df_pivot is None:
+            raise ValueError("distance_feature needs origin and pivot")
+        return distance_feature_scored(
+            scoped,
+            spec.field,
+            spec.origin,
+            spec.df_pivot,
+            boost=spec.boost,
+            id_col=id_col,
         )
     if spec.query_type == "rank_feature":
         from .rank_feature import rank_feature_scored

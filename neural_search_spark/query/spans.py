@@ -23,6 +23,15 @@ clauses form a tree and each node enumerates its matching spans in
 * span_first         → child spans with end ≤ the cut-off
 * span_not           → include spans with no exclude span overlapping
                        [start − pre, end + post)
+* span_containing    → big spans containing ≥1 little span (both sides'
+                       terms score, as SpanContainQuery gathers both)
+* span_within        → little spans contained in ≥1 big span
+* span_multi         → prefix/wildcard/regexp lifted to a span: rewritten
+                       up front to a span_or over the lexicographically
+                       first ≤max_expansions dictionary matches
+                       (SpanMultiTermQueryWrapper's SpanOrQuery rewrite)
+* field_masking_span → identity here (single text field; the host uses
+                       it to mix differently-analyzed fields)
 
 Width (the slop measure) of a near match = Σ inter-clause gaps for the
 ordered form (Lucene's matchWidth) or covering-range − Σ child span
@@ -120,7 +129,50 @@ class SpanNot:
     post: int = 0
 
 
-_SPAN_KINDS = ("span_term", "span_or", "span_near", "span_first", "span_not")
+@dataclass(frozen=True)
+class SpanContaining:
+    """Spans from ``big`` that contain a span from ``little``
+    (SpanContainingQuery; both sides' terms score — SpanContainQuery
+    gathers termStates from both clauses)."""
+
+    big: object
+    little: object
+
+
+@dataclass(frozen=True)
+class SpanWithin:
+    """Spans from ``little`` that lie within a span from ``big``
+    (SpanWithinQuery; both sides' terms score)."""
+
+    big: object
+    little: object
+
+
+@dataclass(frozen=True)
+class SpanMulti:
+    """SpanMultiTermQueryWrapper: a prefix/wildcard/regexp multi-term
+    query lifted to a span — rewritten at query time to a SpanOr over
+    the lexicographically-first ≤max_expansions dictionary matches
+    (SpanOrQuery rewrite method). Must be expanded via
+    ``expand_span_multi`` before enumeration; the tree walkers raise on
+    an unexpanded node."""
+
+    kind: str  # 'prefix' | 'wildcard' | 'regexp'
+    value: str
+    max_expansions: int = 128
+
+
+_SPAN_KINDS = (
+    "span_term",
+    "span_or",
+    "span_near",
+    "span_first",
+    "span_not",
+    "span_containing",
+    "span_within",
+    "span_multi",
+    "field_masking_span",
+)
 
 
 def span_from_json(obj: dict) -> object:
@@ -132,6 +184,13 @@ def span_from_json(obj: dict) -> object:
       {"span_first":{"match": <span>, "end": 3}}
       {"span_not":  {"include": <span>, "exclude": <span>,
                      "pre": 0, "post": 0}}
+      {"span_containing": {"big": <span>, "little": <span>}}
+      {"span_within":     {"big": <span>, "little": <span>}}
+      {"span_multi": {"match": {"prefix": {"text": {"value": "mer"}}}}}
+        (prefix / wildcard / regexp leaves; "text" may be omitted)
+      {"field_masking_span": {"query": <span>, "field": "text"}}
+        (identity in this engine's single-text-field schema — the host
+        uses it to join spans across differently-analyzed fields)
     """
     if not isinstance(obj, dict) or len(obj) != 1:
         raise ValueError("span clause must have exactly one top-level key")
@@ -165,6 +224,37 @@ def span_from_json(obj: dict) -> object:
         if "match" not in body or "end" not in body:
             raise ValueError("span_first needs match and end")
         return SpanFirst(span_from_json(body["match"]), int(body["end"]))
+    if kind in ("span_containing", "span_within"):
+        if "big" not in body or "little" not in body:
+            raise ValueError(f"{kind} needs big and little")
+        cls = SpanContaining if kind == "span_containing" else SpanWithin
+        return cls(span_from_json(body["big"]), span_from_json(body["little"]))
+    if kind == "span_multi":
+        inner = body.get("match", body)
+        if not isinstance(inner, dict) or len(inner) != 1:
+            raise ValueError("span_multi needs one multi-term match clause")
+        (mkind, mbody), = inner.items()
+        if mkind not in ("prefix", "wildcard", "regexp"):
+            raise ValueError(
+                f"span_multi supports prefix/wildcard/regexp, got {mkind!r}"
+            )
+        # host field nesting: {"prefix": {"text": {"value": "mer"}}} or
+        # the flat {"prefix": {"value": "mer"}}
+        if "value" not in mbody and len(mbody) == 1:
+            (_field, mbody), = mbody.items()
+        if isinstance(mbody, str):
+            mbody = {"value": mbody}
+        val = mbody.get("value")
+        if not val:
+            raise ValueError("span_multi clause needs a value")
+        return SpanMulti(
+            mkind, str(val), int(mbody.get("max_expansions", 128))
+        )
+    if kind == "field_masking_span":
+        if "query" not in body:
+            raise ValueError("field_masking_span needs a query")
+        # single text field → masking is identity; unwrap
+        return span_from_json(body["query"])
     if "include" not in body or "exclude" not in body:
         raise ValueError("span_not needs include and exclude")
     return SpanNot(
@@ -175,9 +265,18 @@ def span_from_json(obj: dict) -> object:
     )
 
 
+def _require_expanded(clause) -> None:
+    if isinstance(clause, SpanMulti):
+        raise ValueError(
+            "unexpanded span_multi — call expand_span_multi(clause, index) "
+            "first (span_topk does this automatically)"
+        )
+
+
 def scoring_terms(clause) -> set[str]:
     """Distinct terms contributing idf — everything except span_not's
     exclude side (vetoes don't score)."""
+    _require_expanded(clause)
     if isinstance(clause, SpanTerm):
         return {clause.term}
     if isinstance(clause, (SpanOr, SpanNear)):
@@ -187,11 +286,14 @@ def scoring_terms(clause) -> set[str]:
         return out
     if isinstance(clause, SpanFirst):
         return scoring_terms(clause.match)
+    if isinstance(clause, (SpanContaining, SpanWithin)):
+        return scoring_terms(clause.big) | scoring_terms(clause.little)
     return scoring_terms(clause.include)
 
 
 def all_terms(clause) -> set[str]:
     """Every term whose positions the kernel reads (includes excludes)."""
+    _require_expanded(clause)
     if isinstance(clause, SpanTerm):
         return {clause.term}
     if isinstance(clause, (SpanOr, SpanNear)):
@@ -201,6 +303,8 @@ def all_terms(clause) -> set[str]:
         return out
     if isinstance(clause, SpanFirst):
         return all_terms(clause.match)
+    if isinstance(clause, (SpanContaining, SpanWithin)):
+        return all_terms(clause.big) | all_terms(clause.little)
     return all_terms(clause.include) | all_terms(clause.exclude)
 
 
@@ -208,7 +312,8 @@ def required_groups(clause) -> list[frozenset[str]]:
     """Conjunction bound for candidate pruning: a matching doc must
     contain ≥1 term from EVERY returned group. near/first/not-include
     require all their children's groups; an or collapses its subtree to
-    one any-member group."""
+    one any-member group; containing/within require both sides."""
+    _require_expanded(clause)
     if isinstance(clause, SpanTerm):
         return [frozenset([clause.term])]
     if isinstance(clause, SpanOr):
@@ -221,7 +326,54 @@ def required_groups(clause) -> list[frozenset[str]]:
         return out
     if isinstance(clause, SpanFirst):
         return required_groups(clause.match)
+    if isinstance(clause, (SpanContaining, SpanWithin)):
+        return required_groups(clause.big) + required_groups(clause.little)
     return required_groups(clause.include)
+
+
+def expand_span_multi(clause, index: BM25Index):
+    """Rewrite every SpanMulti node to a SpanOr over its dictionary
+    expansions (SpanMultiTermQueryWrapper's SpanOrQuery rewrite —
+    lexicographically-first ≤max_expansions matches, the same order
+    ``multiterm_topk`` and MultiPhrasePrefixQuery use). Returns None
+    when an expansion comes up empty (the whole tree can't match,
+    except under SpanOr where the empty branch just drops out)."""
+    from .multiterm import expand_pattern
+
+    if isinstance(clause, SpanMulti):
+        exps = expand_pattern(index, clause.value, clause.kind)
+        exps = exps[: max(0, clause.max_expansions)]
+        if not exps:
+            return None
+        return SpanOr(tuple(SpanTerm(t) for t, _df in exps))
+    if isinstance(clause, (SpanOr, SpanNear)):
+        subs = [expand_span_multi(c, index) for c in clause.clauses]
+        if isinstance(clause, SpanOr):
+            subs = [s for s in subs if s is not None]
+            if not subs:
+                return None
+            return SpanOr(tuple(subs))
+        if any(s is None for s in subs):
+            return None
+        return SpanNear(tuple(subs), slop=clause.slop, in_order=clause.in_order)
+    if isinstance(clause, SpanFirst):
+        m = expand_span_multi(clause.match, index)
+        return None if m is None else SpanFirst(m, clause.end)
+    if isinstance(clause, (SpanContaining, SpanWithin)):
+        big = expand_span_multi(clause.big, index)
+        little = expand_span_multi(clause.little, index)
+        if big is None or little is None:
+            return None
+        return type(clause)(big, little)
+    if isinstance(clause, SpanNot):
+        inc = expand_span_multi(clause.include, index)
+        if inc is None:
+            return None
+        exc = expand_span_multi(clause.exclude, index)
+        if exc is None:  # nothing to exclude
+            return inc
+        return SpanNot(inc, exc, pre=clause.pre, post=clause.post)
+    return clause
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +400,24 @@ def enumerate_spans(
             s
             for s in enumerate_spans(clause.match, pos_by_term)
             if s[1] <= clause.end
+        ]
+    if isinstance(clause, (SpanContaining, SpanWithin)):
+        big = enumerate_spans(clause.big, pos_by_term)
+        little = enumerate_spans(clause.little, pos_by_term)
+        if not big or not little:
+            return []
+        if isinstance(clause, SpanContaining):
+            # big spans containing ≥1 little span (keep big's width)
+            return [
+                (s, e, w)
+                for s, e, w in big
+                if any(s2 >= s and e2 <= e for s2, e2, _ in little)
+            ]
+        # within: little spans contained in ≥1 big span (little's width)
+        return [
+            (s2, e2, w2)
+            for s2, e2, w2 in little
+            if any(s <= s2 and e >= e2 for s, e, _ in big)
         ]
     if isinstance(clause, SpanNot):
         inc = enumerate_spans(clause.include, pos_by_term)
@@ -383,6 +553,9 @@ def span_topk(
         clause = span_from_json(clause)
     spark = index.spark
     _require_positions(index)
+    clause = expand_span_multi(clause, index)
+    if clause is None:  # a multi-term clause matched no dictionary term
+        return _empty_topk(spark)
     sterms = sorted(scoring_terms(clause))
     aterms = sorted(all_terms(clause))
     stats = index.term_stats(aterms)

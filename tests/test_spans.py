@@ -8,11 +8,14 @@ from pyspark.sql import functions as F
 from neural_search_spark.engine import Engine, SpanSpec, spec_from_json
 from neural_search_spark.query.phrase import phrase_freq
 from neural_search_spark.query.spans import (
+    SpanContaining,
     SpanFirst,
+    SpanMulti,
     SpanNear,
     SpanNot,
     SpanOr,
     SpanTerm,
+    SpanWithin,
     enumerate_spans,
     required_groups,
     scoring_terms,
@@ -186,6 +189,9 @@ class TestTreeUtils:
         with pytest.raises(ValueError, match="one token"):
             span_from_json({"span_term": {"value": "two words"}})
         with pytest.raises(ValueError, match="unknown span"):
+            span_from_json({"span_sideways": {}})
+        # span_within is a real kind now — missing operands, not unknown
+        with pytest.raises(ValueError, match="needs big and little"):
             span_from_json({"span_within": {}})
 
 
@@ -276,3 +282,110 @@ class TestServing:
         eng_no_idx = Engine(spark, corpus=transcripts_df)
         with pytest.raises(ValueError, match="positions sidecar"):
             eng_no_idx.search(spec, k=5)
+
+
+class TestContainWithin:
+    def test_containing_keeps_big_spans(self):
+        # big = near(a, c, slop 2); little = b — only big spans with a b
+        # inside survive, and they keep big's width
+        p = _pos("a b c a x x c".split())
+        big = SpanNear((SpanTerm("a"), SpanTerm("c")), slop=2)
+        got = enumerate_spans(SpanContaining(big, SpanTerm("b")), p)
+        bigs = enumerate_spans(big, p)
+        exp = [
+            (s, e, w)
+            for s, e, w in bigs
+            if any(s <= pb and pb + 1 <= e for pb in p.get("b", []))
+        ]
+        assert got == exp
+        assert got  # non-degenerate: at least one containing match
+
+    def test_within_keeps_little_spans(self):
+        p = _pos("a b c a b x c b".split())
+        big = SpanNear((SpanTerm("a"), SpanTerm("c")), slop=2)
+        got = enumerate_spans(SpanWithin(big, SpanTerm("b")), p)
+        bigs = enumerate_spans(big, p)
+        exp = [
+            (int(pb), int(pb) + 1, 0)
+            for pb in p.get("b", [])
+            if any(s <= pb and pb + 1 <= e for s, e, _ in bigs)
+        ]
+        assert got == exp
+        assert all(e - s == 1 for s, e, _ in got)  # little's shape
+
+    def test_both_sides_score_and_gate(self):
+        q = SpanContaining(
+            SpanNear((SpanTerm("a"), SpanTerm("c")), slop=2), SpanTerm("b")
+        )
+        assert scoring_terms(q) == {"a", "b", "c"}
+        groups = required_groups(q)
+        assert frozenset(["b"]) in groups and len(groups) == 3
+
+    def test_json_shapes(self):
+        q = span_from_json(
+            {
+                "span_within": {
+                    "big": {"span_term": {"value": "a"}},
+                    "little": {"span_term": {"value": "b"}},
+                }
+            }
+        )
+        assert isinstance(q, SpanWithin)
+        masked = span_from_json(
+            {
+                "field_masking_span": {
+                    "query": {"span_term": {"value": "a"}},
+                    "field": "text",
+                }
+            }
+        )
+        assert masked == SpanTerm("a")  # identity in a one-field schema
+
+
+class TestSpanMulti:
+    def test_parse_shapes(self):
+        nested = span_from_json(
+            {"span_multi": {"match": {"prefix": {"text": {"value": "me"}}}}}
+        )
+        flat = span_from_json(
+            {"span_multi": {"match": {"prefix": {"value": "me"}}}}
+        )
+        assert nested == flat == SpanMulti("prefix", "me", 128)
+        with pytest.raises(ValueError, match="prefix/wildcard/regexp"):
+            span_from_json({"span_multi": {"match": {"fuzzy": {"value": "x"}}}})
+
+    def test_walkers_require_expansion(self):
+        q = SpanMulti("prefix", "me")
+        with pytest.raises(ValueError, match="unexpanded"):
+            scoring_terms(q)
+        with pytest.raises(ValueError, match="unexpanded"):
+            required_groups(SpanFirst(q, end=3))
+
+    def test_serving_equals_manual_or(self, pos_index):
+        from neural_search_spark.query.multiterm import expand_pattern
+        from neural_search_spark.query.spans import expand_span_multi
+
+        exps = [t for t, _ in expand_pattern(pos_index, "ca", "prefix")]
+        assert exps  # corpus has call/... terms under 'ca'
+        multi = SpanFirst(SpanMulti("prefix", "ca"), end=12)
+        manual = SpanFirst(SpanOr(tuple(SpanTerm(t) for t in exps)), end=12)
+        got = span_topk(pos_index, multi, k=25, mode="driver").collect()
+        exp = span_topk(pos_index, manual, k=25, mode="driver").collect()
+        assert [(r["doc_id"], r["rank"]) for r in got] == [
+            (r["doc_id"], r["rank"]) for r in exp
+        ]
+        assert len(got) > 0
+        for a, b in zip(got, exp):
+            assert a["score"] == pytest.approx(b["score"], rel=1e-6)
+
+    def test_empty_expansion_empty_result(self, pos_index):
+        got = span_topk(
+            pos_index, SpanMulti("prefix", "zzzzqq"), k=5, mode="driver"
+        )
+        assert got.count() == 0
+
+    def test_max_expansions_caps(self, pos_index):
+        from neural_search_spark.query.spans import expand_span_multi
+
+        one = expand_span_multi(SpanMulti("prefix", "ca", 1), pos_index)
+        assert isinstance(one, SpanOr) and len(one.clauses) == 1

@@ -198,3 +198,97 @@ def test_explain_route(spark, corpus):
         {"constant_score": {"filter": {"match": {"query_text": "spark"}}}}
     )
     assert r2["route"] == "composite"
+
+
+# --------------------------------------------------------------------------
+# distance_feature (host DistanceFeatureQueryBuilder → Lucene
+# LongPoint.newDistanceFeatureQuery: boost × pivot / (pivot + |v − origin|))
+# --------------------------------------------------------------------------
+def test_distance_feature_numeric(corpus, corpus_pd):
+    got = execute(
+        QuerySpec(
+            query_type="distance_feature",
+            field="turn_idx",
+            origin=3,
+            df_pivot=2,
+            boost=1.5,
+        ),
+        corpus,
+    ).toPandas().set_index("doc_id")["score"]
+    exp = 1.5 * 2.0 / (2.0 + (corpus_pd.set_index("doc_id")["turn_idx"] - 3).abs())
+    assert len(got) == len(exp)
+    for d, s in exp.items():
+        assert got[d] == pytest.approx(s, rel=1e-9)
+
+
+def test_distance_feature_timestamp_iso_origin_duration_pivot(corpus, corpus_pd):
+    origin = corpus_pd["ts"].min()
+    got = execute(
+        QuerySpec(
+            query_type="distance_feature",
+            field="ts",
+            origin=origin.isoformat(sep=" "),
+            df_pivot="2h",
+        ),
+        corpus,
+    ).toPandas().set_index("doc_id")["score"]
+    secs = (corpus_pd.set_index("doc_id")["ts"] - origin).dt.total_seconds()
+    exp = 7200.0 / (7200.0 + secs.abs())
+    for d, s in exp.items():
+        assert got[d] == pytest.approx(s, rel=1e-9)
+
+
+def test_distance_feature_null_field_never_matches(spark, corpus):
+    nullable = corpus.withColumn(
+        "ti2",
+        F.when(F.col("turn_idx") % 5 == 0, F.lit(None)).otherwise(
+            F.col("turn_idx")
+        ),
+    )
+    got = execute(
+        QuerySpec(
+            query_type="distance_feature", field="ti2", origin=0, df_pivot=1
+        ),
+        nullable,
+    )
+    n_nonnull = nullable.filter(F.col("ti2").isNotNull()).count()
+    assert got.count() == n_nonnull
+
+
+def test_distance_feature_validation(corpus):
+    with pytest.raises(ValueError, match="positive"):
+        execute(
+            QuerySpec(
+                query_type="distance_feature",
+                field="turn_idx",
+                origin=0,
+                df_pivot=0,
+            ),
+            corpus,
+        )
+    with pytest.raises(ValueError, match="duration"):
+        execute(
+            QuerySpec(
+                query_type="distance_feature",
+                field="turn_idx",
+                origin=0,
+                df_pivot="7 parsecs",
+            ),
+            corpus,
+        )
+    with pytest.raises(ValueError, match="origin and pivot"):
+        execute(
+            QuerySpec(query_type="distance_feature", field="turn_idx"),
+            corpus,
+        )
+
+
+def test_distance_feature_json_shape():
+    spec = spec_from_json(
+        {"distance_feature": {"field": "ts", "origin": "2026-01-01",
+                              "pivot": "7d", "boost": 2.0}}
+    )
+    assert spec.query_type == "distance_feature"
+    assert spec.origin == "2026-01-01"
+    assert spec.df_pivot == "7d"
+    assert spec.boost == 2.0
