@@ -296,6 +296,22 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         from .query.spans import span_from_json
 
         return SpanSpec(clause=span_from_json(d))
+    if qtype == "intervals":
+        from .query.intervals import IntervalClause, rule_from_json
+
+        # host field nesting: {"intervals": {"text": {<rule>}}}; a bare
+        # rule body is also accepted (single text field)
+        inner = body
+        rule_keys = {
+            "match", "all_of", "any_of", "prefix", "wildcard", "regexp"
+        }
+        if (
+            isinstance(inner, dict)
+            and len(inner) == 1
+            and next(iter(inner)) not in rule_keys
+        ):
+            (_field, inner), = inner.items()
+        return SpanSpec(clause=IntervalClause(rule_from_json(inner)))
     allowed = {
         "match",
         "match_phrase",

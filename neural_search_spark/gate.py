@@ -630,8 +630,9 @@ def _gate_positions_index(spark: SparkSession, sf: str) -> str:
 
 
 def q_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Positional phrase + span top-k served from the positions sidecar
-    — ten variants in one union entry, each hash-checked against a
+    """Positional phrase + span + intervals top-k served from the
+    positions sidecar — twelve variants in one union entry, each
+    hash-checked against a
     positional self-join oracle in DuckDB: exact match_phrase
     (PhraseQuery / ExactPhraseScorer: freq = aligned-position count, idf
     summed per token IN SEQUENCE) in driver and distributed modes;
@@ -645,9 +646,14 @@ def q_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
     positions ending within the cut-off — span_not('data' minus a pre-1
     'merge' window), span_within('data' inside a first-capped merge-data
     adjacency; both sides' terms score), and span_multi (prefix → capped
-    lexicographic dictionary expansion, re-derived in SQL)."""
+    lexicographic dictionary expansion, re-derived in SQL); plus the
+    round-5 intervals family (minimal-interval semantics,
+    query/intervals.py): iv_ordered (ordered max_gaps=0 == the exact
+    phrase, driver kernel) and iv_anyof (minimal union of two terms,
+    DISTRIBUTED kernel through the span-adapter protocol)."""
     from .index.build import doc_id_col
     from .query.bm25 import BM25Index
+    from .query.intervals import intervals_topk
     from .query.phrase import phrase_prefix_topk, phrase_topk
     from .query.spans import (
         SpanFirst,
@@ -780,6 +786,42 @@ def q_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
                 ),
                 k=50,
                 mode="driver",
+            ),
+        ),
+        # intervals (minimal-interval semantics, query/intervals.py):
+        # ordered max_gaps=0 over PHRASE_Q's unique terms scores
+        # identically to the exact phrase (each minimal interval is an
+        # adjacency at gaps 0), so the phrase oracle doubles again;
+        # any_of's minimal union of two single terms = every position
+        (
+            "iv_ordered",
+            lambda: intervals_topk(
+                idx,
+                {
+                    "match": {
+                        "query": PHRASE_Q,
+                        "ordered": True,
+                        "max_gaps": 0,
+                    }
+                },
+                k=50,
+                mode="driver",
+            ),
+        ),
+        (
+            "iv_anyof",
+            lambda: intervals_topk(
+                idx,
+                {
+                    "any_of": {
+                        "intervals": [
+                            {"match": {"query": "merge"}},
+                            {"match": {"query": "window"}},
+                        ]
+                    }
+                },
+                k=50,
+                mode="distributed",
             ),
         ),
     ]
@@ -994,6 +1036,17 @@ def sql_phrase_topk() -> str:
         ["conv_id", "turn_idx"],
         20,
     )
+    # intervals any_of over two single terms: every position is its own
+    # minimal interval at gaps 0 → freq = merge|window position count
+    anyof = _topk_sql(
+        _span_scored_sql(
+            ["merge", "window"],
+            "SELECT conv_id, turn_idx, dl, count(*) AS freq FROM tok "
+            "WHERE term IN ('merge', 'window') GROUP BY 1, 2, 3",
+        ),
+        ["conv_id", "turn_idx"],
+        20,
+    )
     return (
         f"SELECT 'driver' AS mode, * FROM ({one}) "
         f"UNION ALL SELECT 'distributed' AS mode, * FROM ({one}) "
@@ -1004,7 +1057,9 @@ def sql_phrase_topk() -> str:
         f"UNION ALL SELECT 'span_first_or' AS mode, * FROM ({first_or}) "
         f"UNION ALL SELECT 'span_not' AS mode, * FROM ({spnot}) "
         f"UNION ALL SELECT 'span_within' AS mode, * FROM ({within}) "
-        f"UNION ALL SELECT 'span_multi_first' AS mode, * FROM ({multi})"
+        f"UNION ALL SELECT 'span_multi_first' AS mode, * FROM ({multi}) "
+        f"UNION ALL SELECT 'iv_ordered' AS mode, * FROM ({one}) "
+        f"UNION ALL SELECT 'iv_anyof' AS mode, * FROM ({anyof})"
     )
 
 

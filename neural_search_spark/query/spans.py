@@ -276,6 +276,8 @@ def _require_expanded(clause) -> None:
 def scoring_terms(clause) -> set[str]:
     """Distinct terms contributing idf — everything except span_not's
     exclude side (vetoes don't score)."""
+    if hasattr(clause, "scoring_terms"):  # adapter protocol (intervals)
+        return clause.scoring_terms()
     _require_expanded(clause)
     if isinstance(clause, SpanTerm):
         return {clause.term}
@@ -293,6 +295,8 @@ def scoring_terms(clause) -> set[str]:
 
 def all_terms(clause) -> set[str]:
     """Every term whose positions the kernel reads (includes excludes)."""
+    if hasattr(clause, "all_terms"):  # adapter protocol (intervals)
+        return clause.all_terms()
     _require_expanded(clause)
     if isinstance(clause, SpanTerm):
         return {clause.term}
@@ -313,6 +317,8 @@ def required_groups(clause) -> list[frozenset[str]]:
     contain ≥1 term from EVERY returned group. near/first/not-include
     require all their children's groups; an or collapses its subtree to
     one any-member group; containing/within require both sides."""
+    if hasattr(clause, "required_groups"):  # adapter protocol (intervals)
+        return clause.required_groups()
     _require_expanded(clause)
     if isinstance(clause, SpanTerm):
         return [frozenset([clause.term])]
@@ -340,6 +346,8 @@ def expand_span_multi(clause, index: BM25Index):
     except under SpanOr where the empty branch just drops out)."""
     from .multiterm import expand_pattern
 
+    if hasattr(clause, "expand"):  # adapter protocol (intervals)
+        return clause.expand(index)
     if isinstance(clause, SpanMulti):
         exps = expand_pattern(index, clause.value, clause.kind)
         exps = exps[: max(0, clause.max_expansions)]
@@ -527,6 +535,8 @@ def _near_unordered(
 
 def span_freq(clause, pos_by_term: dict[str, np.ndarray]) -> float:
     """Σ 1/(1 + max(0, width)) over the clause's matches in one doc."""
+    if hasattr(clause, "freq"):  # adapter protocol (intervals)
+        return clause.freq(pos_by_term)
     return float(
         sum(
             1.0 / (1.0 + max(0, w))
