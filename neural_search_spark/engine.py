@@ -238,6 +238,37 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
             ),
             boost=float(body.get("boost", 1.0)),
         )
+    if qtype == "script_score":
+        # host ScriptScoreQueryBuilder: the script value REPLACES the
+        # wrapped query's score (reference it as `_score` in the
+        # restricted SQL-expression stand-in); `boost` multiplies the
+        # result, `min_score` filters after
+        from .query.function_score import (
+            FunctionScoreSpec,
+            functions_from_json,
+        )
+
+        if "query" not in body or "script" not in body:
+            raise ValueError("script_score needs query and script")
+        sub = spec_from_json(body["query"])
+        if isinstance(sub, HybridSpec):
+            raise ValueError("script_score cannot wrap a hybrid query")
+        script = body["script"]
+        if isinstance(script, str):
+            script = {"source": script}
+        entry = {"script_score": dict(script)}
+        if "boost" in body:
+            entry["weight"] = float(body["boost"])
+        return FunctionScoreSpec(
+            query=sub,
+            functions=functions_from_json([entry]),
+            boost_mode="replace",
+            min_score=(
+                None
+                if body.get("min_score") is None
+                else float(body["min_score"])
+            ),
+        )
     if qtype == "constant_score":
         if "filter" not in body:
             raise ValueError("constant_score needs a filter")

@@ -252,7 +252,11 @@ def function_score_scored(
         return out
 
     side = corpus.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else corpus
-    joined = base.join(side, "doc_id", "left")
+    # `_score` binds the wrapped query's score inside script expressions
+    # (the host Painless convention: `_score` in a script_score script)
+    joined = base.join(side, "doc_id", "left").withColumn(
+        "_score", F.col("score")
+    )
     dtypes = dict(side.dtypes)
 
     vals, apps = [], []

@@ -328,3 +328,72 @@ def test_explain_route(eng):
     )
     assert r["route"] == "composite"
     assert r["query"]["route"] in ("index", "corpus")
+
+
+# --------------------------------------------------------------------------
+# standalone script_score query (host ScriptScoreQueryBuilder): the script
+# REPLACES the wrapped query's score; `_score` binds the query score
+# --------------------------------------------------------------------------
+def test_script_score_standalone_replaces(eng, base_scores):
+    from neural_search_spark.engine import spec_from_json
+
+    spec = spec_from_json(
+        {
+            "script_score": {
+                "query": {"match": {"query_text": "the model"}},
+                "script": {"source": "ln(1 + _score) + 0.1 * n_toks"},
+            }
+        }
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in eng._function_score_scored(spec).collect()
+    }
+    import math
+
+    n_toks = {
+        r["doc_id"]: r["n_toks"]
+        for r in eng.corpus.select("doc_id", "n_toks").collect()
+    }
+    assert len(got) == len(base_scores)
+    for d, s in base_scores.items():
+        assert got[d] == pytest.approx(
+            math.log(1 + s) + 0.1 * n_toks[d], rel=1e-9
+        )
+
+
+def test_script_score_boost_and_min_score(eng, base_scores):
+    from neural_search_spark.engine import spec_from_json
+
+    spec = spec_from_json(
+        {
+            "script_score": {
+                "query": {"match": {"query_text": "the model"}},
+                "script": "_score",
+                "boost": 2.0,
+                "min_score": 1.0,
+            }
+        }
+    )
+    got = {r["doc_id"]: r["score"] for r in eng._function_score_scored(spec).collect()}
+    exp = {d: 2.0 * s for d, s in base_scores.items() if 2.0 * s >= 1.0}
+    assert got.keys() == exp.keys()
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], rel=1e-9)
+
+
+def test_script_score_validation():
+    from neural_search_spark.engine import spec_from_json
+
+    with pytest.raises(ValueError, match="query and script"):
+        spec_from_json({"script_score": {"script": "_score"}})
+    with pytest.raises(ValueError, match="hybrid"):
+        spec_from_json(
+            {
+                "script_score": {
+                    "query": {"hybrid": {"queries": [
+                        {"match": {"query_text": "a"}}]}},
+                    "script": "_score",
+                }
+            }
+        )
