@@ -238,6 +238,22 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
             ),
             boost=float(body.get("boost", 1.0)),
         )
+    if qtype == "wrapper":
+        # host WrapperQueryBuilder: a base64-encoded query body, decoded
+        # and parsed like any other spec
+        import base64
+
+        raw = body.get("query") if isinstance(body, dict) else body
+        if not raw:
+            raise ValueError("wrapper needs a base64 'query'")
+        try:
+            decoded = base64.b64decode(raw)
+        except Exception as exc:
+            raise ValueError(f"wrapper query is not valid base64: {exc}")
+        return spec_from_json(json.loads(decoded))
+    if qtype == "match_none":
+        # MatchNoDocsQuery: matches nothing, composes anywhere
+        return QuerySpec(query_type="match_none")
     if qtype == "script_score":
         # host ScriptScoreQueryBuilder: the script value REPLACES the
         # wrapped query's score (reference it as `_score` in the
@@ -368,6 +384,7 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         "terms_set",
         "rank_feature",
         "distance_feature",
+        "match_none",
     }
     if qtype not in allowed:
         raise ValueError(f"unknown query type: {qtype}; valid: {sorted(allowed)}")
@@ -880,7 +897,7 @@ class Engine:
             )
         if spec.query_type in (
             "match_all", "ids", "range", "exists", "terms_set",
-            "rank_feature", "distance_feature",
+            "rank_feature", "distance_feature", "match_none",
         ):
             # corpus-column plans (MatchAllDocsQuery / IdsQuery /
             # RangeQuery / ExistsQuery / CoveringQuery / FeatureField /

@@ -385,6 +385,12 @@ def execute(
             boost=spec.boost,
             id_col=id_col,
         )
+    if spec.query_type == "match_none":
+        # MatchNoDocsQuery: the empty scored set
+        return docs.sparkSession.range(0).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).cast("double").alias("score"),
+        )
     if spec.query_type == "match_all":
         # MatchAllDocsQuery: every scoped doc at the constant boost —
         # ranks by doc_id ascending (constant-score collector order)

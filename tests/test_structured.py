@@ -292,3 +292,42 @@ def test_distance_feature_json_shape():
     assert spec.origin == "2026-01-01"
     assert spec.df_pivot == "7d"
     assert spec.boost == 2.0
+
+
+# --------------------------------------------------------------------------
+# wrapper (base64-encoded query) + match_none
+# --------------------------------------------------------------------------
+def test_wrapper_decodes_to_inner_query(spark, corpus, corpus_pd):
+    import base64
+    import json as _json
+
+    inner = {"range": {"turn_idx": {"gte": 3, "lt": 9}}}
+    spec = spec_from_json(
+        {
+            "wrapper": {
+                "query": base64.b64encode(
+                    _json.dumps(inner).encode()
+                ).decode()
+            }
+        }
+    )
+    direct = spec_from_json(inner)
+    got = ids(execute(spec, corpus))
+    assert got == ids(execute(direct, corpus))
+    assert got  # non-degenerate
+    with pytest.raises(ValueError, match="base64"):
+        spec_from_json({"wrapper": {"query": "!!not-base64!!"}})
+
+
+def test_match_none(spark, corpus):
+    spec = spec_from_json({"match_none": {}})
+    assert execute(spec, corpus).count() == 0
+    # composes in bool without killing siblings (pure-should, msm=1)
+    from neural_search_spark.engine import BoolSpec, Engine
+
+    eng = Engine(spark, corpus=corpus)
+    b = BoolSpec(
+        should=[spec_from_json({"match_all": {}}), spec],
+        minimum_should_match=1,
+    )
+    assert eng._bool_scored(b).count() == corpus.count()
