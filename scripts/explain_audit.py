@@ -174,6 +174,34 @@ def main():
     assert "BroadcastNestedLoop" not in scan_text
     print("phrase plans: bucket-pruned sidecar probe, equi-join scan — ok")
 
+    # spans / intervals ride the same sidecar kernels: the distributed
+    # route must keep the bucket-pruned scan, and below the local top-k
+    # the only exchange is the shards·k merge (no per-posting shuffle)
+    from neural_search_spark.query.intervals import intervals_topk
+    from neural_search_spark.query.spans import SpanNear, SpanTerm, span_topk
+
+    sp_plan = span_topk(
+        idx,
+        SpanNear((SpanTerm("merge"), SpanTerm("data")), slop=2),
+        k=10,
+        mode="distributed",
+    )
+    plans["span_near distributed (sidecar kernels, shard-local top-k)"] = sp_plan
+    sp_text = cap(sp_plan)
+    assert "PartitionFilters" in sp_text, "span positions scan not pruned"
+    assert "CartesianProduct" not in sp_text
+    iv_plan = intervals_topk(
+        idx,
+        {"match": {"query": gate.PHRASE_Q, "ordered": True}},
+        k=10,
+        mode="distributed",
+    )
+    plans["intervals distributed (adapter over the span kernels)"] = iv_plan
+    iv_text = cap(iv_plan)
+    assert "PartitionFilters" in iv_text, "intervals scan not pruned"
+    assert "CartesianProduct" not in iv_text
+    print("span/intervals plans: pruned sidecar scans, local top-k — ok")
+
     # bool / multi_match composition: one doc-keyed aggregation decides
     # required/optional counts and the combine — never a cartesian join,
     # and gates ride hash anti-/semi-joins
