@@ -257,6 +257,46 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         phrase_topk_batch(idx, pairs, k=10).collect()
         out["phrase_qps_batch"] = round(len(phrases) / (time.time() - t0), 2)
 
+        # span + intervals serving (round-5 fields, outside the
+        # headline): the same six bigrams as loosened positional
+        # queries — span_near slop 2 and ordered intervals max_gaps 2 —
+        # through the driver kernel (auto-selected fast path) plus one
+        # distributed sample each (the per-query worst case; batch
+        # semantics match phrase_qps_distributed)
+        from neural_search_spark.query.intervals import intervals_topk
+        from neural_search_spark.query.spans import (
+            SpanNear,
+            SpanTerm,
+            span_topk,
+        )
+
+        span_qs = [
+            SpanNear(tuple(SpanTerm(t) for t in p.split()), slop=2)
+            for p in phrases
+        ]
+        span_topk(idx, span_qs[0], k=10, mode="driver").collect()
+        t0 = time.time()
+        for sq in span_qs:
+            span_topk(idx, sq, k=10, mode="driver").collect()
+        out["span_qps_driver"] = round(len(span_qs) / (time.time() - t0), 2)
+        t0 = time.time()
+        span_topk(idx, span_qs[0], k=10, mode="distributed").collect()
+        out["span_distributed_sec"] = round(time.time() - t0, 3)
+        iv_qs = [
+            {"match": {"query": p, "ordered": True, "max_gaps": 2}}
+            for p in phrases
+        ]
+        intervals_topk(idx, iv_qs[0], k=10, mode="driver").collect()
+        t0 = time.time()
+        for ivq in iv_qs:
+            intervals_topk(idx, ivq, k=10, mode="driver").collect()
+        out["intervals_qps_driver"] = round(
+            len(iv_qs) / (time.time() - t0), 2
+        )
+        t0 = time.time()
+        intervals_topk(idx, iv_qs[0], k=10, mode="distributed").collect()
+        out["intervals_distributed_sec"] = round(time.time() - t0, 3)
+
         # fuzzy match serving (round-4 field, outside the headline):
         # 1-edit typos of the phrase bigrams' leading words — dictionary
         # expansion + the weighted BM25 driver kernel per query
