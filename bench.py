@@ -296,6 +296,27 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         t0 = time.time()
         intervals_topk(idx, iv_qs[0], k=10, mode="distributed").collect()
         out["intervals_distributed_sec"] = round(time.time() - t0, 3)
+        # batched span/intervals serving: all six of each in ONE
+        # positions pass (span_topk_batch; intervals ride the adapter)
+        from neural_search_spark.query.intervals import (
+            intervals_topk_batch,
+        )
+        from neural_search_spark.query.spans import span_topk_batch
+
+        t0 = time.time()
+        span_topk_batch(
+            idx, [(f"s{i}", sq) for i, sq in enumerate(span_qs)], k=10
+        ).collect()
+        out["span_qps_batch"] = round(
+            len(span_qs) / (time.time() - t0), 2
+        )
+        t0 = time.time()
+        intervals_topk_batch(
+            idx, [(f"i{i}", ivq) for i, ivq in enumerate(iv_qs)], k=10
+        ).collect()
+        out["intervals_qps_batch"] = round(
+            len(iv_qs) / (time.time() - t0), 2
+        )
 
         # fuzzy match serving (round-4 field, outside the headline):
         # 1-edit typos of the phrase bigrams' leading words — dictionary

@@ -1823,8 +1823,10 @@ class Engine:
         the BM25 index executes as ONE bm25_topk_batch job (shared pruned
         scan + per-shard decode cache — the cluster-throughput shape);
         exact match_phrase specs batch the same way through
-        phrase_topk_batch when the index carries a positions sidecar;
-        other spec types fall back to per-spec plans unioned in."""
+        phrase_topk_batch when the index carries a positions sidecar,
+        and ≥2 span/intervals specs share one positions pass through
+        span_topk_batch; other spec types fall back to per-spec plans
+        unioned in."""
         if not specs:
             raise ValueError("msearch needs at least one spec")
         parsed = {
@@ -1846,6 +1848,7 @@ class Engine:
             and self.bm25_index is not None
         }
         phrase_batchable: dict[str, QuerySpec] = {}
+        span_batchable: dict[str, SpanSpec] = {}
         if self.bm25_index is not None:
             from .index.positions import has_positions
 
@@ -1861,6 +1864,16 @@ class Engine:
                     # buys nothing; route through search()
                     and s.slop == 0
                 }
+                # span/intervals specs share one positions pass through
+                # span_topk_batch; a LONE span query keeps search()'s
+                # auto-selected driver fast path instead
+                span_batchable = {
+                    qid: s
+                    for qid, s in parsed.items()
+                    if isinstance(s, SpanSpec)
+                }
+                if len(span_batchable) < 2:
+                    span_batchable = {}
         parts: list[DataFrame] = []
         if batchable:
             from .query.bm25 import bm25_topk_batch
@@ -1881,6 +1894,19 @@ class Engine:
             ]
             parts.append(
                 phrase_topk_batch(self.bm25_index, pairs, k=k).select(
+                    "query_id", "doc_id",
+                    F.col("score").cast("double").alias("score"), "rank",
+                )
+            )
+        if span_batchable:
+            from .query.spans import span_topk_batch
+
+            parts.append(
+                span_topk_batch(
+                    self.bm25_index,
+                    [(qid, s.clause) for qid, s in span_batchable.items()],
+                    k=k,
+                ).select(
                     "query_id", "doc_id",
                     F.col("score").cast("double").alias("score"), "rank",
                 )
@@ -1932,7 +1958,12 @@ class Engine:
             )
             mm_batched |= set(group)
         for qid, s in parsed.items():
-            if qid in batchable or qid in phrase_batchable or qid in mm_batched:
+            if (
+                qid in batchable
+                or qid in phrase_batchable
+                or qid in span_batchable
+                or qid in mm_batched
+            ):
                 continue
             parts.append(
                 self.search(s, k=k).select(

@@ -434,3 +434,18 @@ def intervals_topk(index, rule, k: int = 10, mode: str = "auto"):
     if isinstance(rule, dict):
         rule = rule_from_json(rule)
     return span_topk(index, IntervalClause(rule), k=k, mode=mode)
+
+
+def intervals_topk_batch(index, rules, k: int = 10):
+    """Batched intervals serving: [(query_id, rule-or-dict), ...] → one
+    (query_id, doc_id, score, rank) frame from ONE positions pass; the
+    adapter rides ``spans.span_topk_batch`` unchanged (batches may also
+    mix span clauses and interval rules by calling it directly)."""
+    from .spans import span_topk_batch
+
+    qs = []
+    for qid, rule in rules:
+        if isinstance(rule, dict):
+            rule = rule_from_json(rule)
+        qs.append((qid, IntervalClause(rule)))
+    return span_topk_batch(index, qs, k=k)

@@ -770,3 +770,147 @@ def _span_topk_distributed(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+def span_topk_batch(
+    index: BM25Index,
+    queries: list[tuple[str, object]],
+    k: int = 10,
+) -> DataFrame:
+    """Batched span/intervals serving: ONE positions pass answers every
+    clause tree (the msearch analog of ``phrase_topk_batch``).
+
+    ``queries`` is [(query_id, clause), ...] where each clause is a span
+    tree, a span-JSON dict, or any object speaking the span-kernel
+    protocol (``query.intervals.IntervalClause`` — batches may mix span
+    and interval entries freely). Returns (query_id, doc_id, score,
+    rank) with per-query top-k; queries that rewrite to no-match (an OOV
+    required group, zero idf, an empty span_multi expansion) contribute
+    no rows — the MatchNoDocsQuery rewrite.
+
+    Why batch: a single distributed span query pays a fixed positions
+    scan + Arrow transfer + task-scheduling cost that dwarfs its
+    per-shard kernel time (bench fields ``span_distributed_sec`` vs
+    ``span_qps_driver``). Here that cost is paid once for the whole
+    batch: term stats resolve in ONE driver point-read over the union of
+    every query's terms, the scan prunes to the union of their
+    ``term_bucket``s, each shard sorts/indexes its rows once, then
+    answers every query with the shared coverage-mask + enumeration
+    kernel (``_freqs_for_block``) and a local top-k; one
+    query_id-partitioned window ranks globally.
+
+    Reference: _msearch over span bodies — Lucene executes each with
+    shared IndexReader state; the shared state here is the one pruned
+    (or ``cache_positions``-pinned) positions scan.
+    """
+    from pyspark.sql import Window
+
+    spark = index.spark
+    _require_positions(index)
+    expanded: list[tuple[str, object]] = []
+    for qid, clause in queries:
+        if isinstance(clause, dict):
+            clause = span_from_json(clause)
+        c = expand_span_multi(clause, index)
+        if c is not None:
+            expanded.append((qid, c))
+    union_terms = sorted({t for _q, c in expanded for t in all_terms(c)})
+    stats = index.term_stats(union_terms) if union_terms else {}
+    specs: list[tuple[str, object, dict, list[list[int]], float]] = []
+    for qid, c in expanded:
+        idf_total = sum(
+            lucene_idf(index.n_docs, stats[t])
+            for t in sorted(scoring_terms(c))
+            if t in stats
+        )
+        if idf_total == 0.0:
+            continue
+        groups: list[list[int]] | None = []
+        for g in required_groups(c):
+            live = sorted(tid_py(t) for t in g if t in stats)
+            if not live:
+                groups = None  # a required group is fully OOV → no match
+                break
+            groups.append(live)
+        if groups is None:
+            continue
+        tid_of = {
+            t: tid_py(t) for t in sorted(all_terms(c)) if t in stats
+        }
+        specs.append((qid, c, tid_of, groups, idf_total))
+    if not specs:
+        return spark.range(0).select(
+            F.lit("").alias("query_id"),
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).cast("float").alias("score"),
+            F.lit(0).cast("int").alias("rank"),
+        )
+    read_tids = sorted(
+        {tid for _q, _c, tid_of, _g, _i in specs for tid in tid_of.values()}
+    )
+    cached = index._positions_cache
+    if cached is not None:
+        cand = cached.filter(F.col("tid").isin(read_tids))
+    else:
+        buckets = sorted({t % N_TERM_BUCKETS for t in read_tids})
+        cand = (
+            spark.read.parquet(_positions_path(index))
+            .filter(
+                F.col("term_bucket").isin(buckets)
+                & F.col("tid").isin(read_tids)
+            )
+            .withColumn(
+                "doc_shard",
+                F.pmod(
+                    F.xxhash64("doc_id", F.lit(13)), F.lit(index.n_shards)
+                ).cast("int"),
+            )
+        )
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+    deletes = index.deletes
+
+    def verify_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="str"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float32"),
+            }
+        )
+        if not len(pdf):
+            return empty
+        # shared per-shard prep, paid ONCE for the whole batch (rows are
+        # the union of every query's terms; each query's coverage mask
+        # prunes to its own candidates before any per-doc work)
+        pdf = pdf.sort_values(["doc_id", "tid"], kind="mergesort")
+        doc_arr = pdf["doc_id"].to_numpy()
+        tid_arr = pdf["tid"].to_numpy()
+        dl_arr = pdf["dl"].to_numpy()
+        pos_col = pdf["positions"].to_numpy()
+        out: list[pd.DataFrame] = []
+        for qid, clause, tid_of, groups, idf_total in specs:
+            docs, freqs, dls = _freqs_for_block(
+                clause, tid_of, groups, doc_arr, tid_arr, dl_arr,
+                pos_col, deletes,
+            )
+            if docs.size == 0:
+                continue
+            sc = _score_docs(docs, freqs, dls, idf_total, k1, b, avgdl)
+            if len(sc) > k:  # local top-k bounds the exchange to n·k
+                sc = sc.sort_values(
+                    ["score", "doc_id"], ascending=[False, True],
+                    kind="mergesort",
+                ).head(k)
+            sc.insert(0, "query_id", qid)
+            out.append(sc)
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    scored = cand.groupBy("doc_shard").applyInPandas(
+        verify_shard, "query_id string, doc_id long, score float"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

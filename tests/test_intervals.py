@@ -236,6 +236,41 @@ class TestServing:
         )
         assert got.count() == 0
 
+    def test_batch_matches_per_query(self, pos_index):
+        from neural_search_spark.query.intervals import intervals_topk_batch
+
+        rules = {
+            "ord": {
+                "match": {"query": "tool call", "ordered": True,
+                          "max_gaps": 1}
+            },
+            "any": {
+                "any_of": {
+                    "intervals": [
+                        {"match": {"query": "merge"}},
+                        {"match": {"query": "call"}},
+                    ]
+                }
+            },
+            "gone": {"prefix": {"value": "zzzzqq"}},
+        }
+        rows = intervals_topk_batch(pos_index, list(rules.items()), k=10)
+        by_q: dict[str, list] = {}
+        for r in rows.collect():
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert "gone" not in by_q  # empty expansion → no rows
+        hits = 0
+        for qid in ("ord", "any"):
+            exp = intervals_topk(pos_index, rules[qid], k=10).collect()
+            got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+            assert [(r["doc_id"], r["rank"]) for r in got] == [
+                (r["doc_id"], r["rank"]) for r in exp
+            ]
+            for a, b in zip(got, exp):
+                assert a["score"] == pytest.approx(b["score"], rel=1e-6)
+            hits += len(got)
+        assert hits > 0
+
     def test_engine_json_surface(self, spark, transcripts_df, pos_index):
         from neural_search_spark.index.build import doc_id_col
 

@@ -263,6 +263,110 @@ class TestServing:
         q = SpanNear((SpanTerm("merge"), SpanTerm("zzzqqq")), slop=5)
         assert span_topk(pos_index, q, k=10).count() == 0
 
+    def test_batch_matches_per_query(self, pos_index):
+        from neural_search_spark.query.spans import span_topk_batch
+
+        qs = {
+            "near2": SpanNear((SpanTerm("tool"), SpanTerm("call")), slop=2),
+            "first": SpanFirst(SpanTerm("tool"), end=8),
+            "uno": SpanNear(
+                (SpanTerm("merge"), SpanTerm("tool")), slop=5, in_order=False
+            ),
+            "oov": SpanNear((SpanTerm("tool"), SpanTerm("zzzqqq")), slop=1),
+        }
+        rows = span_topk_batch(pos_index, list(qs.items()), k=12).collect()
+        by_q: dict[str, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert "oov" not in by_q  # MatchNoDocsQuery rewrite: no rows
+        hits = 0
+        for qid, q in qs.items():
+            if qid == "oov":
+                continue
+            exp = span_topk(pos_index, q, k=12).collect()
+            got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+            assert [(r["doc_id"], r["rank"]) for r in got] == [
+                (r["doc_id"], r["rank"]) for r in exp
+            ]
+            for a, b in zip(got, exp):
+                assert a["score"] == pytest.approx(b["score"], rel=1e-6)
+            hits += len(got)
+        assert hits > 0  # the batch must exercise real matches
+
+    def test_batch_accepts_json_and_mixes_intervals(self, pos_index):
+        from neural_search_spark.query.intervals import (
+            IntervalClause,
+            rule_from_json,
+        )
+        from neural_search_spark.query.spans import span_topk_batch
+        from neural_search_spark.query.intervals import intervals_topk
+
+        near_json = {
+            "span_near": {
+                "clauses": [
+                    {"span_term": {"value": "tool"}},
+                    {"span_term": {"value": "call"}},
+                ],
+                "slop": 1,
+            }
+        }
+        iv = IntervalClause(
+            rule_from_json(
+                {"match": {"query": "tool call", "ordered": True,
+                           "max_gaps": 1}}
+            )
+        )
+        rows = span_topk_batch(
+            pos_index, [("sp", near_json), ("iv", iv)], k=8
+        ).collect()
+        by_q: dict[str, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        exp_sp = span_topk(
+            pos_index, span_from_json(near_json), k=8
+        ).collect()
+        exp_iv = intervals_topk(
+            pos_index,
+            {"match": {"query": "tool call", "ordered": True,
+                       "max_gaps": 1}},
+            k=8,
+        ).collect()
+        for qid, exp in (("sp", exp_sp), ("iv", exp_iv)):
+            got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+            assert [(r["doc_id"], r["rank"]) for r in got] == [
+                (r["doc_id"], r["rank"]) for r in exp
+            ]
+            for a, b in zip(got, exp):
+                assert a["score"] == pytest.approx(b["score"], rel=1e-6)
+        assert len(by_q.get("sp", [])) > 0
+
+    def test_msearch_batches_span_specs(self, spark, pos_index):
+        eng = Engine(spark, corpus=None, bm25_index=pos_index)
+        near = {
+            "span_near": {
+                "clauses": [
+                    {"span_term": {"value": "tool"}},
+                    {"span_term": {"value": "call"}},
+                ],
+                "slop": 2,
+            }
+        }
+        first = {
+            "span_first": {
+                "match": {"span_term": {"value": "tool"}}, "end": 8,
+            }
+        }
+        res = eng.msearch({"a": near, "b": first}, k=5).collect()
+        by_q: dict[str, list] = {}
+        for r in res:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, body in (("a", near), ("b", first)):
+            exp = eng.search(spec_from_json(body), k=5).collect()
+            got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+            assert [(r["doc_id"], r["rank"]) for r in got] == [
+                (r["doc_id"], r["rank"]) for r in exp
+            ]
+
     def test_engine_json_route(self, spark, pos_index, transcripts_df):
         eng = Engine(spark, corpus=None, bm25_index=pos_index)
         spec = spec_from_json(
