@@ -200,7 +200,33 @@ def main():
     iv_text = cap(iv_plan)
     assert "PartitionFilters" in iv_text, "intervals scan not pruned"
     assert "CartesianProduct" not in iv_text
-    print("span/intervals plans: pruned sidecar scans, local top-k — ok")
+    # batched route: the whole batch answers from ONE pruned scan —
+    # exactly one Arrow kernel (FlatMapGroupsInPandas) and no join of
+    # any kind; the only exchanges are the doc_shard group and the
+    # query_id rank window
+    from neural_search_spark.query.spans import span_topk_batch
+
+    batch_plan = span_topk_batch(
+        idx,
+        [
+            ("a", SpanNear((SpanTerm("merge"), SpanTerm("data")), slop=2)),
+            ("b", SpanNear((SpanTerm("tool"), SpanTerm("call")), slop=1)),
+        ],
+        k=10,
+    )
+    plans["span batch (one positions pass per msearch batch)"] = batch_plan
+    bt_text = cap(batch_plan)
+    assert "PartitionFilters" in bt_text, "span batch scan not pruned"
+    # formatted mode prints each node twice (tree + detail): count the
+    # tree lines, "FlatMapGroupsInPandas (<id>)"
+    assert bt_text.count("FlatMapGroupsInPandas (") == 1, (
+        "span batch must run ONE shared Arrow kernel"
+    )
+    assert "Join" not in bt_text, "span batch must not join"
+    print(
+        "span/intervals plans: pruned sidecar scans, local top-k, "
+        "one-pass batch — ok"
+    )
 
     # bool / multi_match composition: one doc-keyed aggregation decides
     # required/optional counts and the combine — never a cartesian join,
