@@ -148,6 +148,45 @@ class ConstantScoreSpec:
     boost: float = 1.0
 
 
+@dataclass
+class HasChildSpec:
+    """Host `has_child` / `nested` (join module HasChildQueryBuilder;
+    Lucene ToParentBlockJoinQuery ScoreMode): hits are PARENTS
+    (conversations) whose MATCHING children (turns) pass the count
+    gates, scored by ``score_mode`` over the matching children's scores.
+    ``query`` is any non-hybrid, non-join spec; see
+    query.join_family for the hierarchy mapping and scale shape.
+    search() returns (conv_id, score, rank) for this spec — parent hits
+    live in the parent id space."""
+
+    query: object
+    score_mode: str = "none"
+    min_children: int = 1
+    max_children: int | None = None
+    inner_hits_size: int | None = None
+
+
+@dataclass
+class HasParentSpec:
+    """Host `has_parent`: hits are CHILDREN (turns) of parents matching
+    ``parent_filter`` — a boolean SQL expression over the derived parent
+    metadata frame (query.join_family.parent_frame), since transcript
+    parents carry no fields of their own. Constant child score 1.0
+    (host score=false default) unless ``score_expr`` (numeric SQL over
+    the same frame) is given."""
+
+    parent_filter: str
+    score_expr: str | None = None
+
+
+@dataclass
+class ParentIdSpec:
+    """Host `parent_id` (ParentIdQuery): the children of one named
+    parent, constant-score — a pushed-down equality predicate."""
+
+    parent_id: str
+
+
 def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
     """Parse the JSON query surface:
 
@@ -302,6 +341,66 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         return ConstantScoreSpec(
             filter=flt, boost=float(body.get("boost", 1.0))
         )
+    if qtype in ("has_child", "nested"):
+        # nested over the one hierarchy the schema defines (path
+        # 'turns') is the same block-join math with the host's default
+        # score_mode avg; has_child defaults to none
+        if qtype == "nested":
+            path = body.get("path", "turns")
+            if path != "turns":
+                raise ValueError(
+                    f"nested path must be 'turns' (the transcripts "
+                    f"hierarchy), got {path!r}"
+                )
+        if "query" not in body:
+            raise ValueError(f"{qtype} needs a wrapped query")
+        sub = body["query"]
+        if isinstance(sub, (dict, str)):
+            sub = spec_from_json(sub)
+        if isinstance(
+            sub,
+            (HybridSpec, SpanSpec, HasChildSpec, HasParentSpec,
+             ParentIdSpec),
+        ):
+            raise ValueError(
+                f"{qtype} wraps leaf/bool/dis_max/boosting/"
+                "constant_score/function_score queries only"
+            )
+        ih = body.get("inner_hits")
+        return HasChildSpec(
+            query=sub,
+            score_mode=body.get(
+                "score_mode", "avg" if qtype == "nested" else "none"
+            ),
+            min_children=int(body.get("min_children", 1)),
+            max_children=(
+                None
+                if body.get("max_children") is None
+                else int(body["max_children"])
+            ),
+            inner_hits_size=(
+                int(ih.get("size", 3)) if isinstance(ih, dict) else None
+            ),
+        )
+    if qtype == "has_parent":
+        # host shape: {"has_parent": {"parent_type": ..., "query": ...,
+        # "score": bool}}; parents carry no fields here, so the parent
+        # query is the SQL-expression form (see HasParentSpec)
+        flt = body.get("filter", body.get("parent_filter"))
+        if not isinstance(flt, str) or not flt:
+            raise ValueError(
+                "has_parent needs 'filter': a boolean SQL expression "
+                "over the parent metadata frame (n_turns, first_ts, "
+                "last_ts, n_roles, n_tool_turns, total_chars)"
+            )
+        return HasParentSpec(
+            parent_filter=flt, score_expr=body.get("score_expr")
+        )
+    if qtype == "parent_id":
+        pid = body.get("id")
+        if not pid:
+            raise ValueError("parent_id needs 'id' (the conv_id)")
+        return ParentIdSpec(parent_id=str(pid))
     if qtype == "range":
         # both host shapes: {"range": {"ts": {"gte": ...}}} and the flat
         # {"range": {"field": "ts", "gte": ...}}
@@ -578,6 +677,27 @@ class Engine:
             from .query.spans import span_topk
 
             return span_topk(self.bm25_index, spec.clause, k=k).drop("rank")
+        if isinstance(spec, HasParentSpec):
+            from .query.join_family import has_parent_children
+
+            return _bound(
+                has_parent_children(
+                    self._need_corpus("has_parent"),
+                    spec.parent_filter,
+                    id_col=self.id_col,
+                    score_expr=spec.score_expr,
+                )
+            )
+        if isinstance(spec, ParentIdSpec):
+            from .query.join_family import parent_id_children
+
+            return _bound(
+                parent_id_children(
+                    self._need_corpus("parent_id"),
+                    spec.parent_id,
+                    id_col=self.id_col,
+                )
+            )
         from .query.function_score import FunctionScoreSpec
 
         if isinstance(spec, FunctionScoreSpec):
@@ -1099,6 +1219,23 @@ class Engine:
             return self._boosting_scored(spec)
         if isinstance(spec, ConstantScoreSpec):
             return self._constant_score_scored(spec)
+        if isinstance(spec, HasParentSpec):
+            from .query.join_family import has_parent_children
+
+            return has_parent_children(
+                self._need_corpus("has_parent"),
+                spec.parent_filter,
+                id_col=self.id_col,
+                score_expr=spec.score_expr,
+            )
+        if isinstance(spec, ParentIdSpec):
+            from .query.join_family import parent_id_children
+
+            return parent_id_children(
+                self._need_corpus("parent_id"),
+                spec.parent_id,
+                id_col=self.id_col,
+            )
         from .query.function_score import FunctionScoreSpec
 
         if isinstance(spec, FunctionScoreSpec):
@@ -1414,6 +1551,8 @@ class Engine:
                     k=k,
                 )
             return out
+        if isinstance(spec, HasChildSpec):
+            return self._has_child_topk(spec, k)
         out = self._branch_topk(
             spec, k, allowed=self._allowed(getattr(spec, "post_filter", None))
         )
@@ -1422,6 +1561,59 @@ class Engine:
             out.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .withColumn("rank", F.row_number().over(w).cast("int"))
+        )
+
+    def _has_child_topk(self, spec: HasChildSpec, k: int) -> DataFrame:
+        """has_child / nested top-k: PARENT hits (conv_id, score, rank)
+        — the one spec whose hit space is the parent key, not doc_id
+        (see query.join_family). The wrapped query's full matched set
+        feeds one doc_id join + one conv_id aggregation."""
+        from .query.join_family import PARENT_KEY, has_child_scored
+
+        corpus = self._need_corpus("has_child")
+        child = self._full_scored(spec.query).select(
+            "doc_id", F.col("score").cast("double").alias("score")
+        )
+        parents = has_child_scored(
+            child,
+            corpus,
+            id_col=self.id_col,
+            score_mode=spec.score_mode,
+            min_children=spec.min_children,
+            max_children=spec.max_children,
+        )
+        w = topk_rank_window(F.desc("score"), F.asc(PARENT_KEY))
+        return (
+            parents.orderBy(F.desc("score"), F.asc(PARENT_KEY))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+        )
+
+    def search_inner_hits(
+        self, spec: "HasChildSpec | dict | str", k: int = 10
+    ) -> DataFrame:
+        """The inner_hits block of a has_child/nested request: for each
+        of the top-k parent hits, the top-``inner_hits_size`` matching
+        children — (conv_id, doc_id, child_score, child_rank). The host
+        nests these inside each hit; a DataFrame API returns them as a
+        companion frame keyed by the parent id."""
+        from .query.join_family import has_child_inner_hits
+
+        if isinstance(spec, (dict, str)):
+            spec = spec_from_json(spec)
+        if not isinstance(spec, HasChildSpec):
+            raise ValueError(
+                "search_inner_hits takes a has_child/nested spec"
+            )
+        corpus = self._need_corpus("inner_hits")
+        parents = self.search(spec, k=k)
+        child = self._full_scored(spec.query)
+        return has_child_inner_hits(
+            child,
+            corpus,
+            parents,
+            id_col=self.id_col,
+            size=spec.inner_hits_size or 3,
         )
 
     def search_with_aggs(
@@ -1833,6 +2025,14 @@ class Engine:
             qid: (spec_from_json(s) if isinstance(s, (dict, str)) else s)
             for qid, s in specs.items()
         }
+        for qid, s in parsed.items():
+            if isinstance(s, HasChildSpec):
+                # parent hits live in the conv_id space — they cannot
+                # union with the (query_id, doc_id, ...) batch frame
+                raise ValueError(
+                    f"spec {qid!r}: has_child/nested returns parent "
+                    "hits (conv_id) — use search(), not msearch"
+                )
         batchable = {
             qid: s
             for qid, s in parsed.items()

@@ -274,9 +274,12 @@ def q_bm25_scan_topk(spark: SparkSession, sf: str) -> DataFrame:
     BlendedTermQuery path — dictionary expansion within 1 edit sharing a
     1-char prefix, closest-first cap, blended max-df idf, boost-weighted
     disjunction (plain Levenshtein so DuckDB's levenshtein() replicates
-    the expansion; the OSA default is pytest-covered). Keys are projected
-    to a shared (kc string, kt int) pair so the union stays
-    schema-compatible while every value stays hash-checked."""
+    the expansion; the OSA default is pytest-covered); round-5 variants
+    'hcmax'/'hcsum2'/'hparent' gate the join family (has_child score
+    modes + count gates, has_parent over the derived parent metadata —
+    see the in-function comment). Keys are projected to a shared
+    (kc string, kt int) pair so the union stays schema-compatible while
+    every value stays hash-checked."""
     docs = _ranked(
         bm25_scored(_docs(spark, sf), ["doc_id"], QUERY_A, stats_key=(_sf_key(sf), "docs")),
         ["doc_id"], 10,
@@ -319,7 +322,60 @@ def q_bm25_scan_topk(spark: SparkSession, sf: str) -> DataFrame:
         "score",
         "rank",
     )
-    return docs.unionByName(tr).unionByName(fz)
+    # round-5 join-family variants over the same derived transcripts,
+    # through the Engine's join dispatch (query.join_family): 'hcmax' /
+    # 'hcsum2' = has_child (parents scored max / sum over matching-child
+    # BM25 scores, the latter gated min_children=2), kc = conv_id;
+    # 'hparent' = has_parent (children of parents with avg ≥300 chars
+    # per turn, scored by that average) projected back to (conv_id,
+    # turn_idx). Parent scores round to 4dp BEFORE ranking (the
+    # multiterm_matrix FP convention); the full parent/child sets are
+    # fetched so re-ranking is tie-stable at any sf.
+    from .engine import Engine as _JoinEng
+    from .engine import HasChildSpec, HasParentSpec
+    from .index.build import doc_id_col
+    from .query.neural import QuerySpec
+
+    t_doc = t.withColumn("doc_id", doc_id_col())
+    jeng = _JoinEng(spark, corpus=t_doc)
+    child = QuerySpec(query_type="match", query_text=QUERY_B)
+    hc_parts = []
+    for name, mode, minc in (("hcmax", "max", 1), ("hcsum2", "sum", 2)):
+        full = jeng.search(
+            HasChildSpec(query=child, score_mode=mode, min_children=minc),
+            k=60,  # > the 50 fixed conv groups: the full parent set
+        ).select("conv_id", F.round("score", 4).alias("score"))
+        hc_parts.append(
+            _ranked(full, ["conv_id"], 10).select(
+                F.lit(name).alias("variant"),
+                F.col("conv_id").alias("kc"),
+                F.lit(-1).alias("kt"),
+                "score",
+                "rank",
+            )
+        )
+    hp_full = (
+        jeng.search(
+            HasParentSpec(
+                parent_filter="total_chars >= n_turns * 300",
+                score_expr="total_chars / n_turns",
+            ),
+            k=1_000_000,  # the full child set (re-ranked on gate keys)
+        )
+        .join(t_doc.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .select("conv_id", "turn_idx", F.round("score", 4).alias("score"))
+    )
+    hp = _ranked(hp_full, ["conv_id", "turn_idx"], 10).select(
+        F.lit("hparent").alias("variant"),
+        F.col("conv_id").alias("kc"),
+        F.col("turn_idx").alias("kt"),
+        "score",
+        "rank",
+    )
+    out = docs.unionByName(tr).unionByName(fz)
+    for p in hc_parts:
+        out = out.unionByName(p)
+    return out.unionByName(hp)
 
 
 def fuzzy_scored_sql(
@@ -386,12 +442,41 @@ def sql_bm25_scan_topk() -> str:
         ["doc_id"],
         10,
     )
+    # join-family twins: parents aggregate the RAW per-turn scores
+    # (ndp=None) and round once at the parent level, matching the Spark
+    # side's round-after-aggregate
+    scored_raw = bm25_scored_sql(
+        TRANSCRIPTS_SQL, ["conv_id", "turn_idx"], QUERY_B, ndp=None
+    )
+
+    def hc(name: str, agg: str, having: str) -> str:
+        return f"""
+SELECT '{name}' AS variant, conv_id AS kc, -1 AS kt, score, rank FROM (
+  SELECT conv_id, round({agg}, 4) AS score,
+         row_number() OVER (ORDER BY round({agg}, 4) DESC, conv_id)::INTEGER AS rank
+  FROM ({scored_raw}) GROUP BY conv_id{having}
+  QUALIFY rank <= 10 ORDER BY rank)"""
+
+    hcmax = hc("hcmax", "max(score)", "")
+    hcsum2 = hc("hcsum2", "sum(score)", " HAVING count(*) >= 2")
+    hparent = f"""
+SELECT 'hparent' AS variant, kc, kt, score, rank FROM (
+  WITH meta AS (SELECT conv_id, count(*) AS n_turns,
+                       sum(length(text)) AS total_chars
+                FROM {TRANSCRIPTS_SQL} AS tr GROUP BY conv_id),
+  sel AS (SELECT conv_id, round(total_chars / n_turns, 4) AS score
+          FROM meta WHERE total_chars >= n_turns * 300)
+  SELECT t.conv_id AS kc, t.turn_idx AS kt, s.score,
+         row_number() OVER (ORDER BY s.score DESC, t.conv_id, t.turn_idx)::INTEGER AS rank
+  FROM {TRANSCRIPTS_SQL} AS t JOIN sel s ON t.conv_id = s.conv_id
+  QUALIFY rank <= 10 ORDER BY rank)"""
     return (
         f"SELECT 'docs' AS variant, doc_id::VARCHAR AS kc, -1 AS kt, score, rank FROM ({docs}) "
         f"UNION ALL "
         f"SELECT 'transcripts' AS variant, conv_id AS kc, turn_idx AS kt, score, rank FROM ({tr}) "
         f"UNION ALL "
-        f"SELECT 'fuzzy' AS variant, doc_id::VARCHAR AS kc, -1 AS kt, score, rank FROM ({fz})"
+        f"SELECT 'fuzzy' AS variant, doc_id::VARCHAR AS kc, -1 AS kt, score, rank FROM ({fz}) "
+        f"UNION ALL {hcmax} UNION ALL {hcsum2} UNION ALL {hparent}"
     )
 
 
