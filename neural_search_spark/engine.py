@@ -187,6 +187,24 @@ class ParentIdSpec:
     parent_id: str
 
 
+# pinned scores: far above any BM25/cosine score, spaced so float64
+# keeps the pin order. Lucene's PinnedQueryBuilder uses
+# Float.MAX_VALUE/2 − i, but float64 cannot separate 1.7e38 from
+# 1.7e38 − i — identical rank order, different score VALUES (documented
+# divergence).
+_PIN_BASE = 1e9
+
+
+@dataclass
+class PinnedSpec:
+    """Host `pinned` query (PinnedQueryBuilder): ``ids`` occupy the top
+    ranks IN THE GIVEN ORDER (only ids present in the corpus), the
+    ``organic`` query fills the remainder with pinned ids excluded."""
+
+    ids: list[int]
+    organic: object
+
+
 def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
     """Parse the JSON query surface:
 
@@ -401,6 +419,20 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
         if not pid:
             raise ValueError("parent_id needs 'id' (the conv_id)")
         return ParentIdSpec(parent_id=str(pid))
+    if qtype == "pinned":
+        ids = body.get("ids")
+        if not ids:
+            raise ValueError("pinned needs a non-empty 'ids' list")
+        org = body.get("organic")
+        if org is None:
+            raise ValueError("pinned needs an 'organic' query")
+        if isinstance(org, (dict, str)):
+            org = spec_from_json(org)
+        if isinstance(org, (HybridSpec, HasChildSpec, PinnedSpec)):
+            raise ValueError(
+                "pinned organic must be a doc-space, non-hybrid query"
+            )
+        return PinnedSpec(ids=[int(i) for i in ids], organic=org)
     if qtype == "range":
         # both host shapes: {"range": {"ts": {"gte": ...}}} and the flat
         # {"range": {"field": "ts", "gte": ...}}
@@ -698,6 +730,27 @@ class Engine:
                     id_col=self.id_col,
                 )
             )
+        if isinstance(spec, PinnedSpec):
+            # pinned ids that EXIST in the corpus take _PIN_BASE − i (pin
+            # order preserved); the organic plan over-fetches k + |ids|
+            # so exclusion can never under-fill the page
+            corpus_ids = self._need_corpus("pinned").select(
+                F.col(self.id_col).alias("doc_id")
+            )
+            pin = self.spark.createDataFrame(
+                [
+                    (int(i), _PIN_BASE - float(n))
+                    for n, i in enumerate(spec.ids)
+                ],
+                schema="doc_id long, score double",
+            ).join(corpus_ids, "doc_id", "left_semi")
+            organic = self._branch_topk(
+                spec.organic, k + len(spec.ids), allowed=allowed
+            ).select("doc_id", F.col("score").cast("double").alias("score"))
+            organic = organic.join(
+                F.broadcast(pin.select("doc_id")), "doc_id", "left_anti"
+            )
+            return _bound(pin.unionByName(organic))
         from .query.function_score import FunctionScoreSpec
 
         if isinstance(spec, FunctionScoreSpec):

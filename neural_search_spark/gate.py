@@ -1305,6 +1305,17 @@ _SQS_GRP = "(spark | join) + dup"
 _SLOP_SPECS = (("slop", "window join", 2), ("slop_rpt", "merge merge", 3))
 _SUGGEST_TEXT = "sparc windoq"  # 1-edit typos of 'spark' / 'window'
 _SUGGEST_SIZE = 5
+# percolator registry (round-5): one msm-gated match, one operator=and
+# match, one any-of terms — the coverage-decidable family
+_PERC_QUERIES = {
+    "pq1": {"match": {"query_text": "spark join window",
+                      "minimum_should_match": 2}},
+    "pq2": {"match": {"query_text": "stream filter", "operator": "and"}},
+    "pq3": {"terms": {"values": ["dup", "vector"]}},
+}
+# pinned (round-5): two real doc ids in a deliberate non-score order +
+# one absent id (must be dropped), organic = the 'term' variant's query
+_PINNED_IDS = [7, 3, 999_999_999]
 
 
 def q_multiterm_matrix(spark: SparkSession, sf: str) -> DataFrame:
@@ -1339,7 +1350,42 @@ def q_multiterm_matrix(spark: SparkSession, sf: str) -> DataFrame:
             "rank",
         )
         out = r if out is None else out.unionByName(r)
-    return out
+    # round-5 'perc': the percolator registry against every document —
+    # kc = doc>query pair, score = matched-term count, rank unused (-1)
+    from .query.percolate import PercolatorIndex
+
+    perc = (
+        PercolatorIndex(spark, _PERC_QUERIES)
+        .percolate_df(d)
+        .select(
+            F.lit("perc").alias("variant"),
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(">"), "query_id"
+            ).alias("kc"),
+            F.col("n_matched").cast("double").alias("score"),
+            F.lit(-1).alias("rank"),
+        )
+    )
+    out = out.unionByName(perc)
+    # round-5 'pinned': fixed ids (absent one dropped) ahead of the
+    # 'term' organic query through the Engine dispatch; scores round to
+    # 4dp BEFORE the gate-side re-rank (the matrix FP convention)
+    from .engine import Engine as _PinEng
+
+    pin_full = _PinEng(spark, corpus=d).search(
+        spec_from_json(
+            {"pinned": {"ids": _PINNED_IDS,
+                        "organic": {"term": {"value": _MT_TERM}}}}
+        ),
+        k=1_000_000,  # the full pinned+organic set: re-rank is tie-safe
+    ).select("doc_id", F.round(F.col("score").cast("double"), 4).alias("score"))
+    pinned = _ranked(pin_full, ["doc_id"], 10).select(
+        F.lit("pinned").alias("variant"),
+        F.col("doc_id").cast("string").alias("kc"),
+        "score",
+        "rank",
+    )
+    return out.unionByName(pinned)
 
 
 def sql_multiterm_matrix() -> str:
@@ -1377,6 +1423,38 @@ SELECT doc_id, round(sum(score), 4) AS score FROM u GROUP BY doc_id"""
     mbp_sql = f"""
 SELECT 'mbp' AS variant, doc_id::VARCHAR AS kc, score, rank
 FROM ({_topk_sql(mbp_inner, ["doc_id"], 10)})"""
+    # percolator twin: the registry re-extracted as VALUES rows, doc
+    # terms deduped, one join + one coverage aggregation — the same math
+    from .query.percolate import _extract
+
+    prows = [
+        r for qid, spec in _PERC_QUERIES.items() for r in _extract(qid, spec)
+    ]
+    pvals = ", ".join(f"('{q}', '{t}', {m})" for q, t, m in prows)
+    perc_sql = f"""
+SELECT 'perc' AS variant, doc_id::VARCHAR || '>' || qid AS kc,
+       n::DOUBLE AS score, -1 AS rank
+FROM (
+  SELECT dt.doc_id, q.qid, count(*) AS n, min(q.mm) AS mm
+  FROM (SELECT doc_id, unnest(list_distinct({TOK})) AS term
+        FROM documents) dt
+  JOIN (VALUES {pvals}) q(qid, term, mm) ON dt.term = q.term
+  GROUP BY dt.doc_id, q.qid HAVING count(*) >= min(q.mm))"""
+    # pinned twin: existing pinned ids at 1e9 − i, organic term query
+    # excluded of them, rounded before the shared rank
+    pin_vals = ", ".join(
+        f"({int(i)}, {n})" for n, i in enumerate(_PINNED_IDS)
+    )
+    pinned_inner = f"""
+WITH pin AS (SELECT p.id AS doc_id, round(1000000000.0 - p.i, 4) AS score
+             FROM (VALUES {pin_vals}) p(id, i)
+             WHERE p.id IN (SELECT doc_id FROM documents)),
+org AS (SELECT doc_id, score FROM ({bm25_scored_sql("documents", ["doc_id"], _MT_TERM, ndp=4)})
+        WHERE doc_id NOT IN (SELECT doc_id FROM pin))
+SELECT * FROM pin UNION ALL SELECT * FROM org"""
+    pinned_sql = f"""
+SELECT 'pinned' AS variant, doc_id::VARCHAR AS kc, score, rank
+FROM ({_topk_sql(pinned_inner, ["doc_id"], 10)})"""
     # each part carries its own ORDER/LIMIT → parenthesize for the union
     return " UNION ALL ".join(
         f"SELECT * FROM ({p})"
@@ -1387,6 +1465,8 @@ FROM ({_topk_sql(mbp_inner, ["doc_id"], 10)})"""
             term_sql,
             const("terms", terms_p),
             mbp_sql,
+            perc_sql,
+            pinned_sql,
         )
     )
 
