@@ -1907,6 +1907,48 @@ class Engine:
                     else self.explain_route(spec.query)
                 ),
             }
+        if isinstance(spec, SpanSpec):
+            from .index.positions import has_positions
+
+            if self.bm25_index is None or not has_positions(
+                self.bm25_index.path
+            ):
+                return {
+                    "route": "corpus",
+                    "reason": "span/intervals need an index with the "
+                    "positions sidecar — this spec will raise",
+                }
+            return {
+                "route": "index",
+                "reason": "positions-sidecar span kernels (required-group "
+                "candidate bound, driver fast path when Σdf is small)",
+            }
+        if isinstance(spec, HasChildSpec):
+            return {
+                "route": "composite",
+                "reason": "has_child/nested: child query's full scored set "
+                "→ one doc_id join + one conv-keyed aggregation; hits are "
+                "parents (conv_id space)",
+                "query": self.explain_route(spec.query),
+            }
+        if isinstance(spec, HasParentSpec):
+            return {
+                "route": "corpus",
+                "reason": "has_parent: derived parent metadata aggregation "
+                "+ filtered equi-join back to children",
+            }
+        if isinstance(spec, ParentIdSpec):
+            return {
+                "route": "corpus",
+                "reason": "parent_id: pushed-down equality predicate",
+            }
+        if isinstance(spec, PinnedSpec):
+            return {
+                "route": "composite",
+                "reason": "pinned: fixed-score id frame ∪ organic "
+                "(over-fetched, pinned anti-joined out)",
+                "organic": self.explain_route(spec.organic),
+            }
         unfiltered = spec.filter is None and spec.post_filter is None
         qt = spec.query_type
         if qt == "match":

@@ -224,6 +224,26 @@ class TestHasParentAndParentId:
         )
         assert sorted(got.doc_id) == exp_ids
 
+    def test_explain_route_covers_every_spec_family(self, eng):
+        # regression: explain_route must ANSWER for every dispatchable
+        # spec type (it crashed on span/join/pinned specs before)
+        for body, route in (
+            ({"span_near": {"clauses": [
+                {"span_term": {"value": "a"}},
+                {"span_term": {"value": "b"}}], "slop": 1}}, "corpus"),
+            ({"intervals": {"text": {"match": {"query": "a b"}}}},
+             "corpus"),
+            ({"has_child": {"query": {"match": {"query_text": "x"}}}},
+             "composite"),
+            ({"has_parent": {"filter": "n_turns > 3"}}, "corpus"),
+            ({"parent_id": {"id": "c1"}}, "corpus"),
+            ({"pinned": {"ids": [1],
+                         "organic": {"match": {"query_text": "x"}}}},
+             "composite"),
+        ):
+            r = eng.explain_route(body)
+            assert r["route"] == route, (body, r)
+
     def test_parent_id_composes_in_function_score(self, eng, corpus):
         # _full_scored path: wrap parent_id in function_score weight 3
         spec = spec_from_json(
