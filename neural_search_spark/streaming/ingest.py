@@ -386,6 +386,49 @@ def index_stream(
     )
 
 
+def percolate_stream(
+    stream: DataFrame,
+    pidx,
+    matches_root: str,
+    checkpoint_dir: str,
+):
+    """Streaming alert fan-out — percolate every micro-batch of
+    transcript turns against a registered-query registry
+    (query.percolate.PercolatorIndex) and land the (doc_id, conv_id,
+    turn_idx, query_id, n_matched) matches under
+    ``matches_root/batch_<id>``.
+
+    The BATCH plan serves the micro-batch unchanged (the percolate
+    module's design claim, asserted stream==batch in
+    tests/test_streaming.py): tokenize is a stateless map, the registry
+    join is a broadcast hash join, and the coverage count aggregates
+    within the micro-batch only — no streaming state, no watermark.
+    Exactly-once rides the checkpointed source offsets + an idempotent
+    per-batch overwrite (a replayed batch rewrites the SAME batch_<id>
+    directory), the ``index_stream`` pattern."""
+    import os
+
+    from ..index.build import doc_id_col
+
+    def _percolate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.withColumn("doc_id", doc_id_col())
+        keys = docs.select("doc_id", "conv_id", "turn_idx")
+        pidx.percolate_df(docs).join(keys, "doc_id").select(
+            "doc_id", "conv_id", "turn_idx", "query_id", "n_matched"
+        ).write.mode("overwrite").parquet(
+            os.path.join(matches_root, f"batch_{batch_id:05d}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_percolate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def compact_segments(spark: SparkSession, segments_root: str, dst: str, **kw):
     """Force-merge every staged segment index under ``segments_root`` into
     one index at ``dst`` (delegates to index.merge.merge_indexes — stats

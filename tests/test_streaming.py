@@ -41,6 +41,53 @@ def test_stage_stream_exactly_once(spark, stream_dirs):
     assert spark.read.parquet(stream_dirs["staging"]).count() == 150
 
 
+def test_percolate_stream_equals_batch(spark, stream_dirs, tmp_path):
+    """Streaming alert fan-out: stream percolation over two micro-batch
+    rounds equals ONE batch percolation of the union — the percolate
+    module's stream==batch design claim — and a second trigger only
+    processes the new file (checkpointed offsets)."""
+    from neural_search_spark.index.build import doc_id_col
+    from neural_search_spark.query.percolate import PercolatorIndex
+
+    pdf = generate_transcripts(60, seed=3)
+    queries = {
+        "alerts": {"match": {"query_text": "tool call merge",
+                             "minimum_should_match": 2}},
+        "watch": {"term": {"value": "window"}},
+    }
+    pidx = PercolatorIndex(spark, queries)
+    matches = str(tmp_path / "matches")
+    _drop_file(stream_dirs["src"], pdf.iloc[:150], "a.parquet")
+    st = ingest.stream_transcripts(spark, stream_dirs["src"])
+    ingest.percolate_stream(
+        st, pidx, matches, stream_dirs["ckpt"]
+    ).awaitTermination(120)
+    _drop_file(stream_dirs["src"], pdf.iloc[150:], "b.parquet")
+    st = ingest.stream_transcripts(spark, stream_dirs["src"])
+    ingest.percolate_stream(
+        st, pidx, matches, stream_dirs["ckpt"]
+    ).awaitTermination(120)
+    got = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in spark.read.parquet(matches + "/batch_*").collect()
+    }
+    all_docs = spark.createDataFrame(pdf).withColumn(
+        "doc_id", doc_id_col()
+    )
+    exp = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in pidx.percolate_df(all_docs).collect()
+    }
+    assert got == exp
+    assert len(exp) > 0
+    # batch 0 carries only the first file's matches (offsets advanced)
+    first = spark.read.parquet(matches + "/batch_00000")
+    first_docs = spark.createDataFrame(pdf.iloc[:150]).withColumn(
+        "doc_id", doc_id_col()
+    )
+    assert first.count() == pidx.percolate_df(first_docs).count()
+
+
 def test_stream_then_resume_build(spark, stream_dirs, tmp_path):
     """The Lambda loop: stream → staging → batch index build; more stream
     → resume-build folds the new turns in; queries see everything."""
