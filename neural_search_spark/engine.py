@@ -2270,3 +2270,65 @@ class Engine:
         for p in parts[1:]:
             out = out.unionAll(p)
         return out
+
+    def rank_eval(
+        self,
+        requests: list[dict],
+        metric: dict,
+    ) -> DataFrame:
+        """The host's `_rank_eval` API: judge a batch of rated search
+        requests with one quality metric → (query_id, metric_score,
+        unrated_docs), one row per request (the overall score is the
+        arithmetic mean of metric_score — `rank_eval_overall`).
+
+        ``requests``: [{"id", "request": <spec json/dict, optional
+        "size">, "ratings": [[doc_id, rating], ...]}, ...];
+        ``metric``: one-key dict per the OpenSearch API, e.g.
+        {"dcg": {"k": 10, "normalize": True}} — see query/rank_eval.py
+        for the five metrics and their exact semantics.
+
+        The whole batch executes through ``msearch`` so plain match
+        requests share one pruned index scan; a per-request "size"
+        tightens that request's window below the metric's k."""
+        from .query.rank_eval import (
+            compute_metric,
+            metric_k,
+            ratings_frame,
+        )
+
+        if not requests:
+            raise ValueError("rank_eval needs at least one rated request")
+        k = metric_k(metric)
+        if "expected_reciprocal_rank" in metric:
+            m = int(metric["expected_reciprocal_rank"]["maximum_relevance"])
+            for req in requests:
+                for _d, g in req.get("ratings", []):
+                    if int(g) > m:
+                        raise ValueError(
+                            f"request {req['id']!r}: rating {g} exceeds "
+                            f"maximum_relevance {m}"
+                        )
+        specs: dict[str, QuerySpec | dict | str] = {}
+        cutoffs: dict[str, int] = {}
+        for req in requests:
+            qid = str(req["id"])
+            if qid in specs:
+                raise ValueError(f"duplicate request id {qid!r}")
+            body = dict(req["request"])
+            size = body.pop("size", None)
+            specs[qid] = body
+            cutoffs[qid] = min(int(size), k) if size is not None else k
+        hits = self.msearch(specs, k=k)
+        if any(c != k for c in cutoffs.values()):
+            cut = F.create_map(
+                *[
+                    x
+                    for qid, c in cutoffs.items()
+                    for x in (F.lit(qid), F.lit(c))
+                ]
+            )
+            hits = hits.filter(
+                F.col("rank") <= cut[F.col("query_id")]
+            )
+        ratings = ratings_frame(self.spark, requests)
+        return compute_metric(hits, ratings, metric, list(specs))
