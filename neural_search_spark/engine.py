@@ -2102,6 +2102,17 @@ class Engine:
 
         return term_suggest(self.bm25_index, text, **kw)
 
+    def phrase_suggest(self, text: str, lm, **kw):
+        """Phrase suggester (whole-phrase did-you-mean): per-token
+        candidates from the term suggester re-ranked by the bigram
+        language model ``lm`` (a query.phrase_suggest.BigramLM built
+        over this corpus). Returns [PhraseSuggestion, ...]."""
+        if self.bm25_index is None:
+            raise ValueError("phrase_suggest needs an attached bm25_index")
+        from .query.phrase_suggest import phrase_suggest
+
+        return phrase_suggest(self.bm25_index, lm, text, **kw)
+
     def msearch(
         self, specs: dict[str, QuerySpec | dict | str], k: int = 10
     ) -> DataFrame:
