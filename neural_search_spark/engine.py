@@ -2102,6 +2102,64 @@ class Engine:
 
         return term_suggest(self.bm25_index, text, **kw)
 
+    def scroll(
+        self,
+        spec=None,
+        page_size: int = 100,
+        sort: list[tuple[str, str]] | None = None,
+        search_after: list | None = None,
+    ):
+        """Deep result iteration (the host's PIT + search_after idiom):
+        a ScrollCursor whose every page is a fresh keyset-paged plan —
+        no executor pagination state, resumable from
+        ``cursor.resume_token``.
+
+        ``sort`` given → field-sorted pages over the corpus (spec, if
+        any, pre-filters to the spec's matched doc set). ``sort`` None
+        → score-sorted pages over the spec's FULL scored frame (score
+        desc, doc_id asc keyset; float32 scores are deterministic so
+        the keyset is stable)."""
+        from .query.scroll import ScrollCursor
+
+        if sort is not None:
+            corpus = self._need_corpus("scroll")
+            df = corpus
+            if "doc_id" not in df.columns:
+                # the transcripts convention: doc_id is derived, not
+                # stored — same derivation every query plan uses
+                from .index.build import doc_id_col
+
+                df = df.withColumn("doc_id", doc_id_col())
+            if spec is not None:
+                if isinstance(spec, (dict, str)):
+                    spec = spec_from_json(spec)
+                matched = self._full_scored(spec).select("doc_id")
+                df = df.join(matched, "doc_id", "left_semi")
+            return ScrollCursor(
+                df, sort, page_size=page_size, search_after=search_after
+            )
+        if spec is None:
+            raise ValueError("score-sorted scroll needs a query spec")
+        if isinstance(spec, (dict, str)):
+            spec = spec_from_json(spec)
+        if isinstance(spec, HybridSpec):
+            # a hybrid result is depth-bounded by construction
+            # (pagination_depth) — there is no unbounded scored frame
+            # to keyset over; page hybrids via pagination_depth + rank
+            raise ValueError(
+                "scroll supports leaf/bool specs; page hybrid queries "
+                "with pagination_depth instead"
+            )
+        scored = self._full_scored(spec).select(
+            "doc_id", F.col("score").cast("double").alias("score")
+        )
+        return ScrollCursor(
+            scored,
+            [("score", "desc")],
+            page_size=page_size,
+            search_after=search_after,
+        )
+
     def phrase_suggest(self, text: str, lm, **kw):
         """Phrase suggester (whole-phrase did-you-mean): per-token
         candidates from the term suggester re-ranked by the bigram
