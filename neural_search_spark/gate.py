@@ -3183,24 +3183,78 @@ def sql_multi_match() -> str:
 # events rollup (stats-counters analog, 5-minute tumbling windows)
 # ---------------------------------------------------------------------------
 def q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series rollups over the events table, flattened to
+    (variant, win_start, key, metric, value):
+
+    * 'w5'   — the original 5-minute window × event_type counters;
+    * 'rate' — 1h date_histogram with `rate` metrics: value-sum per
+      minute and doc-count per hour (RateAggregator scaling);
+    * 'adh'  — auto_date_histogram(buckets=70): the ladder picks 12h for
+      the ~30-day span at every sf (240 3h-buckets > 70 ≥ 60 12h-buckets),
+      so the oracle pins time_bucket(12 hours)."""
+    from .query.aggs import compute_aggs
+
     ev = _events(spark, sf)
-    return (
+    w5 = (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
+            F.lit("w5").alias("variant"),
             F.unix_timestamp(F.col("w.start")).alias("win_start"),
-            "event_type",
-            "cnt",
-            "sum_value",
+            F.col("event_type").alias("key"),
+            F.col("cnt").cast("double").alias("cnt"),
+            F.col("sum_value").alias("sum_value"),
         )
     )
+    out = compute_aggs(
+        ev,
+        {
+            "hourly": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+                "aggs": {
+                    "val_per_min": {
+                        "rate": {"field": "value", "unit": "minute"}
+                    },
+                    "docs_per_hour": {"rate": {"unit": "hour"}},
+                },
+            },
+            "adh": {
+                "auto_date_histogram": {"field": "ts", "buckets": 70}
+            },
+        },
+    )
+    rate = out["hourly"].select(
+        F.lit("rate").alias("variant"),
+        F.unix_timestamp("hourly_key").alias("win_start"),
+        F.lit("_all").alias("key"),
+        F.round("val_per_min", 4).alias("cnt"),
+        F.round("docs_per_hour", 4).alias("sum_value"),
+    )
+    adh = out["adh"].select(
+        F.lit("adh").alias("variant"),
+        F.unix_timestamp("adh_key").alias("win_start"),
+        F.col("interval").alias("key"),
+        F.col("doc_count").cast("double").alias("cnt"),
+        F.lit(0.0).alias("sum_value"),
+    )
+    return w5.unionByName(rate).unionByName(adh)
 
 
 def sql_events_rollup() -> str:
     return """
-SELECT epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT AS win_start,
-       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
-FROM events GROUP BY 1, 2"""
+SELECT 'w5' AS variant,
+       epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT AS win_start,
+       event_type AS key, count(*)::DOUBLE AS cnt,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'rate', epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT, '_all',
+       round(sum(value) / 60.0, 4), round(count(*) * 1.0, 4)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'adh', epoch(time_bucket(INTERVAL '12 hours', ts))::BIGINT, '12h',
+       count(*)::DOUBLE, 0.0
+FROM events GROUP BY 2"""
 
 
 # ---------------------------------------------------------------------------
@@ -3938,7 +3992,14 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
     * 'tm'   — top_metrics(n_chars, sort n_chars desc, size 3) — integer
       sort so the cross-engine ordering is exact;
     * 'stext'— significant_text over the analyzed tokens of matched docs
-      vs the corpus background (per-doc dedup, min_doc_count=5, JLH)."""
+      vs the corpus background (per-doc dedup, min_doc_count=5, JLH);
+    * 'bp'   — exact boxplot(n_chars) five-number summary;
+    * 'mad'  — exact median_absolute_deviation(n_chars) (DuckDB parity
+      via quantile_cont of |x − median|);
+    * 'ss'   — string_stats(source): lengths + character-distribution
+      Shannon entropy;
+    * 'estb' / 'pctb' — extended_stats_bucket / percentiles_bucket
+      sibling pipelines over the hist bucket counts."""
     from .query.aggs import compute_aggs
 
     d = _docs(spark, sf)
@@ -3963,9 +4024,25 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
             "hist": {
                 "histogram": {"field": "n_chars", "interval": 100},
                 "aggs": {
-                    "cum": {"cumulative_sum": {"buckets_path": "_count"}}
+                    "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                    "estb": {
+                        "extended_stats_bucket": {
+                            "buckets_path": "doc_count"
+                        }
+                    },
+                    "pctb": {
+                        "percentiles_bucket": {
+                            "buckets_path": "doc_count",
+                            "percents": [50.0, 99.0],
+                        }
+                    },
                 },
             },
+            # round-5c additions: exact five-number boxplot, exact MAD,
+            # string_stats with character-distribution entropy
+            "bp": {"boxplot": {"field": "n_chars"}},
+            "mad": {"median_absolute_deviation": {"field": "n_chars"}},
+            "ss": {"string_stats": {"field": "source"}},
             "rng": {
                 "range": {
                     "field": "n_chars",
@@ -4099,6 +4176,29 @@ def q_hybrid_agg(spark: SparkSession, sf: str) -> DataFrame:
         "stext", out["stext"], F.col("stext_key").cast("string"),
         [("doc_count", "doc_count"), ("score", "score")],
     )
+    pieces += flat(
+        "bp", out["bp"], F.lit("_all"),
+        [("bp_min", "min"), ("bp_q1", "q1"), ("bp_q2", "q2"),
+         ("bp_q3", "q3"), ("bp_max", "max")],
+    )
+    pieces += flat("mad", out["mad"], F.lit("_all"), [("mad", "mad")])
+    pieces += flat(
+        "ss", out["ss"], F.lit("_all"),
+        [("ss_count", "count"), ("ss_min_length", "min_length"),
+         ("ss_max_length", "max_length"),
+         ("ss_avg_length", "avg_length"), ("ss_entropy", "entropy")],
+    )
+    pieces += flat(
+        "estb", out["hist>estb"], F.lit("_all"),
+        [("count", "count"), ("min", "min"), ("max", "max"),
+         ("avg", "avg"), ("sum", "sum"),
+         ("sum_of_squares", "sum_of_squares"), ("variance", "variance"),
+         ("std_deviation", "std_deviation")],
+    )
+    pieces += flat(
+        "pctb", out["hist>pctb"], F.lit("_all"),
+        [("p50", "p50"), ("p99", "p99")],
+    )
     res = pieces[0]
     for p in pieces[1:]:
         res = res.unionByName(p)
@@ -4176,6 +4276,27 @@ stb AS (SELECT key, count(*) AS bg_count FROM (
           SELECT doc_id, unnest(list_distinct({btoks})) AS key
           FROM documents)
         GROUP BY 1),
+bp AS (SELECT quantile_cont(n_chars, [0.0, 0.25, 0.5, 0.75, 1.0]) AS q
+       FROM s),
+madq AS (SELECT quantile_cont(abs(n_chars - m.md), 0.5) AS mad
+         FROM s CROSS JOIN
+              (SELECT quantile_cont(n_chars, 0.5) AS md FROM s) m),
+sslen AS (SELECT count(source) AS cnt, min(strlen(source)) AS mnl,
+                 max(strlen(source)) AS mxl, avg(strlen(source)) AS avl
+          FROM s),
+sschars AS (SELECT unnest(string_split(source, '')) AS ch FROM s),
+sscc AS (SELECT ch, count(*) AS c FROM sschars GROUP BY ch),
+ssent AS (SELECT -sum((c * 1.0 / t) * log2(c * 1.0 / t)) AS ent
+          FROM sscc CROSS JOIN
+               (SELECT sum(c) AS t FROM sscc) tt),
+estb AS (SELECT count(doc_count) AS cnt, min(doc_count) AS mn,
+                max(doc_count) AS mx, avg(doc_count) AS av,
+                sum(doc_count) AS sm,
+                sum(CAST(doc_count AS DOUBLE) * doc_count) AS sos,
+                var_pop(doc_count) AS vr, stddev_pop(doc_count) AS sd
+         FROM hist0),
+pctb AS (SELECT quantile_cont(doc_count, 0.5) AS p50,
+                quantile_cont(doc_count, 0.99) AS p99 FROM hist0),
 stx AS (SELECT f.key, f.doc_count,
                (f.doc_count * 1.0 / t.fg_tot
                 - b.bg_count * 1.0 / t.bg_tot)
@@ -4220,7 +4341,28 @@ UNION ALL SELECT 'wa', '_all', 'wa', round(wa, 4) FROM wa
 UNION ALL SELECT 'tm', CAST(metric_rank AS VARCHAR), 'n_chars',
           round(n_chars, 4) FROM tm
 UNION ALL SELECT 'stext', key, 'doc_count', round(doc_count, 4) FROM stx
-UNION ALL SELECT 'stext', key, 'score', round(score, 4) FROM stx"""
+UNION ALL SELECT 'stext', key, 'score', round(score, 4) FROM stx
+UNION ALL SELECT 'bp', '_all', 'min', round(q[1], 4) FROM bp
+UNION ALL SELECT 'bp', '_all', 'q1', round(q[2], 4) FROM bp
+UNION ALL SELECT 'bp', '_all', 'q2', round(q[3], 4) FROM bp
+UNION ALL SELECT 'bp', '_all', 'q3', round(q[4], 4) FROM bp
+UNION ALL SELECT 'bp', '_all', 'max', round(q[5], 4) FROM bp
+UNION ALL SELECT 'mad', '_all', 'mad', round(mad, 4) FROM madq
+UNION ALL SELECT 'ss', '_all', 'count', round(cnt, 4) FROM sslen
+UNION ALL SELECT 'ss', '_all', 'min_length', round(mnl, 4) FROM sslen
+UNION ALL SELECT 'ss', '_all', 'max_length', round(mxl, 4) FROM sslen
+UNION ALL SELECT 'ss', '_all', 'avg_length', round(avl, 4) FROM sslen
+UNION ALL SELECT 'ss', '_all', 'entropy', round(ent, 4) FROM ssent
+UNION ALL SELECT 'estb', '_all', 'count', round(cnt, 4) FROM estb
+UNION ALL SELECT 'estb', '_all', 'min', round(mn, 4) FROM estb
+UNION ALL SELECT 'estb', '_all', 'max', round(mx, 4) FROM estb
+UNION ALL SELECT 'estb', '_all', 'avg', round(av, 4) FROM estb
+UNION ALL SELECT 'estb', '_all', 'sum', round(sm, 4) FROM estb
+UNION ALL SELECT 'estb', '_all', 'sum_of_squares', round(sos, 4) FROM estb
+UNION ALL SELECT 'estb', '_all', 'variance', round(vr, 4) FROM estb
+UNION ALL SELECT 'estb', '_all', 'std_deviation', round(sd, 4) FROM estb
+UNION ALL SELECT 'pctb', '_all', 'p50', round(p50, 4) FROM pctb
+UNION ALL SELECT 'pctb', '_all', 'p99', round(p99, 4) FROM pctb"""
 
 
 def q_ml_rerank(spark: SparkSession, sf: str) -> DataFrame:

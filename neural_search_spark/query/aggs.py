@@ -57,8 +57,12 @@ __all__ = ["compute_aggs"]
 _METRICS = {
     "avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
     "cardinality", "percentiles", "percentile_ranks", "weighted_avg",
-    "matrix_stats",
+    "matrix_stats", "boxplot",
 }
+# metrics that cannot be expressed as single-pass aggregate expressions:
+# they get their own compile branch (an extra bounded pass over the
+# scope, never per-bucket jobs)
+_MULTI_PASS_METRICS = {"median_absolute_deviation", "string_stats"}
 _BUCKETS = {
     "terms", "histogram", "date_histogram", "range", "date_range",
     "filter", "filters", "missing", "global", "sampler",
@@ -67,6 +71,7 @@ _BUCKETS = {
 }
 _PIPELINES = {
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+    "extended_stats_bucket", "percentiles_bucket",
     "cumulative_sum", "derivative", "bucket_script", "bucket_selector",
     "bucket_sort", "moving_fn", "moving_avg", "serial_diff",
 }
@@ -77,6 +82,24 @@ _MOVING_FNS = {
 }
 
 _DEF_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+# auto_date_histogram rounding ladder (multiple, unit suffix, unit secs)
+# — the reference's AutoDateHistogramAggregationBuilder rungs up to days;
+# month/quarter/year continue as calendar rungs in _compile
+_AUTO_DH_LADDER = (
+    (1, "s", 1), (5, "s", 1), (10, "s", 1), (30, "s", 1),
+    (1, "m", 60), (5, "m", 60), (10, "m", 60), (30, "m", 60),
+    (1, "h", 3600), (3, "h", 3600), (12, "h", 3600),
+    (1, "d", 86400), (7, "d", 86400),
+)
+
+_RATE_UNIT_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+_CAL_SECONDS = {
+    "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
 
 
 def _subst(script: str, params: dict | None) -> str:
@@ -178,6 +201,16 @@ def _metric_exprs(name: str, typ: str, body: dict) -> list[Column]:
                     ),
                 ]
         return exprs
+    if typ == "boxplot":
+        # exact five-number summary (the reference's boxplot agg is
+        # TDigest-approximate; exact here for oracle-ability — one
+        # percentile aggregate carries all five)
+        arr = F.expr(f"percentile({fld}, array(0.0, 0.25, 0.5, 0.75, 1.0))")
+        labels = ("min", "q1", "q2", "q3", "max")
+        return [
+            arr.getItem(i).alias(f"{name}_{lab}")
+            for i, lab in enumerate(labels)
+        ]
     if typ == "weighted_avg":
         # Σ(v·w)/Σ(w) over rows where BOTH are present (OpenSearch skips
         # docs missing the value; weight default handled by caller data)
@@ -499,20 +532,43 @@ def _apply_pipelines(
                 name, F.col(src) - F.lag(src, lag_n).over(seq)
             )
         elif typ in {"avg_bucket", "sum_bucket", "min_bucket",
-                     "max_bucket", "stats_bucket"}:
-            fn = {
-                "avg_bucket": [F.avg(src).alias("value")],
-                "sum_bucket": [F.sum(src).alias("value")],
-                "min_bucket": [F.min(src).alias("value")],
-                "max_bucket": [F.max(src).alias("value")],
-                "stats_bucket": [
-                    F.count(src).alias("count"),
-                    F.min(src).alias("min"),
-                    F.max(src).alias("max"),
-                    F.avg(src).alias("avg"),
-                    F.sum(src).alias("sum"),
-                ],
-            }[typ]
+                     "max_bucket", "stats_bucket",
+                     "extended_stats_bucket", "percentiles_bucket"}:
+            c = F.col(src)
+            if typ == "percentiles_bucket":
+                pcts = [
+                    float(p) for p in body.get("percents", _DEF_PERCENTS)
+                ]
+                frac = ", ".join(repr(p / 100.0) for p in pcts)
+                arr = F.expr(f"percentile({src}, array({frac}))")
+                fn = [
+                    arr.getItem(i).alias(_pct_label(p))
+                    for i, p in enumerate(pcts)
+                ]
+            else:
+                fn = {
+                    "avg_bucket": [F.avg(src).alias("value")],
+                    "sum_bucket": [F.sum(src).alias("value")],
+                    "min_bucket": [F.min(src).alias("value")],
+                    "max_bucket": [F.max(src).alias("value")],
+                    "stats_bucket": [
+                        F.count(src).alias("count"),
+                        F.min(src).alias("min"),
+                        F.max(src).alias("max"),
+                        F.avg(src).alias("avg"),
+                        F.sum(src).alias("sum"),
+                    ],
+                    "extended_stats_bucket": [
+                        F.count(src).alias("count"),
+                        F.min(src).alias("min"),
+                        F.max(src).alias("max"),
+                        F.avg(src).alias("avg"),
+                        F.sum(src).alias("sum"),
+                        F.sum(c * c).alias("sum_of_squares"),
+                        F.var_pop(src).alias("variance"),
+                        F.stddev_pop(src).alias("std_deviation"),
+                    ],
+                }[typ]
             grp = (
                 buckets.groupBy(*parent_keys) if parent_keys
                 else buckets.groupBy()
@@ -599,6 +655,116 @@ def _compile(
             fn[red](F.expr(body["map_script"])).alias(name)
         )
         return
+    if typ == "median_absolute_deviation":
+        # exact MAD = median(|x − median(x)|) — the reference's agg is
+        # TDigest-approximate (MedianAbsoluteDeviationAggregator); exact
+        # here for oracle-ability (DuckDB `mad()` agrees). Two grouped
+        # passes joined on the bucket key: medians are one row per
+        # bucket, so the join side is broadcast-small by construction.
+        fld = body["field"]
+        grp = df.groupBy(*parent_keys) if parent_keys else df.groupBy()
+        med = grp.agg(
+            F.expr(f"percentile({fld}, 0.5)").alias("__med")
+        )
+        if parent_keys:
+            joined = df.join(F.broadcast(med), parent_keys)
+            grp2 = joined.groupBy(*parent_keys)
+        else:
+            joined = df.crossJoin(F.broadcast(med))
+            grp2 = joined.groupBy()
+        out[mpath] = grp2.agg(
+            F.expr(f"percentile(abs({fld} - __med), 0.5)").alias(name)
+        )
+        return
+
+    if typ == "string_stats":
+        # count / min_length / max_length / avg_length in the main
+        # grouped pass; Shannon entropy (log2, per-character distribution
+        # across the bucket — StringStatsAggregator semantics) via one
+        # explode(split) → two groupBys, joined back on the bucket key.
+        # The char-keyed frame is |chars| rows map-side but collapses to
+        # ≤ |alphabet|·|buckets| after the first combine — no skew risk.
+        fld = body["field"]
+        ln = F.length(F.col(fld))
+        grp = df.groupBy(*parent_keys) if parent_keys else df.groupBy()
+        main = grp.agg(
+            F.count(F.col(fld)).alias(f"{name}_count"),
+            F.min(ln).alias(f"{name}_min_length"),
+            F.max(ln).alias(f"{name}_max_length"),
+            F.avg(ln).alias(f"{name}_avg_length"),
+        )
+        chars = df.select(
+            *parent_keys,
+            F.explode(F.split(F.col(fld), "")).alias("__ch"),
+        ).filter(F.col("__ch") != "")
+        cc = chars.groupBy(*parent_keys, "__ch").agg(
+            F.count("*").alias("__c")
+        )
+        tw = (
+            Window.partitionBy(*parent_keys)
+            if parent_keys else Window.partitionBy(F.lit(1))
+        )
+        p = F.col("__c") / F.sum("__c").over(tw)
+        egrp = (
+            cc.withColumn("__p", p).groupBy(*parent_keys)
+            if parent_keys
+            else cc.withColumn("__p", p).groupBy()
+        )
+        ent = egrp.agg(
+            (-F.sum(F.col("__p") * F.log2("__p"))).alias(f"{name}_entropy")
+        )
+        if parent_keys:
+            out[mpath] = main.join(ent, parent_keys, "left")
+        else:
+            out[mpath] = main.crossJoin(ent)
+        return
+
+    if typ == "auto_date_histogram":
+        # the reference picks the smallest rounding from a fixed ladder
+        # that keeps the bucket count under `buckets`
+        # (AutoDateHistogramAggregationBuilder ladder). The data span is
+        # one 1-row aggregate (coordinator-cheap pre-pass), then the agg
+        # proceeds as an ordinary date_histogram at the chosen interval.
+        fld = body["field"]
+        target = int(body.get("buckets", 10))
+        row = df.agg(
+            F.min(F.unix_timestamp(fld)).alias("lo"),
+            F.max(F.unix_timestamp(fld)).alias("hi"),
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        span = max(0, (hi or 0) - (lo or 0))
+        chosen_fixed: str | None = None
+        chosen_cal: str | None = None
+        for n, unit, secs in _AUTO_DH_LADDER:
+            if span / (n * secs) <= target:
+                chosen_fixed = f"{n}{unit}"
+                break
+        else:
+            # beyond 7d: calendar month / quarter / year rungs
+            for unit, secs in (
+                ("month", 2_592_000), ("quarter", 7_776_000),
+                ("year", 31_536_000),
+            ):
+                if span / secs <= target:
+                    chosen_cal = unit
+                    break
+            else:
+                chosen_cal = "year"
+        body = dict(body)
+        if chosen_fixed is not None:
+            body["fixed_interval"] = chosen_fixed
+            iv_label = chosen_fixed
+        else:
+            body["calendar_interval"] = chosen_cal
+            iv_label = f"1{chosen_cal[0]}" if chosen_cal != "quarter" else "1q"
+        body.setdefault("min_doc_count", 1)
+        spec = {"date_histogram": body}
+        if sub:
+            spec["aggs"] = sub
+        _compile(df, name, spec, out, path, parent_keys, full)
+        out[mpath] = out[mpath].withColumn("interval", F.lit(iv_label))
+        return
+
     if typ not in _BUCKETS:
         raise ValueError(f"unknown aggregation type: {typ}")
 
@@ -900,6 +1066,43 @@ def _compile(
 
     # keyed buckets: terms / histogram / date_histogram
     key = f"{name}_key"
+    # `rate` metrics are only meaningful under a date_histogram: total
+    # (sum of field, or doc_count) scaled to a per-`unit` rate by the
+    # bucket interval. Pulled out of `deeper` here because the scale
+    # factor needs the ENCLOSING bucket's interval — still one expr in
+    # the same single groupBy (RateAggregator semantics; calendar
+    # month/quarter/year parents refuse, their spans vary).
+    for rname in [
+        n for n, s in deeper.items() if _split(s)[0] == "rate"
+    ]:
+        if typ != "date_histogram":
+            raise ValueError("rate aggregation requires a date_histogram "
+                             "parent")
+        rbody = _split(deeper.pop(rname))[1]
+        unit = rbody.get("unit", "day")
+        if unit not in _RATE_UNIT_SECONDS:
+            raise ValueError(
+                f"rate unit must be one of {sorted(_RATE_UNIT_SECONDS)}, "
+                f"got {unit!r}"
+            )
+        if "calendar_interval" in body:
+            cal = body["calendar_interval"]
+            if cal not in _CAL_SECONDS:
+                raise ValueError(
+                    f"rate under calendar_interval {cal!r} is unsupported "
+                    "(variable-length bucket)"
+                )
+            parent_secs = _CAL_SECONDS[cal]
+        else:
+            parent_secs = _interval_seconds(body["fixed_interval"])
+        total = (
+            F.sum(F.col(rbody["field"])) if rbody.get("field")
+            else F.count("*")
+        )
+        factor = _RATE_UNIT_SECONDS[unit] / float(parent_secs)
+        metric_exprs = metric_exprs + [
+            (total * F.lit(factor)).alias(rname)
+        ]
     keyed = df.withColumn(key, _key_expr(typ, body))
     grp_keys = parent_keys + [key]
     buckets = keyed.groupBy(*grp_keys).agg(

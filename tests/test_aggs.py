@@ -814,3 +814,217 @@ def test_significant_text(spark, transcripts_df):
     assert np.allclose(out["score"], [v for _, v in exp])
     # tokens distinctive of tool turns should rank high
     assert len(out) == 10
+
+
+def test_boxplot_exact_five_numbers(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "bp": {"boxplot": {"field": "n_chars"}},
+            "by_role": {
+                "terms": {"field": "role", "size": 10},
+                "aggs": {"bp": {"boxplot": {"field": "n_chars"}}},
+            },
+        },
+    )
+    g = out["bp"].toPandas()
+    col = scoped_pd["n_chars"].astype(float)
+    for lab, q in (("min", 0.0), ("q1", 0.25), ("q2", 0.5),
+                   ("q3", 0.75), ("max", 1.0)):
+        assert np.isclose(
+            g[f"bp_{lab}"][0],
+            np.percentile(col, q * 100, method="linear"),
+        ), lab
+    b = out["by_role"].toPandas().set_index("by_role_key")
+    for role, grp in scoped_pd.groupby("role"):
+        assert np.isclose(
+            b.loc[role, "bp_q2"],
+            np.percentile(grp["n_chars"].astype(float), 50,
+                          method="linear"),
+        )
+
+
+def test_median_absolute_deviation(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "mad": {"median_absolute_deviation": {"field": "n_chars"}},
+            "by_role": {
+                "terms": {"field": "role", "size": 10},
+                "aggs": {
+                    "mad": {
+                        "median_absolute_deviation": {"field": "n_chars"}
+                    }
+                },
+            },
+        },
+    )
+
+    def pd_mad(s):
+        s = s.astype(float)
+        return (s - s.median()).abs().median()
+
+    assert np.isclose(
+        out["mad"].toPandas()["mad"][0], pd_mad(scoped_pd["n_chars"])
+    )
+    b = out["by_role>mad"].toPandas().set_index("by_role_key")
+    for role, grp in scoped_pd.groupby("role"):
+        assert np.isclose(b.loc[role, "mad"], pd_mad(grp["n_chars"]))
+
+
+def test_string_stats_lengths_and_entropy(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "ss": {"string_stats": {"field": "role"}},
+            "by_role": {
+                "terms": {"field": "role", "size": 10},
+                "aggs": {"ss": {"string_stats": {"field": "role"}}},
+            },
+        },
+    )
+    g = out["ss"].toPandas()
+    lens = scoped_pd["role"].str.len()
+    assert g["ss_count"][0] == len(scoped_pd)
+    assert g["ss_min_length"][0] == lens.min()
+    assert g["ss_max_length"][0] == lens.max()
+    assert np.isclose(g["ss_avg_length"][0], lens.mean())
+    # entropy over the character distribution of all values in the bucket
+    import collections
+
+    counts = collections.Counter("".join(scoped_pd["role"]))
+    tot = sum(counts.values())
+    exp_ent = -sum(
+        (c / tot) * np.log2(c / tot) for c in counts.values()
+    )
+    assert np.isclose(g["ss_entropy"][0], exp_ent)
+    # per-bucket: a single repeated value's entropy is that string's own
+    # char distribution
+    b = out["by_role>ss"].toPandas().set_index("by_role_key")
+    for role, grp in scoped_pd.groupby("role"):
+        cr = collections.Counter(role)
+        tr = sum(cr.values())
+        er = -sum((c / tr) * np.log2(c / tr) for c in cr.values())
+        assert np.isclose(b.loc[role, "ss_entropy"], er)
+
+
+def test_rate_fixed_and_calendar(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "per_12h": {
+                "date_histogram": {"field": "ts", "fixed_interval": "12h"},
+                "aggs": {
+                    "chars_per_hour": {
+                        "rate": {"field": "n_chars", "unit": "hour"}
+                    },
+                    "docs_per_day": {"rate": {"unit": "day"}},
+                },
+            },
+            "per_day_cal": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"per_hour": {"rate": {"unit": "hour"}}},
+            },
+        },
+    )
+    b = out["per_12h"].toPandas().sort_values("per_12h_key")
+    exp = (
+        scoped_pd.assign(k=scoped_pd["ts"].dt.floor("12h"))
+        .groupby("k")
+        .agg(s=("n_chars", "sum"), n=("n_chars", "size"))
+        .sort_index()
+    )
+    assert np.allclose(b["chars_per_hour"], exp["s"].values / 12.0)
+    assert np.allclose(b["docs_per_day"], exp["n"].values * 2.0)
+    c = out["per_day_cal"].toPandas().sort_values("per_day_cal_key")
+    expd = (
+        scoped_pd.assign(k=scoped_pd["ts"].dt.floor("1D"))
+        .groupby("k")["n_chars"].size().sort_index()
+    )
+    assert np.allclose(c["per_hour"], expd.values / 24.0)
+    with pytest.raises(ValueError, match="date_histogram parent"):
+        compute_aggs(
+            scoped,
+            {
+                "t": {
+                    "terms": {"field": "role"},
+                    "aggs": {"r": {"rate": {"unit": "day"}}},
+                }
+            },
+        )
+    with pytest.raises(ValueError, match="calendar_interval"):
+        compute_aggs(
+            scoped,
+            {
+                "m": {
+                    "date_histogram": {"field": "ts",
+                                       "calendar_interval": "month"},
+                    "aggs": {"r": {"rate": {"unit": "day"}}},
+                }
+            },
+        )
+
+
+def test_auto_date_histogram_picks_ladder_interval(scoped, scoped_pd):
+    # the fixture spans 72 hours; target 10 buckets → 12h is the first
+    # rung with ceil(span/interval) <= 10
+    out = compute_aggs(
+        scoped,
+        {
+            "auto": {
+                "auto_date_histogram": {"field": "ts", "buckets": 10},
+                "aggs": {"s": {"sum": {"field": "n_chars"}}},
+            }
+        },
+    )
+    b = out["auto"].toPandas().sort_values("auto_key")
+    assert (b["interval"] == "12h").all()
+    exp = (
+        scoped_pd.assign(k=scoped_pd["ts"].dt.floor("12h"))
+        .groupby("k")["n_chars"].sum().sort_index()
+    )
+    assert len(b) == len(exp)
+    assert np.allclose(b["s"].values, exp.values)
+    # a generous target picks the smallest rung that fits
+    out2 = compute_aggs(
+        scoped,
+        {"a": {"auto_date_histogram": {"field": "ts", "buckets": 100}}},
+    )
+    assert (out2["a"].toPandas()["interval"] == "1h").all()
+
+
+def test_extended_stats_and_percentiles_bucket(scoped, scoped_pd):
+    out = compute_aggs(
+        scoped,
+        {
+            "per_day": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                "aggs": {
+                    "s": {"sum": {"field": "n_chars"}},
+                    "est": {"extended_stats_bucket": {"buckets_path": "s"}},
+                    "pct": {
+                        "percentiles_bucket": {
+                            "buckets_path": "s",
+                            "percents": [50.0, 99.0],
+                        }
+                    },
+                },
+            }
+        },
+    )
+    exp = (
+        scoped_pd.assign(k=scoped_pd["ts"].dt.floor("1D"))
+        .groupby("k")["n_chars"].sum().sort_index().astype(float)
+    )
+    est = out["per_day>est"].toPandas()
+    assert est["count"][0] == len(exp)
+    assert np.isclose(est["variance"][0], exp.var(ddof=0))
+    assert np.isclose(est["sum_of_squares"][0], (exp ** 2).sum())
+    pct = out["per_day>pct"].toPandas()
+    assert np.isclose(
+        pct["p50"][0], np.percentile(exp.values, 50, method="linear")
+    )
+    assert np.isclose(
+        pct["p99"][0], np.percentile(exp.values, 99, method="linear")
+    )
