@@ -622,6 +622,7 @@ class Engine:
         id_col: str = "doc_id",
         analyzers: dict[str, object] | None = None,
         field_indexes: dict[str, object] | None = None,
+        completion_index=None,
     ):
         """ann_index: an attachable ANN asset (extras.similarity.LshAnnIndex
         / IvfAnnIndex — anything with .topk(query_vec, k) → (vec_id, cosine,
@@ -650,6 +651,7 @@ class Engine:
         self.id_col = id_col
         self.analyzers = dict(analyzers or {})
         self.field_indexes = dict(field_indexes or {})
+        self.completion_index = completion_index
 
     # ---- single-branch plans ------------------------------------------
     def _need_corpus(self, qtype: str) -> DataFrame:
@@ -2101,6 +2103,15 @@ class Engine:
         from .query.suggest import term_suggest
 
         return term_suggest(self.bm25_index, text, **kw)
+
+    def complete(self, prefix: str, size: int = 5, **kw):
+        """Completion suggester (autocomplete; Lucene NRTSuggester analog)
+        over an attached index.completion.CompletionIndex — driver-side
+        pyarrow point/range reads, no Spark job. Returns
+        [Completion(text, weight, doc_id, distance), ...]."""
+        if self.completion_index is None:
+            raise ValueError("complete needs an attached completion_index")
+        return self.completion_index.complete(prefix, size, **kw)
 
     def scroll(
         self,

@@ -516,6 +516,37 @@ def _gate_index(spark: SparkSession, sf: str) -> str:
     return out
 
 
+_COMPLETION_CACHE: dict = {}
+
+
+def _gate_completion_index(spark: SparkSession, sf: str):
+    """Build (once per sf_dir snapshot) the completion index whose entry
+    keys are the first-4-token phrase of each document and whose weight
+    is n_chars — surface == analyzed key by construction, so the DuckDB
+    twin derives the identical entry set from the raw table."""
+    key = _sf_key(sf)
+    if key in _COMPLETION_CACHE:
+        return _COMPLETION_CACHE[key]
+    from .index.completion import CompletionIndex, CompletionIndexBuilder
+
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:8]
+    out = f"/tmp/nss_gate_comp_{tag}"
+    d = _docs(spark, sf)
+    inputs = d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(tokenize_expr("text"), 1, 4), " "
+        ).alias("inp"),
+        "n_chars",
+    ).filter(F.col("inp") != "")
+    CompletionIndexBuilder(
+        spark, out, prefix_depth=3, prefix_top=50, n_files=4
+    ).build(inputs, input_col="inp", weight_col="n_chars")
+    handle = CompletionIndex(spark, out)
+    _COMPLETION_CACHE[key] = handle
+    return handle
+
+
 def _gate_sparse_index(spark: SparkSession, sf: str) -> str:
     """Build (once per sf_dir snapshot) the sparse feature-weight postings
     index over the documents tf features — the FeatureField analog the
@@ -1385,7 +1416,28 @@ def q_multiterm_matrix(spark: SparkSession, sf: str) -> DataFrame:
         "score",
         "rank",
     )
-    return out.unionByName(pinned)
+    out = out.unionByName(pinned)
+    # round-5c 'complete*': the completion suggester (NRTSuggester
+    # analog) over keys derived from documents (first-4-token phrase,
+    # weight = n_chars, surface == analyzed key so the oracle can
+    # reproduce it). Three routes: the precomputed-tops point read
+    # (short prefix), the sorted-entries range read (long prefix), and
+    # the fuzzy walk (transpositions=False → DuckDB levenshtein parity).
+    comp = _gate_completion_index(spark, sf)
+    rows = []
+    for vname, pfx, fz in (
+        ("complete_short", "sp", None),
+        ("complete_long", "the ", None),
+        ("complete_fuzzy", "quary", {"transpositions": False}),
+    ):
+        for rk, c in enumerate(comp.complete(pfx, 10, fuzzy=fz), 1):
+            rows.append(
+                (vname, f"{c.text}|{c.doc_id}", float(c.weight), rk)
+            )
+    comp_df = spark.createDataFrame(
+        rows, "variant string, kc string, score double, rank int"
+    )
+    return out.unionByName(comp_df)
 
 
 def sql_multiterm_matrix() -> str:
@@ -1455,6 +1507,39 @@ SELECT * FROM pin UNION ALL SELECT * FROM org"""
     pinned_sql = f"""
 SELECT 'pinned' AS variant, doc_id::VARCHAR AS kc, score, rank
 FROM ({_topk_sql(pinned_inner, ["doc_id"], 10)})"""
+    # completion twins: entry set = first-4-token phrase keyed by
+    # n_chars weight; exact routes = prefix filter + (weight desc, key
+    # asc, doc asc) rank; fuzzy twin reproduces the prefix edit distance
+    # (min levenshtein over candidate-key truncations within the edit
+    # budget — 'quary': la=5, AUTO→1 edit, protected seed 'q')
+    ckeys = f"""
+SELECT array_to_string(list_slice({TOK}, 1, 4), ' ') AS key,
+       n_chars AS w, doc_id
+FROM documents WHERE len({TOK}) >= 1"""
+
+    def comp_exact(name: str, pfx: str) -> str:
+        return f"""
+WITH ck AS ({ckeys})
+SELECT '{name}' AS variant, key || '|' || doc_id::VARCHAR AS kc,
+       w::DOUBLE AS score,
+       row_number() OVER (ORDER BY w DESC, key ASC, doc_id ASC)::INTEGER
+       AS rank
+FROM ck WHERE starts_with(key, '{pfx}')
+QUALIFY rank <= 10"""
+
+    comp_fuzzy_sql = f"""
+WITH ck AS ({ckeys}),
+cand AS (
+  SELECT key, w, doc_id,
+         list_min(list_transform(generate_series(4, 6),
+                  L -> levenshtein('quary', substr(key, 1, L)))) AS d
+  FROM ck WHERE starts_with(key, 'q'))
+SELECT 'complete_fuzzy' AS variant,
+       key || '|' || doc_id::VARCHAR AS kc, w::DOUBLE AS score,
+       row_number() OVER (ORDER BY d ASC, w DESC, key ASC, doc_id ASC
+       )::INTEGER AS rank
+FROM cand WHERE d <= 1
+QUALIFY rank <= 10"""
     # each part carries its own ORDER/LIMIT → parenthesize for the union
     return " UNION ALL ".join(
         f"SELECT * FROM ({p})"
@@ -1467,6 +1552,9 @@ FROM ({_topk_sql(pinned_inner, ["doc_id"], 10)})"""
             mbp_sql,
             perc_sql,
             pinned_sql,
+            comp_exact("complete_short", "sp"),
+            comp_exact("complete_long", "the "),
+            comp_fuzzy_sql,
         )
     )
 

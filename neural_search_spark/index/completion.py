@@ -1,0 +1,317 @@
+"""Completion suggester — the host's `completion` field + suggest API
+(Lucene NRTSuggester / FST-based CompletionQuery semantics, re-expressed
+for Spark + parquet).
+
+Reference surface (public OpenSearch API): documents carry suggestion
+inputs with optional weights; a suggest request sends a prefix and gets
+back the top-`size` suggestions by weight, optionally skipping duplicate
+surface forms, optionally fuzzy (FuzzyCompletionQuery: edits after a
+protected prefix, AUTO fuzziness by prefix length, min_length gate).
+
+Spark-first shape — the FST's two superpowers, re-created with parquet:
+
+* **Ordered traversal** (any-depth prefix → matching entries): the
+  entries table is written range-partitioned AND sorted by the analyzed
+  key, so a prefix lookup is a pyarrow row-group range read
+  ([prefix, prefix⁺)), never a scan.
+* **Weighted best-path** (top-k without visiting all matches): Lucene
+  walks max-weight FST arcs; we precompute, at build time, the top
+  `prefix_top` suggestions for EVERY key prefix up to `prefix_depth`
+  chars (one explode + one Window over the entries frame — bounded
+  output ≤ prefix_top · |distinct prefixes|). Serving a short prefix —
+  exactly the case where the match set is huge — is then a point read of
+  ≤ prefix_top pre-ranked rows. Longer prefixes are selective by
+  construction and use the range read.
+
+Both build passes are single-shuffle DataFrame plans; serving never
+starts a Spark job (the coordinator-cheap pattern, like
+query/suggest.py).
+
+Scoring/order: weight desc, surface asc, doc_id asc (deterministic
+tiebreak). Fuzzy ranks exact-prefix matches first via the edit distance
+as the primary sort key (dist asc, then weight desc) — Lucene boosts
+exact completions above fuzzed ones the same way
+(FuzzyCompletionQuery's maxEdits-based boost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tokenizer import tokenize_expr, tokenize_py
+
+__all__ = ["CompletionIndexBuilder", "CompletionIndex", "Completion"]
+
+
+@dataclass
+class Completion:
+    text: str       # the stored surface form
+    weight: float
+    doc_id: int
+    distance: int = 0  # fuzzy edit distance (0 on the exact path)
+
+
+def _analyze(s: str) -> str:
+    """Query/entry analysis: the engine's analyzer chain, token stream
+    joined on single spaces (the completion field's analyzed form)."""
+    return " ".join(tokenize_py(s))
+
+
+def _next_key(prefix: str) -> str:
+    return prefix[:-1] + chr(ord(prefix[-1]) + 1)
+
+
+class CompletionIndexBuilder:
+    """Builds the on-disk completion index:
+
+    out_dir/entries/   (key, surface, weight, doc_id) sorted by key
+    out_dir/tops/      (prefix, surface, weight, doc_id, rk) sorted by
+                       prefix — top `prefix_top` per prefix of length
+                       1..prefix_depth
+    out_dir/meta.json
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        prefix_depth: int = 3,
+        prefix_top: int = 50,
+        n_files: int = 8,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.prefix_depth = int(prefix_depth)
+        self.prefix_top = int(prefix_top)
+        self.n_files = int(n_files)
+
+    def build(
+        self,
+        df: DataFrame,
+        input_col: str,
+        weight_col: str | None = None,
+        id_col: str = "doc_id",
+    ) -> dict:
+        w = (
+            F.col(weight_col).cast("double")
+            if weight_col
+            else F.lit(1.0)
+        )
+        entries = (
+            df.select(
+                F.concat_ws(" ", tokenize_expr(input_col)).alias("key"),
+                F.col(input_col).alias("surface"),
+                w.alias("weight"),
+                F.col(id_col).cast("long").alias("doc_id"),
+            )
+            .filter(F.col("key") != "")
+        )
+        (
+            entries.repartitionByRange(self.n_files, "key")
+            .sortWithinPartitions("key", "surface", "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.out_dir, "entries"))
+        )
+        # weighted-best-path precompute: every ≤prefix_depth-char prefix
+        # of every key, top prefix_top entries per prefix. One explode +
+        # one Window — the Window key IS the prefix, so skew is bounded
+        # by prefix_top rows surviving per group after the rank filter.
+        depth = self.prefix_depth
+        pref = entries.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, least(length(key), {depth})),"
+                    " i -> substring(key, 1, i))"
+                )
+            ).alias("prefix"),
+            "surface", "weight", "doc_id",
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("prefix").orderBy(
+                F.col("weight").desc(),
+                F.col("surface").asc(),
+                F.col("doc_id").asc(),
+            )
+        )
+        tops = pref.withColumn("rk", rk).filter(
+            F.col("rk") <= self.prefix_top
+        )
+        (
+            tops.repartitionByRange(self.n_files, "prefix")
+            .sortWithinPartitions("prefix", "rk")
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.out_dir, "tops"))
+        )
+        n = entries.count()
+        meta = {
+            "n_entries": int(n),
+            "prefix_depth": depth,
+            "prefix_top": self.prefix_top,
+        }
+        with open(os.path.join(self.out_dir, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        return meta
+
+
+class CompletionIndex:
+    """Read handle. Serving is pyarrow range/point reads only — no Spark
+    job per suggest call."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as fh:
+            self.meta = json.load(fh)
+        self._entries_ds = None
+        self._tops_ds = None
+
+    # -- low-level reads ------------------------------------------------
+    def _ds(self, which: str):
+        import pyarrow.dataset as ds
+
+        attr = f"_{which}_ds"
+        if getattr(self, attr) is None:
+            setattr(
+                self, attr,
+                ds.dataset(
+                    os.path.join(self.path, which), format="parquet"
+                ),
+            )
+        return getattr(self, attr)
+
+    def _read_tops(self, prefix: str):
+        import pyarrow.dataset as ds
+
+        tbl = self._ds("tops").to_table(
+            columns=["surface", "weight", "doc_id", "rk"],
+            filter=ds.field("prefix") == prefix,
+        )
+        rows = sorted(
+            zip(
+                tbl["rk"].to_pylist(), tbl["surface"].to_pylist(),
+                tbl["weight"].to_pylist(), tbl["doc_id"].to_pylist(),
+            )
+        )
+        return [(s, w, d) for _, s, w, d in rows]
+
+    def _read_range(self, prefix: str):
+        import pyarrow.dataset as ds
+
+        flt = (ds.field("key") >= prefix) & (
+            ds.field("key") < _next_key(prefix)
+        )
+        tbl = self._ds("entries").to_table(
+            columns=["key", "surface", "weight", "doc_id"], filter=flt
+        )
+        return list(
+            zip(
+                tbl["key"].to_pylist(), tbl["surface"].to_pylist(),
+                tbl["weight"].to_pylist(), tbl["doc_id"].to_pylist(),
+            )
+        )
+
+    # -- public API ------------------------------------------------------
+    def complete(
+        self,
+        prefix: str,
+        size: int = 5,
+        skip_duplicates: bool = False,
+        fuzzy: dict | None = None,
+    ) -> list[Completion]:
+        """Top-`size` completions for `prefix`.
+
+        fuzzy options (FuzzyCompletionQuery parity): fuzziness 0|1|2|
+        'AUTO' (AUTO = 0 below 3 analyzed chars, 1 below 6, else 2),
+        prefix_length (protected exact chars, default 1 — the pruned
+        candidate read; 0 would scan every entry and is refused unless
+        allow_unpruned=True), min_length (prefixes shorter than this
+        match exactly, default 3), transpositions (OSA vs plain
+        Levenshtein, default True)."""
+        akey = _analyze(prefix)
+        if not akey:
+            return []
+        if fuzzy is None:
+            if len(akey) <= self.meta["prefix_depth"]:
+                rows = self._read_tops(akey)
+                out = [Completion(s, w, d) for s, w, d in rows]
+            else:
+                got = self._read_range(akey)
+                got.sort(key=lambda r: (-r[2], r[1], r[3]))
+                out = [Completion(s, w, d) for _, s, w, d in got]
+        else:
+            out = self._fuzzy(akey, fuzzy)
+        if skip_duplicates:
+            seen: set[str] = set()
+            dedup = []
+            for c in out:
+                if c.text in seen:
+                    continue
+                seen.add(c.text)
+                dedup.append(c)
+            out = dedup
+        return out[:size]
+
+    def _fuzzy(self, akey: str, fuzzy: dict) -> list[Completion]:
+        from ..query.fuzzy import levenshtein, osa_distance
+
+        fz = fuzzy.get("fuzziness", "AUTO")
+        if fz == "AUTO":
+            edits = 0 if len(akey) < 3 else (1 if len(akey) < 6 else 2)
+        else:
+            edits = min(int(fz), 2)
+        if len(akey) < int(fuzzy.get("min_length", 3)):
+            edits = 0
+        pl = int(fuzzy.get("prefix_length", 1))
+        if pl <= 0 and not fuzzy.get("allow_unpruned", False):
+            raise ValueError(
+                "fuzzy completion with prefix_length=0 reads every entry; "
+                "pass allow_unpruned=True to override (sandbox scale only)"
+            )
+        dist = (
+            osa_distance
+            if fuzzy.get("transpositions", True)
+            else levenshtein
+        )
+        if edits == 0:
+            got = self._read_range(akey)
+            got.sort(key=lambda r: (-r[2], r[1], r[3]))
+            return [Completion(s, w, d) for _, s, w, d in got]
+        # candidates: everything sharing the protected prefix — a range
+        # read bounded by the pl-char bucket (document: pl>=2 recommended
+        # at large entry counts; the guard above refuses pl=0)
+        seed = akey[: min(pl, len(akey))]
+        if seed:
+            cands = self._read_range(seed)
+        else:
+            # pl=0 (guard overridden): the full-entry walk
+            tbl = self._ds("entries").to_table(
+                columns=["key", "surface", "weight", "doc_id"]
+            )
+            cands = list(
+                zip(
+                    tbl["key"].to_pylist(), tbl["surface"].to_pylist(),
+                    tbl["weight"].to_pylist(), tbl["doc_id"].to_pylist(),
+                )
+            )
+        la = len(akey)
+        scored = []
+        for key, surface, weight, doc_id in cands:
+            # prefix edit distance: best alignment of akey against any
+            # truncation of the candidate key within the edit budget
+            best = None
+            for cut in range(max(0, la - edits), min(len(key), la + edits) + 1):
+                d = dist(akey, key[:cut])
+                if best is None or d < best:
+                    best = d
+            if best is not None and best <= edits:
+                scored.append((best, -weight, surface, doc_id, weight))
+        scored.sort()
+        return [
+            Completion(s, w, d, distance=b)
+            for b, _, s, d, w in scored
+        ]

@@ -1,0 +1,144 @@
+"""Completion suggester (index/completion.py): build over a known entry
+set, then check the exact point-read (tops) and range-read (entries)
+routes against a brute-force python oracle, plus skip_duplicates, the
+fuzzy path (AUTO fuzziness, min_length, prefix_length guard), and the
+Engine wiring."""
+
+import pandas as pd
+import pytest
+
+from neural_search_spark.engine import Engine
+from neural_search_spark.index.completion import (
+    CompletionIndex,
+    CompletionIndexBuilder,
+)
+from neural_search_spark.tokenizer import tokenize_py
+
+ENTRIES = [
+    # (input, weight, doc_id)
+    ("machine learning basics", 10.0, 1),
+    ("machine learning advanced", 30.0, 2),
+    ("machine translation", 20.0, 3),
+    ("machinery maintenance", 25.0, 4),
+    ("matching algorithms", 5.0, 5),
+    ("Machine Learning Advanced", 30.0, 6),   # same analyzed key as 2
+    ("market analysis", 30.0, 7),
+    ("marketing mix", 1.0, 8),
+    ("deep learning", 40.0, 9),
+    ("delta lake", 2.0, 10),
+]
+
+
+def brute2(prefix, size=5):
+    akey = " ".join(tokenize_py(prefix))
+    got = []
+    for text, w, d in ENTRIES:
+        key = " ".join(tokenize_py(text))
+        if key.startswith(akey):
+            # surface used for the asc tiebreak, then doc_id
+            got.append((-w, key, d, text, w))
+    got.sort(key=lambda r: (r[0], r[3], r[2]))
+    return [(text, w, d) for _, key, d, text, w in got][:size]
+
+
+@pytest.fixture(scope="module")
+def cidx(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cidx"))
+    df = spark.createDataFrame(
+        pd.DataFrame(ENTRIES, columns=["inp", "w", "doc_id"])
+    )
+    meta = CompletionIndexBuilder(
+        spark, p, prefix_depth=3, prefix_top=4, n_files=2
+    ).build(df, input_col="inp", weight_col="w")
+    assert meta["n_entries"] == len(ENTRIES)
+    return CompletionIndex(spark, p)
+
+
+def test_short_prefix_point_read_matches_brute(cidx):
+    # len(akey)=2 <= prefix_depth → tops route
+    got = [(c.text, c.weight, c.doc_id) for c in cidx.complete("ma", 4)]
+    assert got == brute2("ma", 4)
+    # the weight-desc / surface-asc / doc_id-asc order is visible:
+    # market(30,7) ties machine learning advanced (30) — 'Machine
+    # Learning Advanced' (doc 6) sorts before 'machine learning
+    # advanced' (doc 2) before 'market analysis'
+    assert got[0][0] == "Machine Learning Advanced"
+    assert got[1] == ("machine learning advanced", 30.0, 2)
+    assert got[2] == ("market analysis", 30.0, 7)
+    assert got[3] == ("machinery maintenance", 25.0, 4)
+
+
+def test_long_prefix_range_read_matches_brute(cidx):
+    got = [(c.text, c.weight, c.doc_id)
+           for c in cidx.complete("machine l", 10)]
+    assert got == brute2("machine l", 10)
+    assert [g[2] for g in got] == [6, 2, 1]
+    # token-boundary analysis: a trailing space analyzes away
+    assert [c.doc_id for c in cidx.complete("machine ", 10)] == [
+        c.doc_id for c in cidx.complete("machine", 10)
+    ]
+    got2 = [c.doc_id for c in cidx.complete("machine", 10)]
+    # 'machine' prefix (4 <= len? 7 > depth 3 → range) also matches
+    # 'machinery'
+    assert got2 == [6, 2, 4, 3, 1]
+
+
+def test_skip_duplicates(cidx):
+    got = cidx.complete("machine learning advanced", 10)
+    assert [c.doc_id for c in got] == [6, 2]
+    # identical analyzed key, different surfaces → NOT duplicates;
+    # make a true duplicate case via the same surface
+    got = cidx.complete("ma", 10, skip_duplicates=True)
+    assert len({c.text for c in got}) == len(got)
+
+
+def test_empty_and_missing(cidx):
+    assert cidx.complete("", 5) == []
+    assert cidx.complete("zzz", 5) == []
+    assert cidx.complete("??", 5) == []
+
+
+def test_fuzzy_auto_and_min_length(cidx):
+    # 'machne l' (dropped i): len 8 ≥ 6 → AUTO = 2 edits; candidates
+    # share the protected 1-char prefix 'm'
+    got = cidx.complete("machne l", 5, fuzzy={})
+    assert got[0].text == "Machine Learning Advanced"
+    assert got[0].distance == 1
+    # exact matches rank above fuzzed ones: prefix 'machin' matches
+    # machine* exactly (dist 0) and 'matching' at dist 2
+    got = cidx.complete("machin", 10, fuzzy={})
+    assert [c.distance for c in got[:4]] == [0, 0, 0, 0]
+    assert any(c.text == "matching algorithms" for c in got)
+    # min_length: a 2-char prefix fuzzes to 0 edits → exact only
+    got = cidx.complete("mx", 5, fuzzy={})
+    assert got == []
+
+
+def test_fuzzy_prefix_length_guard(cidx):
+    with pytest.raises(ValueError, match="prefix_length=0"):
+        cidx.complete("machin", 5, fuzzy={"prefix_length": 0})
+    # override works
+    got = cidx.complete("machin", 5,
+                        fuzzy={"prefix_length": 0, "allow_unpruned": True})
+    assert got[0].distance == 0
+
+
+def test_fuzzy_transpositions_toggle(cidx):
+    # 'amchine' = transposition of 'machine': OSA dist 1, Levenshtein 2.
+    # With fuzziness=1: OSA finds it, plain Levenshtein does not.
+    # protected prefix must be 0 chars (the typo is at position 0)
+    t = cidx.complete("amchine", 5, fuzzy={
+        "fuzziness": 1, "prefix_length": 0, "allow_unpruned": True})
+    assert any("machine" in c.text.lower() for c in t)
+    nt = cidx.complete("amchine", 5, fuzzy={
+        "fuzziness": 1, "prefix_length": 0, "allow_unpruned": True,
+        "transpositions": False})
+    assert nt == []
+
+
+def test_engine_wiring(spark, cidx):
+    eng = Engine(spark, completion_index=cidx)
+    got = eng.complete("deep", 3)
+    assert got[0].text == "deep learning"
+    with pytest.raises(ValueError, match="completion_index"):
+        Engine(spark).complete("x")
