@@ -623,6 +623,7 @@ class Engine:
         analyzers: dict[str, object] | None = None,
         field_indexes: dict[str, object] | None = None,
         completion_index=None,
+        sayt_indexes: dict[int, object] | None = None,
     ):
         """ann_index: an attachable ANN asset (extras.similarity.LshAnnIndex
         / IvfAnnIndex — anything with .topk(query_vec, k) → (vec_id, cosine,
@@ -652,6 +653,7 @@ class Engine:
         self.analyzers = dict(analyzers or {})
         self.field_indexes = dict(field_indexes or {})
         self.completion_index = completion_index
+        self.sayt_indexes = dict(sayt_indexes or {})
 
     # ---- single-branch plans ------------------------------------------
     def _need_corpus(self, qtype: str) -> DataFrame:
@@ -2112,6 +2114,21 @@ class Engine:
         if self.completion_index is None:
             raise ValueError("complete needs an attached completion_index")
         return self.completion_index.complete(prefix, size, **kw)
+
+    def search_as_you_type(self, query_text: str, k: int = 10, **kw):
+        """The search_as_you_type field's canonical query (multi_match
+        type=bool_prefix over root + shingle subfields, tie_breaker=0)
+        against attached query.sayt.build_sayt_indexes output."""
+        if not self.sayt_indexes:
+            raise ValueError(
+                "search_as_you_type needs attached sayt_indexes "
+                "(query.sayt.build_sayt_indexes)"
+            )
+        from .query.sayt import search_as_you_type_topk
+
+        return search_as_you_type_topk(
+            self.sayt_indexes, query_text, k=k, **kw
+        )
 
     def scroll(
         self,

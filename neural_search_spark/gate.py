@@ -229,17 +229,24 @@ def bm25_scored_sql(
     query_text: str,
     ndp: int | None = 4,
     min_match: int = 1,
+    toks_sql: str | None = None,
+    terms: list[str] | None = None,
 ) -> str:
+    """toks_sql overrides the token-stream expression (pre-analyzed
+    fields, e.g. search_as_you_type shingles); terms overrides the
+    analyzed query terms (multi-word shingle terms the tokenizer can't
+    produce)."""
     keylist = ", ".join(keys)
-    terms = sorted(set(tokenize_py(query_text)))
-    qlist = ", ".join(f"'{t}'" for t in terms)
+    if terms is None:
+        terms = sorted(set(tokenize_py(query_text)))
+    qlist = ", ".join("'" + t + "'" for t in terms)
     score = "scr" if ndp is None else f"round(scr, {ndp})"
     # one tf row per (doc, term): count(*) in the final group = distinct
     # matched terms, the operator=and / minimum_should_match coverage gate
     having = f" HAVING count(*) >= {min_match}" if min_match > 1 else ""
     return f"""
 SELECT {keylist}, {score} AS score FROM (
-  WITH corpus AS (SELECT {keylist}, {TOK} AS toks FROM {rel} AS r),
+  WITH corpus AS (SELECT {keylist}, {toks_sql or TOK} AS toks FROM {rel} AS r),
   stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM corpus),
   tok AS (SELECT {keylist}, len(toks) AS dl, unnest(toks) AS term FROM corpus),
   tf AS (SELECT {keylist}, dl, term, count(*) AS tf FROM tok
@@ -545,6 +552,27 @@ def _gate_completion_index(spark: SparkSession, sf: str):
     handle = CompletionIndex(spark, out)
     _COMPLETION_CACHE[key] = handle
     return handle
+
+
+_SAYT_CACHE: dict = {}
+
+
+def _gate_sayt_indexes(spark: SparkSession, sf: str):
+    """Build (once per sf_dir snapshot) the search_as_you_type root +
+    2gram/3gram shingle subfield indexes over the derived transcripts."""
+    key = _sf_key(sf)
+    if key in _SAYT_CACHE:
+        return _SAYT_CACHE[key]
+    from .query.sayt import build_sayt_indexes
+
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:8]
+    out = f"/tmp/nss_gate_sayt_{tag}"
+    idxs = build_sayt_indexes(
+        spark, out, derived_transcripts(spark, sf),
+        max_shingle=3, n_shards=8, block_size=256,
+    )
+    _SAYT_CACHE[key] = idxs
+    return idxs
 
 
 def _gate_sparse_index(spark: SparkSession, sf: str) -> str:
@@ -1336,6 +1364,9 @@ _SQS_GRP = "(spark | join) + dup"
 _SLOP_SPECS = (("slop", "window join", 2), ("slop_rpt", "merge merge", 3))
 _SUGGEST_TEXT = "sparc windoq"  # 1-edit typos of 'spark' / 'window'
 _SUGGEST_SIZE = 5
+# SAYT query: 3 complete tokens + a trailing partial ('sc' → scan/schema…)
+# — distinct shingles at every size, so set-based term SQL is exact
+_SAYT_Q = "merge group part sc"
 # percolator registry (round-5): one msm-gated match, one operator=and
 # match, one any-of terms — the coverage-decidable family
 _PERC_QUERIES = {
@@ -1624,7 +1655,36 @@ def q_sqs_matrix(spark: SparkSession, sf: str) -> DataFrame:
             srows, columns=["variant", "kc", "score", "v", "rank"]
         ).astype({"score": "float64", "v": "float64", "rank": "int32"})
     )
-    return out.unionByName(sdf)
+    out = out.unionByName(sdf)
+    # round-5c 'sayt': search_as_you_type over the root + 2gram + 3gram
+    # shingle subfield indexes (pre-analyzed tokens_col builds), the
+    # canonical multi_match bool_prefix dis-max. Over-fetch k'=50 on the
+    # engine's f32 ordering, re-rank on the 4dp-rounded score with the
+    # recovered documents doc_id as tiebreak (doc_id = turn_idx·50 +
+    # conv number under the derived-transcripts mapping).
+    from .index.build import doc_id_col
+    from .query.sayt import search_as_you_type_topk
+
+    idxs = _gate_sayt_indexes(spark, sf)
+    raw = search_as_you_type_topk(idxs, _SAYT_Q, k=50).drop("rank")
+    tr = derived_transcripts(spark, sf).withColumn("doc_id", doc_id_col())
+    joined = raw.join(
+        tr.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+    ).select(
+        (
+            F.col("turn_idx").cast("long") * 50
+            + F.substring("conv_id", 2, 4).cast("long")
+        ).alias("orig_doc"),
+        F.round(F.col("score").cast("double"), 4).alias("score"),
+    )
+    sayt = _ranked(joined, ["orig_doc"], 20).select(
+        F.lit("sayt").alias("variant"),
+        F.col("orig_doc").cast("string").alias("kc"),
+        "score",
+        F.lit(-1.0).alias("v"),
+        "rank",
+    )
+    return out.unionByName(sayt)
 
 
 def sql_sqs_matrix_static_parts() -> list[str]:
@@ -1676,7 +1736,47 @@ SELECT 'suggest' AS variant, token || '>' || term AS kc, score,
   r AS (SELECT *, row_number() OVER (PARTITION BY token
           ORDER BY score DESC, df DESC, term)::INTEGER AS rk FROM sc)
   SELECT * FROM r WHERE rk <= {_SUGGEST_SIZE})"""
-    return [wrap("mix", mix), wrap("neg", neg), wrap("grp", grp), sugg]
+    # 'sayt' twin: per shingle size n, BM25 over the n-gram token stream
+    # (complete query shingles as terms) + a 1.0 constant-score prefix
+    # clause on the last shingle, summed per doc; fields dis-max (max)
+    from .query.sayt import shingles_py
+
+    def _shingle_sql(n: int) -> str:
+        return (
+            f"list_transform(generate_series(1, len({TOK}) - {n - 1}), "
+            f"i -> array_to_string(list_slice({TOK}, i, i + {n - 1}), ' '))"
+        )
+
+    qtoks = tokenize_py(_SAYT_Q)
+    field_sqls = []
+    for n in (1, 2, 3):
+        shq = shingles_py(qtoks, n)
+        if not shq:
+            continue
+        terms, last = shq[:-1], shq[-1]
+        tok_expr = TOK if n == 1 else _shingle_sql(n)
+        pfx = f"""
+SELECT doc_id, 1.0 AS score FROM documents AS r
+WHERE len(list_filter({tok_expr}, t -> starts_with(t, '{last}'))) > 0"""
+        if terms:
+            m = bm25_scored_sql(
+                "documents", ["doc_id"], "", ndp=None,
+                toks_sql=tok_expr, terms=terms,
+            )
+            f_sql = f"""
+SELECT doc_id, sum(score) AS score FROM (
+  SELECT * FROM ({m}) UNION ALL {pfx}) GROUP BY doc_id"""
+        else:
+            f_sql = pfx
+        field_sqls.append(f_sql)
+    dis = " UNION ALL ".join(f"SELECT * FROM ({p})" for p in field_sqls)
+    sayt_inner = f"""
+WITH u AS ({dis})
+SELECT doc_id, round(max(score), 4) AS score FROM u GROUP BY doc_id"""
+    sayt = f"""
+SELECT 'sayt' AS variant, doc_id::VARCHAR AS kc, score, -1.0::DOUBLE AS v,
+       rank FROM ({_topk_sql(sayt_inner, ["doc_id"], 20)})"""
+    return [wrap("mix", mix), wrap("neg", neg), wrap("grp", grp), sugg, sayt]
 
 
 def sql_sqs_matrix_for_sf(sf: str) -> str:

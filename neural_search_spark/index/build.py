@@ -218,7 +218,9 @@ def build_blocks_jvm(
     )
 
 
-def tokenized_turns(transcripts: DataFrame) -> DataFrame:
+def tokenized_turns(
+    transcripts: DataFrame, tokens_col: str | None = None
+) -> DataFrame:
     """(doc_id, toks, dl) — ONE vectorized tokenize pass over the corpus.
 
     Uses the pure-Catalyst tokenizer (split+filter, output-identical to the
@@ -228,9 +230,17 @@ def tokenized_turns(transcripts: DataFrame) -> DataFrame:
 
     The builder persists THIS form so the tf table, doc stats and the term
     dictionary all derive from a single corpus scan — at 100 TB the
-    tokenize+scan is the dominant cost and must not run twice."""
+    tokenize+scan is the dominant cost and must not run twice.
+
+    tokens_col: a PRE-ANALYZED array<string> column to index as-is
+    (Lucene's pre-analyzed token stream / custom per-field analyzer
+    case — e.g. search_as_you_type shingle subfields, whose "terms" are
+    multi-word strings the frozen tokenizer must not re-split)."""
+    toks = (
+        F.col(tokens_col) if tokens_col else tokenize_expr("text")
+    )
     return transcripts.select(
-        doc_id_col().alias("doc_id"), tokenize_expr("text").alias("toks")
+        doc_id_col().alias("doc_id"), toks.alias("toks")
     ).withColumn("dl", F.size("toks"))
 
 
@@ -411,6 +421,7 @@ class IndexBuilder:
         # fewer salted groups for bigger single-row memory spikes
         target_postings_per_task: int = 500_000,
         n_term_groups: int = 32,
+        tokens_col: str | None = None,
     ):
         self.spark = spark
         self.out = out_dir
@@ -420,6 +431,9 @@ class IndexBuilder:
         self.b = b
         self.target = target_postings_per_task
         self.n_term_groups = n_term_groups
+        # pre-analyzed field support (see tokenized_turns): when set, the
+        # named array<string> column IS the token stream
+        self.tokens_col = tokens_col
 
     # ---- paths -------------------------------------------------------
     def _p(self, name: str) -> str:
@@ -512,7 +526,7 @@ class IndexBuilder:
         # table, doc stats AND the term dictionary all derive from this one
         # corpus scan (previously the dictionary re-tokenized the corpus —
         # a second full scan of the most expensive stage at 100 TB)
-        toks = tokenized_turns(transcripts).persist(
+        toks = tokenized_turns(transcripts, self.tokens_col).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         postings_all = postings_from_tokens(toks).persist(

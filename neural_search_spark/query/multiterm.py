@@ -229,6 +229,7 @@ def match_bool_prefix_topk(
     k: int = 10,
     boost: float = 1.0,
     mode: str = "auto",
+    tokens: list[str] | None = None,
 ) -> DataFrame:
     """Index-backed match_bool_prefix (MatchBoolPrefixQueryBuilder): every
     analyzed token is a SHOULD term clause except the last, which matches
@@ -247,7 +248,11 @@ def match_bool_prefix_topk(
     from .bm25 import lucene_idf
 
     spark = index.spark
-    tokens = tokenize_py(query_text)
+    if tokens is None:
+        # default analysis; `tokens` overrides for pre-analyzed fields
+        # whose terms the frozen tokenizer must not re-split (e.g. the
+        # search_as_you_type shingle subfields)
+        tokens = tokenize_py(query_text)
     if not tokens:
         return _empty(spark)
     terms, last = tokens[:-1], tokens[-1]

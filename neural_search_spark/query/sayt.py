@@ -1,0 +1,148 @@
+"""search_as_you_type — the host's autocomplete FIELD TYPE (distinct
+from the completion suggester): indexing a field as search_as_you_type
+creates shingle subfields `._2gram` / `._3gram`, and the canonical query
+is a multi_match of type bool_prefix across the root field and the
+shingle subfields, so that the growing query string matches documents on
+progressively longer word n-grams while the trailing (possibly partial)
+token matches as a prefix.
+
+Reference surface (public OpenSearch API): SearchAsYouTypeFieldMapper's
+shingle subfields + the documented `multi_match type=bool_prefix` query
+over `[field, field._2gram, field._3gram]`.
+
+Spark-first shape:
+
+* **Index time** — `shingle_col(col, n)` derives each subfield's token
+  stream as pure Catalyst (`transform(sequence(...), i ->
+  array_join(slice(toks, i, n), ' '))` — whole-stage codegen, no UDF),
+  and each subfield is an ordinary block index built with
+  `IndexBuilder(..., tokens_col=...)` (the pre-analyzed-field path): the
+  same salted skew-safe build, dictionary, and serving kernels, just
+  with multi-word terms. Nothing about the inverted-index machinery is
+  shingle-aware — exactly Lucene's shape, where the subfield is a
+  normal field with a shingle analyzer.
+* **Query time** — per subfield, the query's OWN shingle stream: all
+  complete shingles are SHOULD term clauses, the LAST shingle (which
+  ends in the user's partial token) is a constant-score prefix clause —
+  `match_bool_prefix_topk(..., tokens=shingles)` serves it from that
+  subfield's index (one dictionary range read + one postings pass).
+  Fields with fewer query tokens than their shingle size contribute
+  nothing (the host omits those clauses the same way). The per-field
+  top-k frames combine with a doc-keyed dis-max (multi_match
+  tie_breaker=0, the host default) — exact by the containment argument
+  in query/multimatch.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tokenizer import tokenize_expr, tokenize_py
+
+__all__ = [
+    "shingle_col",
+    "shingles_py",
+    "build_sayt_indexes",
+    "search_as_you_type_topk",
+]
+
+
+def shingles_py(tokens: list[str], n: int) -> list[str]:
+    """Word n-grams as single space-joined terms (query-side analysis,
+    identical to shingle_col)."""
+    if n <= 1:
+        return list(tokens)
+    return [
+        " ".join(tokens[i: i + n]) for i in range(len(tokens) - n + 1)
+    ]
+
+
+def shingle_col(col: Column | str, n: int) -> Column:
+    """array<string> of word n-gram shingles of the analyzed text — pure
+    Catalyst, stays in whole-stage codegen."""
+    toks = tokenize_expr(col) if isinstance(col, str) else col
+    if n <= 1:
+        return toks
+    return _shingle_expr(toks, n)
+
+
+def _shingle_expr(toks: Column, n: int) -> Column:
+    # slice/array_join over a sequence of start offsets; docs shorter
+    # than the shingle size yield an EMPTY array (Spark's sequence(1, 0)
+    # would descend, so gate it with a when)
+    starts = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+
+
+def build_sayt_indexes(
+    spark: SparkSession,
+    out_dir: str,
+    transcripts: DataFrame,
+    text_col: str = "text",
+    max_shingle: int = 3,
+    **builder_kw,
+):
+    """Build the root index + shingle subfield indexes under
+    `{out_dir}/gram{n}`. Returns {n: BM25Index} for n = 1..max_shingle.
+    One tokenize feeds each build; subfield builds reuse the identical
+    salted/skew-safe pipeline via the pre-analyzed tokens_col path."""
+    from ..index.build import IndexBuilder
+    from .bm25 import BM25Index
+
+    if not (2 <= max_shingle <= 4):
+        raise ValueError("max_shingle must be 2..4 (host allows 2..4)")
+    out: dict[int, BM25Index] = {}
+    for n in range(1, max_shingle + 1):
+        path = f"{out_dir}/gram{n}"
+        if n == 1:
+            src = transcripts
+            IndexBuilder(spark, path, **builder_kw).build(src)
+        else:
+            src = transcripts.withColumn(
+                "__sayt_toks", _shingle_expr(tokenize_expr(text_col), n)
+            )
+            IndexBuilder(
+                spark, path, tokens_col="__sayt_toks", **builder_kw
+            ).build(src)
+        out[n] = BM25Index(spark, path)
+    return out
+
+
+def search_as_you_type_topk(
+    indexes: dict,
+    query_text: str,
+    k: int = 10,
+    mode: str = "auto",
+) -> DataFrame:
+    """The canonical SAYT query: multi_match type=bool_prefix over the
+    root + shingle subfields (tie_breaker=0 dis-max). `indexes` is
+    {shingle_size: BM25Index} as returned by build_sayt_indexes."""
+    from .multimatch import _dismax_union_topk
+    from .multiterm import match_bool_prefix_topk
+
+    tokens = tokenize_py(query_text)
+    parts = []
+    for n in sorted(indexes):
+        sh = shingles_py(tokens, n)
+        if not sh:
+            continue  # query shorter than the shingle size
+        part = match_bool_prefix_topk(
+            indexes[n], query_text, k=k, mode=mode, tokens=sh
+        )
+        parts.append(
+            part.select(
+                "doc_id", F.col("score").cast("double").alias("score")
+            )
+        )
+    if not parts:
+        spark = indexes[min(indexes)].spark
+        from .multiterm import _empty
+
+        return _empty(spark)
+    return _dismax_union_topk(parts, k)
