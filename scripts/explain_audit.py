@@ -459,6 +459,44 @@ def main():
     )
     print("aggs plans: one-exchange buckets, cursor pushdown — ok")
 
+    # round-5c: the SAYT shingle posting stream rides the pre-analyzed
+    # tokens_col path — the shingle transform is per-row Catalyst, so the
+    # stream must keep the root stream's zero-Exchange contract; the MAD
+    # metric's second pass must broadcast the per-bucket medians; the
+    # string_stats entropy side must stay two hash aggregates (no extra
+    # exchange beyond the char regroup)
+    from neural_search_spark.query.sayt import _shingle_expr
+    from neural_search_spark.tokenizer import tokenize_expr
+
+    sayt_src = tr_audit.withColumn(
+        "__sayt_toks", _shingle_expr(tokenize_expr("text"), 2)
+    )
+    sayt_stream = postings_from_tokens(
+        tokenized_turns(sayt_src, "__sayt_toks")
+    )
+    plans[
+        "SAYT 2gram posting stream (pre-analyzed tokens_col — MUST show "
+        "zero Exchange)"
+    ] = sayt_stream
+    ss_text = cap(sayt_stream)
+    assert "Exchange" not in ss_text, (
+        "SAYT shingle posting stream plans an Exchange — the shingle "
+        "transform must stay row-local"
+    )
+    mad_plan = compute_aggs(
+        docs,
+        {"by": {"terms": {"field": "lang", "size": 10},
+                "aggs": {"m": {"median_absolute_deviation":
+                               {"field": "n_chars"}}}}},
+    )["by>m"]
+    plans["aggs MAD two-pass (per-bucket medians broadcast back)"] = mad_plan
+    md_text = cap(mad_plan)
+    assert "BroadcastHashJoin" in md_text, (
+        "MAD second pass must broadcast the 1-row-per-bucket medians"
+    )
+    assert "CartesianProduct" not in md_text
+    print("SAYT stream zero-exchange, MAD broadcast two-pass — ok")
+
     out = ["# PLANS — physical-plan audit (auto-generated)\n"]
     out.append(
         "Generated by `scripts/explain_audit.py`; greps each plan for the "
