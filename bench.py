@@ -382,6 +382,80 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
             len(mm_pairs) / (time.time() - t0), 2
         )
 
+        # completion suggester (round-5c, outside the headline): build
+        # the entries + prefix-tops sidecars from the turns' first-4-token
+        # phrases, then serve the short-prefix point-read path and the
+        # fuzzy walk — both pure pyarrow, no Spark job per call
+        from neural_search_spark.index.completion import (
+            CompletionIndex,
+            CompletionIndexBuilder,
+        )
+        from neural_search_spark.query.sayt import _shingle_expr
+        from neural_search_spark.tokenizer import tokenize_expr
+
+        comp_dir = f"/tmp/nss_bench_comp_{cpus}"
+        t0 = time.time()
+        CompletionIndexBuilder(
+            spark, comp_dir, prefix_depth=3, prefix_top=50, n_files=8
+        ).build(
+            tr.select(
+                F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+                F.array_join(
+                    F.slice(tokenize_expr("text"), 1, 4), " "
+                ).alias("inp"),
+                F.length("text").alias("w"),
+            ).filter(F.col("inp") != ""),
+            input_col="inp",
+            weight_col="w",
+        )
+        out["completion_build_sec"] = round(time.time() - t0, 3)
+        cidx = CompletionIndex(spark, comp_dir)
+        pfx = [p.split()[0][:2] for p in phrases] + ["th", "mo", "da"]
+        cidx.complete(pfx[0], 10)  # warm the dataset handles
+        t0 = time.time()
+        for pq_ in pfx:
+            cidx.complete(pq_, 10)
+        out["completion_qps"] = round(len(pfx) / (time.time() - t0), 2)
+        fz = [p.split()[0][:-1] + "x" for p in phrases]
+        cidx.complete(fz[0], 10, fuzzy={})  # warm the seed bucket cache
+        t0 = time.time()
+        for pq_ in fz:
+            cidx.complete(pq_, 10, fuzzy={})
+        out["completion_fuzzy_qps"] = round(
+            len(fz) / (time.time() - t0), 2
+        )
+
+        # search_as_you_type (round-5c): 2gram/3gram shingle subfield
+        # index builds via the pre-analyzed tokens_col path, then the
+        # canonical bool_prefix dis-max across root + subfields
+        from neural_search_spark.query.sayt import (
+            search_as_you_type_topk,
+        )
+
+        sayt_idx = {1: idx}
+        t0 = time.time()
+        for n in (2, 3):
+            gram_dir = f"/tmp/nss_bench_sayt{n}_{cpus}"
+            IndexBuilder(
+                spark, gram_dir, n_shards=32, block_size=4096,
+                tokens_col="__sayt_toks",
+            ).build(
+                # base tokens materialized in their own column first —
+                # the expression tree inside the transform lambda would
+                # re-tokenize per shingle position (see query/sayt.py)
+                tr.withColumn("__b", tokenize_expr("text"))
+                .withColumn("__sayt_toks", _shingle_expr(F.col("__b"), n))
+                .drop("__b")
+            )
+            sayt_idx[n] = BM25Index(spark, gram_dir)
+        out["sayt_gram_build_sec"] = round(time.time() - t0, 3)
+        sayt_qs = [" ".join(p.split()[:2])[:-2] for p in phrases]
+        search_as_you_type_topk(sayt_idx, sayt_qs[0], k=10).collect()
+        t0 = time.time()
+        for sq_ in sayt_qs:
+            search_as_you_type_topk(sayt_idx, sq_, k=10).collect()
+        out["sayt_qps"] = round(len(sayt_qs) / (time.time() - t0), 2)
+
     # --- sf-table operator queries ----------------------------------------
     extra_ops = [] if mode == "scaling" else [
         ("hybrid_minmax_arith", gate.q_hybrid_minmax_arith),

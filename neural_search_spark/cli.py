@@ -286,6 +286,47 @@ def cmd_search(args) -> None:
             print(json.dumps({"explain": True, **row.asDict()}))
 
 
+def cmd_complete(args) -> None:
+    from .index.completion import CompletionIndex
+
+    spark = _get_session(args)
+    cidx = CompletionIndex(spark, args.completion_index)
+    got = cidx.complete(
+        args.prefix,
+        size=args.size,
+        skip_duplicates=args.skip_duplicates,
+        fuzzy=({} if args.fuzzy else None),
+    )
+    print(
+        json.dumps(
+            [
+                {
+                    "text": c.text,
+                    "weight": c.weight,
+                    "doc_id": c.doc_id,
+                    "distance": c.distance,
+                }
+                for c in got
+            ]
+        )
+    )
+
+
+def cmd_terms_enum(args) -> None:
+    from .engine import Engine
+    from .query.bm25 import BM25Index
+
+    spark = _get_session(args)
+    eng = Engine(spark, bm25_index=BM25Index(spark, args.index))
+    print(
+        json.dumps(
+            eng.terms_enum(
+                args.prefix, size=args.size, search_after=args.search_after
+            )
+        )
+    )
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="neural_search_spark")
     p.add_argument("--local-cpus", type=int, default=None,
@@ -374,6 +415,26 @@ def main(argv=None) -> None:
     sg.add_argument("--sort", default="score",
                     choices=["score", "frequency"])
     sg.set_defaults(fn=cmd_suggest)
+
+    ce = sub.add_parser(
+        "complete", help="completion suggester (prefix autocomplete)"
+    )
+    ce.add_argument("--completion-index", required=True)
+    ce.add_argument("--prefix", required=True)
+    ce.add_argument("--size", type=int, default=5)
+    ce.add_argument("--skip-duplicates", action="store_true")
+    ce.add_argument("--fuzzy", action="store_true",
+                    help="FuzzyCompletionQuery mode (AUTO fuzziness)")
+    ce.set_defaults(fn=cmd_complete)
+
+    te = sub.add_parser(
+        "terms-enum", help="_terms_enum: index terms matching a prefix"
+    )
+    te.add_argument("--index", required=True)
+    te.add_argument("--prefix", required=True)
+    te.add_argument("--size", type=int, default=10)
+    te.add_argument("--search-after", default=None)
+    te.set_defaults(fn=cmd_terms_enum)
 
     qb = sub.add_parser("query-batch", help="batched top-k BM25")
     qb.add_argument("--index", required=True)

@@ -2115,6 +2115,27 @@ class Engine:
             raise ValueError("complete needs an attached completion_index")
         return self.completion_index.complete(prefix, size, **kw)
 
+    def terms_enum(
+        self, prefix: str, size: int = 10, search_after: str | None = None
+    ) -> list[str]:
+        """The _terms_enum API: index terms matching a prefix, sorted
+        ascending, up to `size`, resumable via search_after (exclusive) —
+        a dictionary range read on the attached BM25 index (the API's
+        documented use is field-value autocomplete; it returns terms, not
+        docs, and only live-indexed terms)."""
+        if self.bm25_index is None:
+            raise ValueError("terms_enum needs an attached bm25_index")
+        if not prefix:
+            raise ValueError("terms_enum needs a non-empty prefix (the "
+                             "full-dictionary walk is the guarded path)")
+        vocab = self.bm25_index.dictionary(prefix=prefix)
+        terms = [t for t, _ in vocab]
+        if search_after is not None:
+            import bisect
+
+            terms = terms[bisect.bisect_right(terms, search_after):]
+        return terms[:size]
+
     def search_as_you_type(self, query_text: str, k: int = 10, **kw):
         """The search_as_you_type field's canonical query (multi_match
         type=bool_prefix over root + shingle subfields, tie_breaker=0)

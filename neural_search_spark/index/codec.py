@@ -64,6 +64,68 @@ def decode_varint(buf: bytes) -> np.ndarray:
     return vals
 
 
+def encode_varint_batch(
+    values: np.ndarray, row_lengths: np.ndarray
+) -> list[bytes]:
+    """LEB128-encode MANY rows in one vectorized pass: `values` is the
+    row-concatenated uint64 array, `row_lengths` the per-row value
+    counts. Returns one bytes object per row, byte-identical to calling
+    ``encode_varint`` per row — but the 10-iteration encode runs ONCE
+    over the whole batch, so a million one-posting blocks cost one numpy
+    pass + a million buffer slices instead of a million full encodes
+    (the high-vocabulary-field build path, e.g. shingle subfields)."""
+    row_lengths = np.asarray(row_lengths, dtype=np.int64)
+    n_rows = len(row_lengths)
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b""] * n_rows
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for i in range(1, 10):
+        nbytes += (v >= (np.uint64(1) << np.uint64(7 * i))).astype(np.int64)
+    offsets = np.cumsum(nbytes) - nbytes
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for i in range(10):
+        mask = nbytes > i
+        if not mask.any():
+            break
+        chunk = (v[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1) > i
+        out[offsets[mask] + i] = chunk.astype(np.uint8) | (
+            cont.astype(np.uint8) << 7
+        )
+    buf = out.tobytes()
+    cum = np.concatenate(([0], np.cumsum(nbytes)))
+    ends_v = np.cumsum(row_lengths)
+    starts_v = ends_v - row_lengths
+    bs = cum[starts_v]
+    be = cum[ends_v]
+    return [buf[s:e] for s, e in zip(bs.tolist(), be.tolist())]
+
+
+def encode_doc_ids_batch(
+    flat_sorted_ids: np.ndarray, row_lengths: np.ndarray
+) -> list[bytes]:
+    """Batched ``encode_doc_ids``: per-row delta encoding computed
+    globally (each row's first value stays absolute), then one batched
+    varint pass. Byte-identical to the per-row form."""
+    row_lengths = np.asarray(row_lengths, dtype=np.int64)
+    u = (
+        np.ascontiguousarray(flat_sorted_ids, dtype=np.int64).astype(
+            np.uint64
+        )
+        + _SIGN_FLIP
+    )
+    if u.size == 0:
+        return [b""] * len(row_lengths)
+    d = np.empty_like(u)
+    d[0] = u[0]
+    d[1:] = u[1:] - u[:-1]
+    starts = np.cumsum(row_lengths) - row_lengths
+    starts = starts[row_lengths > 0]  # empty rows have no first value
+    d[starts] = u[starts]
+    return encode_varint_batch(d, row_lengths)
+
+
 def encode_doc_ids(sorted_doc_ids: np.ndarray) -> bytes:
     """Delta + varint encode an ascending int64 doc_id array."""
     u = sorted_doc_ids.astype(np.int64).astype(np.uint64) + _SIGN_FLIP

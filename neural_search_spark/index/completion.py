@@ -43,9 +43,96 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from ..tokenizer import tokenize_expr, tokenize_py
 
 __all__ = ["CompletionIndexBuilder", "CompletionIndex", "Completion"]
+
+
+def _encode_keys(
+    keys: list[str], width: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate key prefixes as one padded int32 codepoint matrix
+    (n × width, pad 0 — NUL never appears in analyzed keys) plus true
+    lengths. One C-level join+frombuffer, no per-key numpy calls."""
+    n = len(keys)
+    lens = np.fromiter((len(k) for k in keys), np.int64, n)
+    joined = "\0".join(k[:width].ljust(width, "\0") for k in keys)
+    if n:
+        joined += "\0"  # uniform stride: every key owns width+1 slots
+        flat = np.frombuffer(
+            joined.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int32)
+        mat = flat.reshape(n, width + 1)[:, :width]
+    else:
+        mat = np.empty((0, width), dtype=np.int32)
+    return mat, lens
+
+
+def _prefix_edit_distances_enc(
+    akey: str,
+    mat: np.ndarray,
+    lens: np.ndarray,
+    edits: int,
+    transpositions: bool,
+) -> np.ndarray:
+    """Banded Levenshtein/OSA prefix-distance DP, candidates as the
+    vector axis: min over prefix cuts of dist(akey, key[:cut]) for EVERY
+    candidate at once. Only the |i−j| ≤ edits band is computed (cells
+    outside it exceed the budget), every update is a numpy op across all
+    candidates, and values clip at edits+1 (int16) — the per-query hot
+    loop of fuzzy completion, ~100× the per-candidate python DP even on
+    full-corpus candidate sets. Returns edits+1 for over-budget rows."""
+    la = len(akey)
+    maxj = la + edits
+    n = mat.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    a = np.frombuffer(akey.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int32
+    )
+    big = np.int16(edits + 1)
+    # D[:, i] = dist(akey[:i], cand[:j]) at the current j, clipped at big
+    D = np.tile(
+        np.minimum(np.arange(la + 1), int(big)).astype(np.int16), (n, 1)
+    )
+    best = np.full(n, big, dtype=np.int16)
+    if la <= edits:
+        best[:] = la  # the empty prefix (cut=0) is inside the window
+    Dprev = None  # D at j-1, for the OSA transposition term
+    one = np.int16(1)
+    for j in range(1, maxj + 1):
+        cj = mat[:, j - 1]
+        newD = np.full_like(D, big)
+        if j <= edits:
+            newD[:, 0] = j
+        lo = max(1, j - edits)
+        hi = min(la, j + edits)
+        for i in range(lo, hi + 1):
+            sub = D[:, i - 1] + (cj != a[i - 1]).astype(np.int16)
+            cell = np.minimum(sub, D[:, i] + one)
+            cell = np.minimum(cell, newD[:, i - 1] + one)
+            if transpositions and i >= 2 and j >= 2 and Dprev is not None:
+                tr_ok = (cj == a[i - 2]) & (mat[:, j - 2] == a[i - 1])
+                cell = np.where(
+                    tr_ok, np.minimum(cell, Dprev[:, i - 2] + one), cell
+                )
+            # clip keeps values small; never changes the ≤edits verdict
+            np.minimum(cell, big, out=newD[:, i])
+        Dprev = D
+        D = newD
+        if j >= la - edits:
+            valid = lens >= j  # cut=j only exists if the key is that long
+            best = np.where(valid, np.minimum(best, D[:, la]), best)
+    return best.astype(np.int64)
+
+
+def _prefix_edit_distances(
+    akey: str, keys: list[str], edits: int, transpositions: bool
+) -> np.ndarray:
+    mat, lens = _encode_keys(keys, len(akey) + edits)
+    return _prefix_edit_distances_enc(akey, mat, lens, edits, transpositions)
 
 
 @dataclass
@@ -162,6 +249,14 @@ class CompletionIndex:
     """Read handle. Serving is pyarrow range/point reads only — no Spark
     job per suggest call."""
 
+    # pre-encoded fuzzy candidate width: covers analyzed prefixes up to
+    # 62 chars (+2 edits); longer prefixes fall back to a direct encode
+    _ENC_WIDTH = 64
+    # seeds cached per handle — the resident-terms-index analog (Lucene
+    # keeps the whole suggest FST in memory; we keep the hot protected-
+    # prefix buckets), bounded so memory stays O(cached buckets)
+    _SEED_CACHE_MAX = 16
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
@@ -169,6 +264,9 @@ class CompletionIndex:
             self.meta = json.load(fh)
         self._entries_ds = None
         self._tops_ds = None
+        from collections import OrderedDict
+
+        self._seed_cache: OrderedDict = OrderedDict()
 
     # -- low-level reads ------------------------------------------------
     def _ds(self, which: str):
@@ -257,8 +355,6 @@ class CompletionIndex:
         return out[:size]
 
     def _fuzzy(self, akey: str, fuzzy: dict) -> list[Completion]:
-        from ..query.fuzzy import levenshtein, osa_distance
-
         fz = fuzzy.get("fuzziness", "AUTO")
         if fz == "AUTO":
             edits = 0 if len(akey) < 3 else (1 if len(akey) < 6 else 2)
@@ -272,46 +368,67 @@ class CompletionIndex:
                 "fuzzy completion with prefix_length=0 reads every entry; "
                 "pass allow_unpruned=True to override (sandbox scale only)"
             )
-        dist = (
-            osa_distance
-            if fuzzy.get("transpositions", True)
-            else levenshtein
-        )
         if edits == 0:
             got = self._read_range(akey)
             got.sort(key=lambda r: (-r[2], r[1], r[3]))
             return [Completion(s, w, d) for _, s, w, d in got]
         # candidates: everything sharing the protected prefix — a range
         # read bounded by the pl-char bucket (document: pl>=2 recommended
-        # at large entry counts; the guard above refuses pl=0)
+        # at large entry counts; the guard above refuses pl=0), cached
+        # pre-encoded per seed (the Lucene resident-FST analog, bounded)
         seed = akey[: min(pl, len(akey))]
-        if seed:
-            cands = self._read_range(seed)
-        else:
-            # pl=0 (guard overridden): the full-entry walk
-            tbl = self._ds("entries").to_table(
-                columns=["key", "surface", "weight", "doc_id"]
-            )
-            cands = list(
-                zip(
-                    tbl["key"].to_pylist(), tbl["surface"].to_pylist(),
-                    tbl["weight"].to_pylist(), tbl["doc_id"].to_pylist(),
-                )
-            )
-        la = len(akey)
-        scored = []
-        for key, surface, weight, doc_id in cands:
-            # prefix edit distance: best alignment of akey against any
-            # truncation of the candidate key within the edit budget
-            best = None
-            for cut in range(max(0, la - edits), min(len(key), la + edits) + 1):
-                d = dist(akey, key[:cut])
-                if best is None or d < best:
-                    best = d
-            if best is not None and best <= edits:
-                scored.append((best, -weight, surface, doc_id, weight))
+        maxj = len(akey) + edits
+        surfaces, weights, doc_ids, keys, mat, lens = self._candidates(seed)
+        if not surfaces:
+            return []
+        if maxj > mat.shape[1]:
+            mat, lens = _encode_keys(keys, maxj)
+        # prefix edit distance for EVERY candidate in one vectorized DP
+        dists = _prefix_edit_distances_enc(
+            akey, mat, lens, edits, bool(fuzzy.get("transpositions", True))
+        )
+        sel = np.flatnonzero(dists <= edits)
+        scored = [
+            (int(dists[i]), -weights[i], surfaces[i], doc_ids[i], weights[i])
+            for i in sel
+        ]
         scored.sort()
         return [
             Completion(s, w, d, distance=b)
             for b, _, s, d, w in scored
         ]
+
+    def _candidates(self, seed: str):
+        """(surfaces, weights, doc_ids, keys, mat, lens) for a protected
+        prefix, LRU-cached with the key matrix pre-encoded at _ENC_WIDTH."""
+        hit = self._seed_cache.get(seed)
+        if hit is not None:
+            self._seed_cache.move_to_end(seed)
+            return hit
+        if seed:
+            rows = self._read_range(seed)
+        else:
+            # pl=0 (guard overridden): the full-entry walk
+            tbl = self._ds("entries").to_table(
+                columns=["key", "surface", "weight", "doc_id"]
+            )
+            rows = list(
+                zip(
+                    tbl["key"].to_pylist(), tbl["surface"].to_pylist(),
+                    tbl["weight"].to_pylist(), tbl["doc_id"].to_pylist(),
+                )
+            )
+        keys = [r[0] for r in rows]
+        mat, lens = _encode_keys(keys, self._ENC_WIDTH)
+        item = (
+            [r[1] for r in rows],
+            [r[2] for r in rows],
+            [r[3] for r in rows],
+            keys,
+            mat,
+            lens,
+        )
+        self._seed_cache[seed] = item
+        if len(self._seed_cache) > self._SEED_CACHE_MAX:
+            self._seed_cache.popitem(last=False)
+        return item

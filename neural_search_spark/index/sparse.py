@@ -44,7 +44,7 @@ from .build import (
     tid_expr,
     tid_py,
 )
-from .codec import decode_doc_ids, decode_f32, encode_doc_ids, encode_f32
+from .codec import decode_doc_ids, decode_f32
 
 SPARSE_FORMAT_VERSION = 1
 
@@ -57,13 +57,41 @@ SPARSE_TOPK_SCHEMA = T.StructType(
 
 
 def _encode_udfs():
+    """Batch-vectorized like index.build._encode_udfs: one codec pass per
+    Arrow batch (byte-identical to per-row encode), so a huge sparse
+    vocabulary of near-singleton blocks stays cheap."""
+    from .codec import encode_doc_ids_batch
+
+    def _flat(col: pd.Series, dt) -> tuple[np.ndarray, np.ndarray]:
+        lens = np.fromiter(
+            (len(a) for a in col), dtype=np.int64, count=len(col)
+        )
+        if int(lens.sum()) == 0:
+            return np.empty(0, dtype=dt), lens
+        return np.concatenate([np.asarray(a) for a in col]), lens
+
     @F.pandas_udf(T.BinaryType())
     def enc_docs(col: pd.Series) -> pd.Series:
-        return col.map(lambda a: encode_doc_ids(np.asarray(a, dtype=np.int64)))
+        flat, lens = _flat(col, np.int64)
+        return pd.Series(encode_doc_ids_batch(flat.astype(np.int64), lens))
 
     @F.pandas_udf(T.BinaryType())
     def enc_w(col: pd.Series) -> pd.Series:
-        return col.map(lambda a: encode_f32(np.asarray(a, dtype=np.float32)))
+        # float32 payloads are fixed-width: one concatenated tobytes +
+        # per-row slicing (still byte-identical to per-row encode_f32)
+        lens = np.fromiter(
+            (len(a) for a in col), dtype=np.int64, count=len(col)
+        )
+        if int(lens.sum()) == 0:
+            return pd.Series([b""] * len(col))
+        buf = np.concatenate(
+            [np.asarray(a, dtype=np.float32) for a in col]
+        ).astype("<f4").tobytes()
+        ends = np.cumsum(lens) * 4
+        starts = ends - lens * 4
+        return pd.Series(
+            [buf[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
+        )
 
     return enc_docs, enc_w
 

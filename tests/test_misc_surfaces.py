@@ -358,3 +358,30 @@ def test_highlight_topk_fragments(spark):
     assert out["highlighted"].count("<em>") == 3
     assert len(out["fragments"]) == 2
     assert out["fragments"][0].startswith("<em>alpha</em> <em>beta</em>")
+
+
+def test_terms_enum(spark, small_index):
+    from neural_search_spark.engine import Engine
+    from neural_search_spark.query.bm25 import BM25Index
+
+    idx = BM25Index(spark, small_index)
+    eng = Engine(spark, bm25_index=idx)
+    vocab = [t for t, _ in idx.dictionary()]
+    # pick a prefix with at least 6 terms so the pagination is exercised
+    from collections import Counter
+
+    pfx = Counter(t[0] for t in vocab).most_common(1)[0][0]
+    exp = sorted(t for t in vocab if t.startswith(pfx))
+    assert len(exp) >= 6
+    got = eng.terms_enum(pfx, size=5)
+    assert got == exp[:5]
+    # resumable: search_after is exclusive and continues the walk
+    more = eng.terms_enum(pfx, size=5, search_after=got[-1])
+    assert more == exp[5:10]
+    # empty prefix refuses (the unguarded full walk)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty prefix"):
+        eng.terms_enum("")
+    with _pt.raises(ValueError, match="bm25_index"):
+        Engine(spark).terms_enum("s")
