@@ -517,10 +517,11 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         out["engine_ann_topk_sec"] = round(time.time() - t1, 3)
 
         # search-time aggregations (round-5 field, outside the headline):
-        # the full hybrid-scoped 11-variant agg matrix — terms+metrics /
-        # histogram+cumulative_sum / range / extended_stats / percentiles /
-        # significant_terms / composite page / multi_terms / rare_terms /
-        # weighted_avg / top_metrics — over the sf documents table
+        # the full hybrid-scoped 16-variant agg matrix — terms+metrics /
+        # histogram+cumulative_sum / range / extended_stats (+bucket) /
+        # percentiles / significant_terms / significant_text / composite
+        # page / multi_terms / rare_terms / weighted_avg / top_metrics /
+        # boxplot / MAD / string_stats — over the sf documents table
         t1 = time.time()
         gate.q_hybrid_agg(spark, SF_DIR).collect()
         out["aggs_matrix_sec"] = round(time.time() - t1, 3)
