@@ -455,6 +455,18 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         for sq_ in sayt_qs:
             search_as_you_type_topk(sayt_idx, sq_, k=10).collect()
         out["sayt_qps"] = round(len(sayt_qs) / (time.time() - t0), 2)
+        # batched SAYT: the whole keystroke batch in one job per subfield
+        # (shared decode cache) — the autocomplete msearch shape
+        from neural_search_spark.query.sayt import search_as_you_type_batch
+
+        sayt_batch_qs = list(enumerate(sayt_qs))
+        sayt_batch_qs = [(f"q{i}", s) for i, s in sayt_batch_qs]
+        search_as_you_type_batch(sayt_idx, sayt_batch_qs, k=10).collect()
+        t0 = time.time()
+        search_as_you_type_batch(sayt_idx, sayt_batch_qs, k=10).collect()
+        out["sayt_qps_batch"] = round(
+            len(sayt_batch_qs) / (time.time() - t0), 2
+        )
 
     # --- sf-table operator queries ----------------------------------------
     extra_ops = [] if mode == "scaling" else [

@@ -2151,6 +2151,22 @@ class Engine:
             self.sayt_indexes, query_text, k=k, **kw
         )
 
+    def search_as_you_type_batch(
+        self, queries: list[tuple[str, str]], k: int = 10
+    ):
+        """Batched SAYT ({query_id: suggestions} for a whole keystroke
+        batch): one job per subfield index for the entire query set with
+        a shared decode cache — the autocomplete-cluster msearch shape
+        (see query/sayt.py search_as_you_type_batch)."""
+        if not self.sayt_indexes:
+            raise ValueError(
+                "search_as_you_type needs attached sayt_indexes "
+                "(query.sayt.build_sayt_indexes)"
+            )
+        from .query.sayt import search_as_you_type_batch
+
+        return search_as_you_type_batch(self.sayt_indexes, queries, k=k)
+
     def scroll(
         self,
         spec=None,

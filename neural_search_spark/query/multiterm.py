@@ -381,6 +381,272 @@ def match_bool_prefix_topk(
     )
 
 
+def match_bool_prefix_topk_batch(
+    index: BM25Index,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    boost: float = 1.0,
+    mode: str = "auto",
+    tokens_by_qid: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """match_bool_prefix for a BATCH of queries in ONE Spark job — the
+    msearch / autocomplete-cluster shape, the bool_prefix sibling of
+    ``bm25.bm25_topk_batch``.
+
+    queries: [(query_id, query_text)] → (query_id, doc_id, score, rank),
+    score-identical per query to ``match_bool_prefix_topk``.
+    `tokens_by_qid` overrides analysis per query (pre-analyzed token
+    streams, e.g. search_as_you_type shingle subfields).
+
+    One pass over the union of every query's clauses' postings; per
+    shard, decoded (ids, tfnorm) contributions are CACHED by tid across
+    the batch's queries (tfnorm is query-independent), so hot terms —
+    and the prefix expansions autocomplete queries share — decode once
+    per shard, not once per query. Per-doc accumulation is local to the
+    shard (doc-sharded postings), so the global merge is a tiny
+    per-query window top-k.
+
+    `mode`: 'auto' (default) serves the whole batch driver-side via one
+    pyarrow point read when the union's Σdf fits DRIVER_MAX_POSTINGS
+    (the coordinator-cheap-query pattern, zero Spark jobs); 'driver' /
+    'distributed' force the route."""
+    from ..index.codec import decode_doc_ids, decode_varint
+    from ..tokenizer import tokenize_py
+    from .bm25 import BATCH_TOPK_SCHEMA, lucene_idf
+
+    spark = index.spark
+    # --- per-query plan: term-clause weights + prefix expansion tids ---
+    toks_by_qid: dict[str, list[str]] = {}
+    for qid, text in queries:
+        toks = (
+            tokens_by_qid.get(qid)
+            if tokens_by_qid is not None
+            else tokenize_py(text)
+        )
+        if toks:
+            toks_by_qid[qid] = list(toks)
+    if not toks_by_qid:
+        return spark.createDataFrame([], schema=BATCH_TOPK_SCHEMA).withColumn(
+            "rank", F.lit(0).cast("int")
+        )
+    all_clause_terms = sorted(
+        {t for toks in toks_by_qid.values() for t in toks[:-1]}
+    )
+    stats = index.term_stats(all_clause_terms)
+    n_docs = index.n_docs
+    w_by_qid: dict[str, dict[int, float]] = {}
+    pfx_by_qid: dict[str, frozenset[int]] = {}
+    exp_terms: set[str] = set()
+    exp_cache: dict[str, frozenset[int]] = {}
+    df_by_tid: dict[int, int] = {tid_py(t): d for t, d in stats.items()}
+    for qid, toks in toks_by_qid.items():
+        terms, last = toks[:-1], toks[-1]
+        w: dict[int, float] = {}
+        for t in terms:
+            if t in stats:
+                tid = tid_py(t)
+                w[tid] = w.get(tid, 0.0) + lucene_idf(n_docs, stats[t])
+        got = exp_cache.get(last)
+        if got is None:
+            exps = index.dictionary(prefix=last)
+            exp_terms.update(t for t, _ in exps)
+            for t, d in exps:
+                df_by_tid.setdefault(tid_py(t), d)
+            got = frozenset(tid_py(t) for t, _ in exps)
+            exp_cache[last] = got
+        if w or got:
+            w_by_qid[qid] = w
+            pfx_by_qid[qid] = got
+    if not w_by_qid:
+        return spark.createDataFrame([], schema=BATCH_TOPK_SCHEMA).withColumn(
+            "rank", F.lit(0).cast("int")
+        )
+    all_terms = sorted(set(stats) | exp_terms)
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+    deletes = index.deletes
+    fboost = float(boost)
+
+    def accumulate_queries(contrib, present) -> pd.DataFrame:
+        """Per-query Σ w·tfnorm + boost·[prefix hit] from a shared
+        tid → (ids, tfnorm) source; emits ≤k rows per query (exact at
+        the shard level because a doc's postings are shard-local, and
+        exact driver-side because the read covers every shard)."""
+        out_qid: list[str] = []
+        out_ids: list[np.ndarray] = []
+        out_sc: list[np.ndarray] = []
+        for qid, w_by_tid in w_by_qid.items():
+            ids_parts: list[np.ndarray] = []
+            sc_parts: list[np.ndarray] = []
+            hit_parts: list[np.ndarray] = []
+            for tid, wv in w_by_tid.items():
+                if tid not in present:
+                    continue
+                ids, tfn = contrib(tid)
+                ids_parts.append(ids)
+                sc_parts.append(wv * tfn)
+            for tid in pfx_by_qid[qid]:
+                if tid in present:
+                    hit_parts.append(contrib(tid)[0])
+            base = (
+                np.concatenate(ids_parts)
+                if ids_parts
+                else np.empty(0, dtype=np.int64)
+            )
+            hits = (
+                np.unique(np.concatenate(hit_parts))
+                if hit_parts
+                else np.empty(0, dtype=np.int64)
+            )
+            all_ids = np.unique(np.concatenate([base, hits]))
+            if all_ids.size == 0:
+                continue
+            sc = np.zeros(all_ids.size, dtype=np.float64)
+            if base.size:
+                sc += np.bincount(
+                    np.searchsorted(all_ids, base),
+                    weights=np.concatenate(sc_parts),
+                    minlength=all_ids.size,
+                )
+            if hits.size:
+                sc[np.searchsorted(all_ids, hits)] += fboost
+            f32 = sc.astype(np.float32)
+            sel = np.lexsort((all_ids, -f32.astype(np.float64)))[:k]
+            out_qid.extend([qid] * len(sel))
+            out_ids.append(all_ids[sel])
+            out_sc.append(f32[sel])
+        if not out_qid:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype(
+                {"query_id": str, "doc_id": np.int64, "score": np.float32}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": out_qid,
+                "doc_id": np.concatenate(out_ids),
+                "score": np.concatenate(out_sc),
+            }
+        )
+
+    need_tids = set()
+    for qid in w_by_qid:
+        need_tids.update(w_by_qid[qid])
+        need_tids.update(pfx_by_qid[qid])
+    sum_df = sum(df_by_tid.get(t, 0) for t in need_tids)
+    if mode == "driver" or (
+        mode == "auto" and sum_df <= DRIVER_MAX_POSTINGS
+    ):
+        # whole batch from one pyarrow point read — zero Spark jobs; the
+        # decode cache is shared across queries the same way
+        import pyarrow.dataset as ds
+
+        from ..index.build import N_TERM_BUCKETS
+
+        tids = sorted(need_tids)
+        buckets = sorted({t % N_TERM_BUCKETS for t in tids})
+        if index._postings_ds is None:
+            index._postings_ds = ds.dataset(
+                index._postings_path, format="parquet", partitioning="hive"
+            )
+        tbl = index._postings_ds.to_table(
+            columns=["tid", "docs", "tfs", "dls"],
+            filter=ds.field("term_bucket").isin(buckets)
+            & ds.field("tid").isin(tids),
+        )
+        tid_a = tbl["tid"].to_numpy()
+        docs_col = tbl["docs"].to_pylist()
+        tfs_col = tbl["tfs"].to_pylist()
+        dls_col = tbl["dls"].to_pylist()
+        order = np.argsort(tid_a, kind="stable")
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def contrib_driver(tid: int) -> tuple[np.ndarray, np.ndarray]:
+            got = cache.get(tid)
+            if got is None:
+                lo = np.searchsorted(tid_a[order], tid, side="left")
+                hi = np.searchsorted(tid_a[order], tid, side="right")
+                rows = order[lo:hi]
+                ids = np.concatenate(
+                    [decode_doc_ids(docs_col[i]) for i in rows]
+                )
+                tfs = np.concatenate(
+                    [decode_varint(tfs_col[i]) for i in rows]
+                ).astype(np.float64)
+                dls = np.concatenate(
+                    [decode_varint(dls_col[i]) for i in rows]
+                ).astype(np.float64)
+                live = _live_mask(ids, deletes)
+                if live is not None:
+                    ids, tfs, dls = ids[live], tfs[live], dls[live]
+                tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                got = (ids, tfn)
+                cache[tid] = got
+            return got
+
+        pdf = accumulate_queries(contrib_driver, set(np.unique(tid_a)))
+        pdf = pdf.sort_values(
+            ["query_id", "score", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        pdf["rank"] = (
+            pdf.groupby("query_id").cumcount().to_numpy() + 1
+        ).astype(np.int32)
+        return spark.createDataFrame(
+            pdf,
+            schema="query_id string, doc_id long, score float, rank int",
+        )
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype(
+                {"query_id": str, "doc_id": np.int64, "score": np.float32}
+            )
+        tid_arr = pdf["tid"].to_numpy(dtype=np.int64)
+        present = set(np.unique(tid_arr))
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def contrib(tid: int) -> tuple[np.ndarray, np.ndarray]:
+            got = cache.get(tid)
+            if got is None:
+                rows = pdf[tid_arr == tid]
+                ids = np.concatenate(
+                    [decode_doc_ids(x) for x in rows["docs"]]
+                )
+                tfs = np.concatenate(
+                    [decode_varint(x) for x in rows["tfs"]]
+                ).astype(np.float64)
+                dls = np.concatenate(
+                    [decode_varint(x) for x in rows["dls"]]
+                ).astype(np.float64)
+                live = _live_mask(ids, deletes)
+                if live is not None:
+                    ids, tfs, dls = ids[live], tfs[live], dls[live]
+                tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                got = (ids, tfn)
+                cache[tid] = got
+            return got
+
+        return accumulate_queries(contrib, present)
+
+    from pyspark.sql import Window
+
+    blocks = index.postings_for(all_terms).select(
+        "shard_id", "tid", "docs", "tfs", "dls"
+    )
+    shard_topk = blocks.groupBy("shard_id").applyInPandas(
+        score_shard, BATCH_TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return shard_topk.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
 def term_topk(
     index: BM25Index, value: str, k: int = 10, mode: str = "auto"
 ) -> DataFrame:

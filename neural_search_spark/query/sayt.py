@@ -45,6 +45,7 @@ __all__ = [
     "shingles_py",
     "build_sayt_indexes",
     "search_as_you_type_topk",
+    "search_as_you_type_batch",
 ]
 
 
@@ -158,3 +159,60 @@ def search_as_you_type_topk(
 
         return _empty(spark)
     return _dismax_union_topk(parts, k)
+
+
+def search_as_you_type_batch(
+    indexes: dict,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+) -> DataFrame:
+    """SAYT for a BATCH of queries — the autocomplete-cluster throughput
+    shape: ONE Spark job per subfield index for the whole query set
+    (``match_bool_prefix_topk_batch``, decode cache shared across the
+    batch's queries — autocomplete batches share prefixes heavily), then
+    one doc-keyed dis-max (tie_breaker=0) + per-query window top-k.
+
+    queries: [(query_id, query_text)] → (query_id, doc_id, score, rank),
+    score-identical per query to ``search_as_you_type_topk`` by the same
+    per-field top-k containment argument (final score = max over fields,
+    so every final top-k doc is in some field's per-query top-k)."""
+    from pyspark.sql import Window
+
+    from .multiterm import match_bool_prefix_topk_batch
+
+    spark = indexes[min(indexes)].spark
+    toks_by_qid = {
+        qid: tokenize_py(text) for qid, text in queries
+    }
+    parts = []
+    for n in sorted(indexes):
+        sh_by_qid = {
+            qid: shingles_py(toks, n)
+            for qid, toks in toks_by_qid.items()
+            if shingles_py(toks, n)
+        }
+        if not sh_by_qid:
+            continue  # every query shorter than this shingle size
+        part = match_bool_prefix_topk_batch(
+            indexes[n],
+            [(qid, "") for qid in sh_by_qid],
+            k=k,
+            tokens_by_qid=sh_by_qid,
+        )
+        parts.append(part.select("query_id", "doc_id", "score"))
+    if not parts:
+        return spark.createDataFrame(
+            [], schema="query_id string, doc_id long, score float, rank int"
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    dismax = allp.groupBy("query_id", "doc_id").agg(
+        F.max("score").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return dismax.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

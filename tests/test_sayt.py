@@ -141,3 +141,57 @@ def test_engine_wiring(spark, sayt):
     assert list(got["rank"]) == list(range(1, len(got) + 1))
     with pytest.raises(ValueError, match="sayt_indexes"):
         Engine(spark).search_as_you_type("x")
+
+
+def test_sayt_batch_matches_per_query(sayt):
+    from neural_search_spark.query.sayt import search_as_you_type_batch
+
+    qs = [
+        ("q0", "the model trai"),
+        ("q1", "mod"),            # 1-token: root field only
+        ("q2", "model training conv"),  # 3 tokens: all subfields
+        ("q3", "zzz nosuchtoken"),      # OOV terms, OOV prefix
+    ]
+    batch = search_as_you_type_batch(sayt, qs, k=10).toPandas()
+    for qid, text in qs:
+        solo = search_as_you_type_topk(sayt, text, k=10).toPandas()
+        got = batch[batch["query_id"] == qid].sort_values("rank")
+        assert list(got["doc_id"]) == list(solo["doc_id"]), qid
+        assert np.allclose(
+            got["score"].to_numpy(dtype=np.float64),
+            solo["score"].to_numpy(dtype=np.float64),
+            atol=1e-6,
+        ), qid
+        assert list(got["rank"]) == list(range(1, len(got) + 1)), qid
+
+
+def test_mbp_batch_matches_per_query(spark, transcripts_df, tmp_path_factory):
+    from neural_search_spark.index.build import IndexBuilder
+    from neural_search_spark.query.bm25 import BM25Index
+    from neural_search_spark.query.multiterm import (
+        match_bool_prefix_topk,
+        match_bool_prefix_topk_batch,
+    )
+
+    p = str(tmp_path_factory.mktemp("mbp_batch"))
+    IndexBuilder(spark, p, n_shards=4, block_size=64).build(transcripts_df)
+    idx = BM25Index(spark, p)
+    qs = [
+        ("a", "the model trai"),
+        ("b", "mod"),               # prefix-only (single token)
+        ("c", "model model trai"),  # duplicate term clauses sum
+        ("d", "qqqq zzzz"),         # everything OOV → no rows
+    ]
+    for mode in ("driver", "distributed"):
+        batch = match_bool_prefix_topk_batch(
+            idx, qs, k=8, mode=mode
+        ).toPandas()
+        for qid, text in qs:
+            solo = match_bool_prefix_topk(idx, text, k=8).toPandas()
+            got = batch[batch["query_id"] == qid].sort_values("rank")
+            assert list(got["doc_id"]) == list(solo["doc_id"]), (mode, qid)
+            assert np.allclose(
+                got["score"].to_numpy(dtype=np.float64),
+                solo["score"].to_numpy(dtype=np.float64),
+                atol=1e-6,
+            ), (mode, qid)
