@@ -4097,29 +4097,197 @@ FROM documents CROSS JOIN s WHERE n_chars > 0"""
     )
 
 
+_RE_METRICS: list[tuple[str, dict]] = [
+    ("re_p", {"precision": {"k": 5}}),
+    ("re_r", {"recall": {"k": 5}}),
+    (
+        "re_mrr",
+        {"mean_reciprocal_rank": {"k": 5, "relevant_rating_threshold": 3}},
+    ),
+    ("re_ndcg", {"dcg": {"k": 5, "normalize": True}}),
+    (
+        "re_err",
+        {"expected_reciprocal_rank": {"k": 5, "maximum_relevance": 4}},
+    ),
+]
+
+
 def q_sort_search_after(spark: SparkSession, sf: str) -> DataFrame:
+    """Serving-API matrix (round-5d): the field-sort collector PLUS the
+    two APIs built on it that previously had pytest-only coverage.
+
+    * 'sa'     — sort_topk with search_after (the original entry);
+    * 'scroll' — ScrollCursor keyset pagination over events: page 1 is
+      read on one cursor, then a NEW cursor is constructed from its
+      ``resume_token`` (the serializable PIT + search_after contract)
+      and pages 2-4 (page_size 15) are emitted with their global
+      positions 16..60 — a hash mismatch here means either the keyset
+      predicate or the resume handoff dropped/duplicated a row;
+    * 're_*'   — the `_rank_eval` API's five metrics (precision@5,
+      recall@5, MRR@5 thr=3, NDCG@5, ERR@5 M=4) over BM25 top-10 hits
+      for two requests (QUERY_A/QUERY_B over documents). Ratings are
+      rank-derived so both engines construct the identical judgment
+      list: hit at rank r (r ≤ 8, r ≠ 4) gets rating r mod 4 — rank 4
+      stays UNLABELED (exercises unrated_docs and the unlabeled-gain-0
+      path) and ranks 6-8 are relevant-but-outside-the-window
+      (exercises the recall denominator). kc = request id,
+      v = metric_score (6 dp), rank = unrated_docs.
+
+    Shared schema (variant string, kc string, v double, rank int)."""
     from .query import neural as nq
+    from .query.rank_eval import compute_metric
+    from .query.scroll import ScrollCursor
 
     ev = _events(spark, sf).select(
         "event_id", "event_type", F.round("value", 6).alias("value")
     )
-    return nq.sort_topk(
+    kc = F.concat_ws("/", "event_type", F.col("event_id").cast("string"))
+    sa = nq.sort_topk(
         ev, [("event_type", "asc"), ("value", "desc")], k=20,
         search_after=["click", 50.0, 0], tiebreak="event_id",
+    ).select(
+        F.lit("sa").alias("variant"),
+        kc.alias("kc"),
+        F.col("value").alias("v"),
+        "rank",
     )
+
+    sort_cols = [("event_type", "asc"), ("value", "desc")]
+    c1 = ScrollCursor(ev, sort_cols, page_size=15, tiebreak="event_id")
+    c1.next_page()  # page 1 consumed here; only its token crosses over
+    c2 = ScrollCursor(
+        ev, sort_cols, page_size=15, tiebreak="event_id",
+        search_after=c1.resume_token,
+    )
+    pages = []
+    for pg in range(1, 4):  # pages 2..4 → global offsets 15,30,45
+        p = c2.next_page()
+        if not len(p):
+            break
+        p = p.copy()
+        p["rank"] = (p["rank"] + 15 * pg).astype("int32")
+        pages.append(p)
+    scroll_pdf = pd.concat(pages, ignore_index=True)
+    scroll = spark.createDataFrame(
+        scroll_pdf,
+        schema="event_id long, event_type string, value double, rank int",
+    ).select(
+        F.lit("scroll").alias("variant"),
+        kc.alias("kc"),
+        F.col("value").alias("v"),
+        "rank",
+    )
+
+    # --- rank_eval over BM25 top-10 hits, rank-derived ratings ---------
+    d = _docs(spark, sf)
+    hits = None
+    ratings_rows: list[tuple[str, int, int]] = []
+    for qid, qtext in (("qa", QUERY_A), ("qb", QUERY_B)):
+        h = _ranked(
+            bm25_scored(d, ["doc_id"], qtext, stats_key=(_sf_key(sf), "docs")),
+            ["doc_id"], 10,
+        ).select(F.lit(qid).alias("query_id"), "doc_id", "rank")
+        hits = h if hits is None else hits.unionByName(h)
+        for r in h.filter(F.col("rank") <= 8).collect():  # ≤8-row judgment list
+            if r["rank"] != 4:
+                ratings_rows.append((qid, r["doc_id"], r["rank"] % 4))
+    ratings = spark.createDataFrame(
+        ratings_rows, schema="query_id string, doc_id long, rating int"
+    )
+    out = sa.unionByName(scroll)
+    for name, metric in _RE_METRICS:
+        per = compute_metric(hits, ratings, metric, ["qa", "qb"])
+        out = out.unionByName(
+            per.select(
+                F.lit(name).alias("variant"),
+                F.col("query_id").alias("kc"),
+                F.round("metric_score", 6).alias("v"),
+                F.col("unrated_docs").alias("rank"),
+            )
+        )
+    return out
 
 
 def sql_sort_search_after() -> str:
-    return """
-WITH ev AS (SELECT event_id, event_type, round(value, 6) AS value FROM events),
-f AS (
-  SELECT * FROM ev
+    sa = """
+SELECT 'sa' AS variant, event_type || '/' || event_id AS kc, value AS v, rank
+FROM (
+  SELECT event_id, event_type, value,
+         row_number() OVER (ORDER BY event_type, value DESC, event_id)::INTEGER AS rank
+  FROM (SELECT event_id, event_type, round(value, 6) AS value FROM events)
   WHERE event_type > 'click'
      OR (event_type = 'click' AND value < 50.0)
-     OR (event_type = 'click' AND value = 50.0 AND event_id > 0))
-SELECT event_id, event_type, value,
-       row_number() OVER (ORDER BY event_type, value DESC, event_id)::INTEGER AS rank
-FROM f ORDER BY event_type, value DESC, event_id LIMIT 20"""
+     OR (event_type = 'click' AND value = 50.0 AND event_id > 0)
+  ORDER BY event_type, value DESC, event_id LIMIT 20)"""
+    # scroll pages 2-4 = global keyset positions 16..60 of the full order
+    scroll = """
+SELECT 'scroll' AS variant, event_type || '/' || event_id AS kc, value AS v,
+       rn::INTEGER AS rank
+FROM (
+  SELECT event_id, event_type, value,
+         row_number() OVER (ORDER BY event_type, value DESC, event_id) AS rn
+  FROM (SELECT event_id, event_type, round(value, 6) AS value FROM events))
+WHERE rn BETWEEN 16 AND 60"""
+
+    parts = [sa, scroll]
+    for qid, qtext in (("qa", QUERY_A), ("qb", QUERY_B)):
+        top10 = _topk_sql(
+            bm25_scored_sql("documents", ["doc_id"], qtext), ["doc_id"], 10
+        )
+        # judgment list: rating = rank mod 4 for ranks ≤ 8 except rank 4
+        rt = (
+            f"SELECT doc_id, rank % 4 AS rating FROM ({top10}) "
+            "WHERE rank <= 8 AND rank <> 4"
+        )
+        # metric window: top-5 hits left-joined to the ratings
+        j5 = (
+            f"SELECT h.rank, rt.rating FROM ({top10}) h "
+            f"LEFT JOIN ({rt}) rt USING (doc_id) WHERE h.rank <= 5"
+        )
+        unrated = (
+            f"(SELECT coalesce(sum(CASE WHEN rating IS NULL THEN 1 ELSE 0 "
+            f"END), 0)::INTEGER FROM ({j5}))"
+        )
+        parts.append(f"""
+SELECT 're_p' AS variant, '{qid}' AS kc,
+       round(sum(CASE WHEN rating >= 1 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS v,
+       {unrated} AS rank
+FROM ({j5})""")
+        parts.append(f"""
+SELECT 're_r' AS variant, '{qid}' AS kc,
+       round((SELECT coalesce(sum(CASE WHEN rating >= 1 THEN 1.0 ELSE 0.0 END), 0)
+              FROM ({j5}))
+             / (SELECT sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) FROM ({rt})),
+             6) AS v,
+       {unrated} AS rank""")
+        parts.append(f"""
+SELECT 're_mrr' AS variant, '{qid}' AS kc,
+       round(coalesce(1.0 / min(CASE WHEN rating >= 3 THEN rank END), 0.0), 6) AS v,
+       {unrated} AS rank
+FROM ({j5})""")
+        parts.append(f"""
+SELECT 're_ndcg' AS variant, '{qid}' AS kc,
+       round((SELECT sum((pow(2.0, coalesce(rating, 0)) - 1.0) / log2(rank + 1.0))
+              FROM ({j5}))
+             / (SELECT sum((pow(2.0, rating) - 1.0) / log2(rn + 1.0))
+                FROM (SELECT rating,
+                             row_number() OVER (ORDER BY rating DESC, doc_id) AS rn
+                      FROM ({rt}))
+                WHERE rn <= 5),
+             6) AS v,
+       {unrated} AS rank""")
+        # ERR, cascade model: prior = Π(1-R) via exp(Σ ln(1-R)); ratings
+        # are ≤ 3 < maximum_relevance=4 so R < 1 and ln never sees 0
+        parts.append(f"""
+SELECT 're_err' AS variant, '{qid}' AS kc,
+       round(sum(prior * r_i / rank), 6) AS v, {unrated} AS rank
+FROM (
+  SELECT rank, r_i,
+         coalesce(exp(sum(ln(1.0 - r_i)) OVER (ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0) AS prior
+  FROM (SELECT rank, (pow(2.0, coalesce(rating, 0)) - 1.0) / 16.0 AS r_i
+        FROM ({j5})))""")
+    return " UNION ALL ".join(parts)
 
 
 def q_hybrid_filtered(spark: SparkSession, sf: str) -> DataFrame:
