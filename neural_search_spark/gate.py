@@ -575,6 +575,25 @@ def _gate_sayt_indexes(spark: SparkSession, sf: str):
     return idxs
 
 
+_LM_CACHE: dict = {}
+
+
+def _gate_bigram_lm(spark: SparkSession, sf: str):
+    """Build (once per sf_dir snapshot) the phrase-suggester bigram
+    language model over the documents text — the distributed two-count
+    pass + sorted parquet whose serving side is pyarrow point reads."""
+    key = _sf_key(sf)
+    if key in _LM_CACHE:
+        return _LM_CACHE[key]
+    from .query.phrase_suggest import BigramLM
+
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:8]
+    out = f"/tmp/nss_gate_lm_{tag}"
+    lm = BigramLM.build(spark, _docs(spark, sf), out, partitions=4)
+    _LM_CACHE[key] = lm
+    return lm
+
+
 def _gate_sparse_index(spark: SparkSession, sf: str) -> str:
     """Build (once per sf_dir snapshot) the sparse feature-weight postings
     index over the documents tf features — the FeatureField analog the
@@ -1364,6 +1383,10 @@ _SQS_GRP = "(spark | join) + dup"
 _SLOP_SPECS = (("slop", "window join", 2), ("slop_rpt", "merge merge", 3))
 _SUGGEST_TEXT = "sparc windoq"  # 1-edit typos of 'spark' / 'window'
 _SUGGEST_SIZE = 5
+_PSUGGEST_TEXT = "spark sot window"  # 'sot': 1 edit from 'sort', 2 from
+# 'slow' — two candidates, so the hash also pins the LM's ORDERING of
+# competing rewrites, not just the single obvious correction
+_PSUGGEST_K = 5
 # SAYT query: 3 complete tokens + a trailing partial ('sc' → scan/schema…)
 # — distinct shingles at every size, so set-based term SQL is exact
 _SAYT_Q = "merge group part sc"
@@ -1684,7 +1707,42 @@ def q_sqs_matrix(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(-1.0).alias("v"),
         "rank",
     )
-    return out.unionByName(sayt)
+    out = out.unionByName(sayt)
+    # round-5d 'psuggest': the PHRASE suggester end to end — BigramLM
+    # distributed build + pyarrow point-read serving + per-token
+    # candidate generation + stupid-backoff noisy-channel scoring.
+    # transpositions=False so DuckDB's levenshtein() replicates the
+    # candidate set (the OSA default is pytest-covered). Compared in
+    # LOG space at 4 dp: scores are products of tiny probabilities
+    # (exp of ~-30), so any fixed-decimal rounding of the raw score
+    # would collapse to 0; ln(score) round-trips exp() at ~1 ulp,
+    # far below 1e-4. Fetch ALL suggestions, re-rank on the rounded
+    # value with text tiebreak (both sides the same rule), cut to k.
+    import math as _math
+
+    from .query.phrase_suggest import phrase_suggest
+
+    lm = _gate_bigram_lm(spark, sf)
+    sugs = phrase_suggest(
+        idx, lm, _PSUGGEST_TEXT, size=1_000_000,
+        num_candidates=5, max_edits=2, prefix_length=1,
+        confidence=0.0,  # keep ALL rewrites: the top-k then hashes the
+        transpositions=False,  # LM's ordering of real-word rewrites too
+    )
+    prow = sorted(
+        ((round(_math.log(s.score), 4), s.text) for s in sugs),
+        key=lambda t: (-t[0], t[1]),
+    )[:_PSUGGEST_K]
+    psdf = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("psuggest", txt, -1.0, v, i)
+                for i, (v, txt) in enumerate(prow, 1)
+            ],
+            columns=["variant", "kc", "score", "v", "rank"],
+        ).astype({"score": "float64", "v": "float64", "rank": "int32"})
+    )
+    return out.unionByName(psdf)
 
 
 def sql_sqs_matrix_static_parts() -> list[str]:
@@ -1776,7 +1834,92 @@ SELECT doc_id, round(max(score), 4) AS score FROM u GROUP BY doc_id"""
     sayt = f"""
 SELECT 'sayt' AS variant, doc_id::VARCHAR AS kc, score, -1.0::DOUBLE AS v,
        rank FROM ({_topk_sql(sayt_inner, ["doc_id"], 20)})"""
-    return [wrap("mix", mix), wrap("neg", neg), wrap("grp", grp), sugg, sayt]
+    # 'psuggest' twin: the phrase suggester's noisy channel recomputed
+    # INDEPENDENTLY — DuckDB rebuilds the dictionary, unigram/bigram
+    # counts, per-token candidate sets (levenshtein), channel scores and
+    # the stupid-backoff LM straight from the raw parquet; only the
+    # probe text and the API knob values are shared with the engine.
+    # Scores compare in log space at 4 dp (see the gate fn comment).
+    ptoks = tokenize_py(_PSUGGEST_TEXT)
+    n = len(ptoks)
+    cand_parts = " UNION ALL ".join(
+        f"""
+SELECT '{t}' AS token, {p} AS pos, term, df, levenshtein(term, '{t}') AS d,
+       {len(t)} AS qlen
+FROM dict WHERE starts_with(term, '{t[:1]}') AND term <> '{t}'
+  AND abs(len(term) - {len(t)}) <= 2"""
+        for p, t in enumerate(ptoks)
+    )
+    keep_parts = " UNION ALL ".join(
+        f"""
+SELECT '{t}' AS token, CASE WHEN '{t}' IN (SELECT term FROM dict)
+  THEN ln(0.95) ELSE ln(0.05) END AS lk"""
+        for t in ptoks
+    )
+    w_cases = ", ".join(
+        f"CASE WHEN pos = {p} THEN term ELSE '{t}' END AS w{p}"
+        for p, t in enumerate(ptoks)
+    )
+    uni_joins = " ".join(
+        f"LEFT JOIN uni u{p} ON u{p}.w = ph.w{p}" for p in range(n)
+    )
+    bi_joins = " ".join(
+        f"LEFT JOIN bi b{p} ON b{p}.v = ph.w{p} AND b{p}.w = ph.w{p + 1}"
+        for p in range(n - 1)
+    )
+    nn = "(SELECT n FROM ntk)"
+    lm_terms = [f"ln(greatest(coalesce(u0.c, 0), 0.5) / {nn})"]
+    for p in range(n - 1):
+        lm_terms.append(
+            f"CASE WHEN coalesce(b{p}.c, 0) > 0 AND coalesce(u{p}.c, 0) > 0"
+            f" THEN ln(b{p}.c / u{p}.c)"
+            f" ELSE ln(0.4 * greatest(coalesce(u{p + 1}.c, 0), 0.5) / {nn})"
+            " END"
+        )
+    lm_sum = " + ".join(lm_terms)
+    txt_expr = " || ' ' || ".join(f"ph.w{p}" for p in range(n))
+    base_from = ", ".join(f"'{t}' AS w{p}" for p, t in enumerate(ptoks))
+    psug = f"""
+SELECT variant, kc, score, v, rank FROM (
+  SELECT 'psuggest' AS variant, kc, -1.0::DOUBLE AS score, v,
+         row_number() OVER (ORDER BY v DESC, kc)::INTEGER AS rank
+  FROM (
+    WITH tok AS (SELECT doc_id, unnest({TOK}) AS t FROM documents),
+    dict AS (SELECT t AS term, count(DISTINCT doc_id) AS df
+             FROM tok GROUP BY t),
+    uni AS (SELECT t AS w, count(*)::DOUBLE AS c FROM tok GROUP BY t),
+    ntk AS (SELECT count(*)::DOUBLE AS n FROM tok),
+    bi AS (SELECT b[1] AS v, b[2] AS w, count(*)::DOUBLE AS c FROM (
+             SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                           i -> [arr[i], arr[i + 1]])) AS b
+             FROM (SELECT {TOK} AS arr FROM documents) WHERE len(arr) > 1)
+           GROUP BY 1, 2),
+    cand AS (SELECT * FROM (
+        SELECT token, pos, term,
+               1.0 - d::DOUBLE / least(len(term), qlen) AS chan,
+               row_number() OVER (PARTITION BY token
+                 ORDER BY 1.0 - d::DOUBLE / least(len(term), qlen) DESC,
+                          df DESC, term) AS rk
+        FROM ({cand_parts}) WHERE d <= 2)
+      WHERE rk <= 5 AND chan > 0),
+    keep AS ({keep_parts}),
+    bch AS (SELECT sum(lk) AS bc FROM keep),
+    ph AS (SELECT c.chan, k.lk AS lk0, {w_cases}
+           FROM cand c JOIN keep k USING (token)),
+    scored AS (
+      SELECT {txt_expr} AS kc,
+             (SELECT bc FROM bch) + ln(ph.chan) - ph.lk0 + {lm_sum} AS s
+      FROM ph {uni_joins} {bi_joins}),
+    base AS (
+      SELECT (SELECT bc FROM bch) + {lm_sum} AS s
+      FROM (SELECT {base_from}) ph {uni_joins} {bi_joins})
+    SELECT kc, round(s, 4) AS v FROM scored
+    WHERE s > (SELECT s FROM base) + ln(1e-12)))
+WHERE rank <= {_PSUGGEST_K}"""
+    return [
+        wrap("mix", mix), wrap("neg", neg), wrap("grp", grp),
+        sugg, sayt, psug,
+    ]
 
 
 def sql_sqs_matrix_for_sf(sf: str) -> str:

@@ -229,6 +229,7 @@ def phrase_suggest(
     discount: float = 0.4,
     alpha: float = 0.5,
     separator: str = " ",
+    transpositions: bool = True,
 ) -> list[PhraseSuggestion]:
     """Top-``size`` corrected phrases, score-descending (ties by text
     ascending for determinism). The unchanged phrase is never returned
@@ -261,6 +262,7 @@ def phrase_suggest(
         max_edits=max_edits,
         prefix_length=prefix_length,
         suggest_mode="always",
+        transpositions=transpositions,
     )
     dict_terms = {t for t, _df in index.dictionary()} if tokens else set()
     cands: list[list[tuple[str, float]]] = []
@@ -270,7 +272,10 @@ def phrase_suggest(
         keep = rwel if tok in dict_terms else 1.0 - rwel
         opts = [(tok, keep)]
         for s in per_tok.get(tok, []):
-            if s.term != tok:
+            # similarity 0 (d == min length) would be log(0) in the
+            # channel — Lucene's DirectSpellChecker accuracy floor
+            # discards such candidates before they reach the scorer
+            if s.term != tok and s.score > 0:
                 opts.append((s.term, s.score))
         cands.append(opts)
 
