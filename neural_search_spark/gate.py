@@ -1708,6 +1708,37 @@ def q_sqs_matrix(spark: SparkSession, sf: str) -> DataFrame:
         "rank",
     )
     out = out.unionByName(sayt)
+    # 'sayt_b' twin (round-5d): the SAME query served through the
+    # BATCH kernel (search_as_you_type_batch, shared decode cache, one
+    # job per subfield for the whole batch) with a second query in the
+    # batch so the per-query isolation is part of what's hashed; must
+    # reproduce the per-query rows exactly against the same SQL.
+    from .query.sayt import search_as_you_type_batch
+
+    braw = (
+        search_as_you_type_batch(
+            idxs, [("g", _SAYT_Q), ("h", "the data small")], k=50
+        )
+        .filter(F.col("query_id") == "g")
+        .drop("rank", "query_id")
+    )
+    bjoined = braw.join(
+        tr.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+    ).select(
+        (
+            F.col("turn_idx").cast("long") * 50
+            + F.substring("conv_id", 2, 4).cast("long")
+        ).alias("orig_doc"),
+        F.round(F.col("score").cast("double"), 4).alias("score"),
+    )
+    sayt_b = _ranked(bjoined, ["orig_doc"], 20).select(
+        F.lit("sayt_b").alias("variant"),
+        F.col("orig_doc").cast("string").alias("kc"),
+        "score",
+        F.lit(-1.0).alias("v"),
+        "rank",
+    )
+    out = out.unionByName(sayt_b)
     # round-5d 'psuggest': the PHRASE suggester end to end — BigramLM
     # distributed build + pyarrow point-read serving + per-token
     # candidate generation + stupid-backoff noisy-channel scoring.
@@ -1834,6 +1865,10 @@ SELECT doc_id, round(max(score), 4) AS score FROM u GROUP BY doc_id"""
     sayt = f"""
 SELECT 'sayt' AS variant, doc_id::VARCHAR AS kc, score, -1.0::DOUBLE AS v,
        rank FROM ({_topk_sql(sayt_inner, ["doc_id"], 20)})"""
+    # the batch kernel must reproduce the per-query rows exactly
+    sayt_b = f"""
+SELECT 'sayt_b' AS variant, doc_id::VARCHAR AS kc, score, -1.0::DOUBLE AS v,
+       rank FROM ({_topk_sql(sayt_inner, ["doc_id"], 20)})"""
     # 'psuggest' twin: the phrase suggester's noisy channel recomputed
     # INDEPENDENTLY — DuckDB rebuilds the dictionary, unigram/bigram
     # counts, per-token candidate sets (levenshtein), channel scores and
@@ -1918,7 +1953,7 @@ SELECT variant, kc, score, v, rank FROM (
 WHERE rank <= {_PSUGGEST_K}"""
     return [
         wrap("mix", mix), wrap("neg", neg), wrap("grp", grp),
-        sugg, sayt, psug,
+        sugg, sayt, sayt_b, psug,
     ]
 
 
