@@ -539,6 +539,23 @@ def spec_from_json(obj: str | dict) -> QuerySpec | HybridSpec | BoolSpec:
             body["minimum_should_match_field"] = inner[
                 "minimum_should_match_field"
             ]
+    if qtype == "terms" and "lookup" in body:
+        # host terms-lookup shape (TermsQueryBuilder termsLookup): the
+        # value set comes from one row of another table, fetched at
+        # search time (routing is not supported — a Spark table has no
+        # custom routing to honor)
+        body = dict(body)
+        lk = body["lookup"]
+        if not isinstance(lk, dict) or not {"index", "id", "path"} <= set(lk):
+            raise ValueError(
+                "terms lookup needs {'index', 'id', 'path'} "
+                "(optional 'id_field')"
+            )
+        if body.get("values") is not None:
+            raise ValueError("terms accepts either 'values' or 'lookup', not both")
+        extra = set(lk) - {"index", "id", "path", "id_field"}
+        if extra:
+            raise ValueError(f"unknown terms lookup keys: {sorted(extra)}")
     if qtype == "rank_feature":
         # host shape: {"rank_feature": {"field": "f", "saturation":
         # {"pivot": 8}}} — the function arrives as a nested key
@@ -624,6 +641,7 @@ class Engine:
         field_indexes: dict[str, object] | None = None,
         completion_index=None,
         sayt_indexes: dict[int, object] | None = None,
+        lookup_tables: dict[str, DataFrame] | None = None,
     ):
         """ann_index: an attachable ANN asset (extras.similarity.LshAnnIndex
         / IvfAnnIndex — anything with .topk(query_vec, k) → (vec_id, cosine,
@@ -643,7 +661,13 @@ class Engine:
         one-inverted-index-per-field shape. When every field a multi_match
         names is covered, the query serves from these indexes
         (query.multimatch.multi_match_index_topk) instead of the corpus
-        scan."""
+        scan.
+
+        lookup_tables: name → DataFrame sources for the terms-lookup
+        query form ({"terms": {"lookup": {"index", "id", "path"}}}) —
+        the other index a host TermsQueryBuilder termsLookup fetches its
+        value list from (resolved coordinator-side before the query
+        phase, see _resolve_lookups)."""
         self.spark = spark
         self.corpus = corpus
         self.bm25_index = bm25_index
@@ -654,6 +678,9 @@ class Engine:
         self.field_indexes = dict(field_indexes or {})
         self.completion_index = completion_index
         self.sayt_indexes = dict(sayt_indexes or {})
+        # terms-lookup sources: name → DataFrame, playing the role of
+        # the other index a host terms lookup fetches its doc from
+        self.lookup_tables = dict(lookup_tables or {})
 
     # ---- single-branch plans ------------------------------------------
     def _need_corpus(self, qtype: str) -> DataFrame:
@@ -662,6 +689,102 @@ class Engine:
                 f"{qtype} query needs a corpus DataFrame (no index route)"
             )
         return self.corpus
+
+    # ---- terms lookup (TermsQueryBuilder termsLookup) -----------------
+    def _terms_lookup_values(self, lk: dict) -> list[str]:
+        """Fetch the value set for a terms lookup: one row of a
+        registered lookup table by id, project ``path`` (dot-paths ride
+        Catalyst struct access). The fetch is a pushed-down point read —
+        the host's GET-by-id phase, constant cost at any table size. A
+        missing doc yields an empty set (the query then matches
+        nothing), mirroring the host."""
+        name = lk["index"]
+        if name not in self.lookup_tables:
+            raise ValueError(
+                f"terms lookup names table {name!r}; attached lookup_tables: "
+                f"{sorted(self.lookup_tables) or '(none)'}"
+            )
+        tbl = self.lookup_tables[name]
+        id_field = lk.get("id_field", self.id_col)
+        rows = (
+            tbl.filter(F.col(id_field) == F.lit(lk["id"]))
+            .select(F.col(str(lk["path"])).alias("v"))
+            .limit(2)
+            .collect()
+        )
+        if not rows:
+            return []
+        if len(rows) > 1:
+            raise ValueError(
+                f"terms lookup id {lk['id']!r} matches multiple rows in "
+                f"{name!r} ({id_field} must be unique)"
+            )
+        v = rows[0]["v"]
+        if v is None:
+            return []
+        if isinstance(v, (list, tuple)):
+            return [str(x) for x in v if x is not None]
+        return [str(v)]
+
+    def _resolve_lookups(self, spec):
+        """Return ``spec`` with every terms-lookup clause replaced by an
+        inline ``values`` list (recursing through the composite spec
+        types) — the host resolves termsLookup on the coordinator before
+        the query phase, which is exactly this shape."""
+        import dataclasses
+
+        if isinstance(spec, QuerySpec):
+            if spec.query_type == "terms" and spec.lookup is not None:
+                return dataclasses.replace(
+                    spec,
+                    values=self._terms_lookup_values(spec.lookup),
+                    lookup=None,
+                )
+            return spec
+        if isinstance(spec, BoolSpec):
+            flt = spec.filter
+            if isinstance(flt, list):
+                flt = [self._resolve_lookups(s) for s in flt]
+            return dataclasses.replace(
+                spec,
+                must=[self._resolve_lookups(s) for s in spec.must],
+                should=[self._resolve_lookups(s) for s in spec.should],
+                must_not=[self._resolve_lookups(s) for s in spec.must_not],
+                filter=flt,
+            )
+        if isinstance(spec, HybridSpec):
+            return dataclasses.replace(
+                spec,
+                sub_queries=[
+                    self._resolve_lookups(s) for s in spec.sub_queries
+                ],
+            )
+        if isinstance(spec, DisMaxSpec):
+            return dataclasses.replace(
+                spec, queries=[self._resolve_lookups(s) for s in spec.queries]
+            )
+        if isinstance(spec, BoostingSpec):
+            return dataclasses.replace(
+                spec,
+                positive=self._resolve_lookups(spec.positive),
+                negative=self._resolve_lookups(spec.negative),
+            )
+        if isinstance(spec, ConstantScoreSpec):
+            flt = spec.filter
+            if not isinstance(flt, str):
+                flt = self._resolve_lookups(flt)
+            return dataclasses.replace(spec, filter=flt)
+        if isinstance(spec, PinnedSpec):
+            return dataclasses.replace(
+                spec, organic=self._resolve_lookups(spec.organic)
+            )
+        from .query.function_score import FunctionScoreSpec
+
+        if isinstance(spec, FunctionScoreSpec) and spec.query is not None:
+            return dataclasses.replace(
+                spec, query=self._resolve_lookups(spec.query)
+            )
+        return spec
 
     def _allowed(self, post_filter) -> DataFrame | None:
         """post_filter → broadcastable allowed-doc_id set (or None)."""
@@ -1461,6 +1584,7 @@ class Engine:
         score-parity with the reference on hybrid+rescore requests."""
         if isinstance(spec, (dict, str)):
             spec = spec_from_json(spec)
+        spec = self._resolve_lookups(spec)
         rescore_pb: dict | None = None
         if rescore is not None:
             placement = rescore.get("placement", "post_combination")
@@ -2251,7 +2375,9 @@ class Engine:
         if not specs:
             raise ValueError("msearch needs at least one spec")
         parsed = {
-            qid: (spec_from_json(s) if isinstance(s, (dict, str)) else s)
+            qid: self._resolve_lookups(
+                spec_from_json(s) if isinstance(s, (dict, str)) else s
+            )
             for qid, s in specs.items()
         }
         for qid, s in parsed.items():

@@ -64,6 +64,13 @@ class QuerySpec:
     boost: float = 1.0
     # terms only: the verbatim value set (docs containing ANY score boost)
     values: list[str] | None = None
+    # terms only: the host's terms-lookup form (TermsQueryBuilder
+    # termsLookup — {"index", "id", "path"[, "id_field"]}): the value
+    # set is fetched from one row of a registered lookup table at
+    # search time (Engine.lookup_tables), the GET-by-id fetch phase.
+    # Mutually exclusive with ``values``; resolved by Engine.search —
+    # an unresolved lookup reaching execute() raises.
+    lookup: dict | None = None
     # multi_match only: field list with optional "name^boost" suffixes;
     # match_type "best_fields" (DisjunctionMaxQuery: max + tie_breaker ×
     # sum-of-others), "most_fields" (bool-should sum), "cross_fields"
@@ -335,6 +342,12 @@ def execute(
     if spec.query_type in ("prefix", "wildcard", "regexp", "terms"):
         from .multiterm import multiterm_scored_scan
 
+        if spec.query_type == "terms" and spec.lookup is not None:
+            raise ValueError(
+                "terms lookup must be resolved before execution — route "
+                "the spec through Engine.search with lookup_tables "
+                "attached"
+            )
         return multiterm_scored_scan(
             scoped,
             spec.values if spec.query_type == "terms" else (spec.value or ""),

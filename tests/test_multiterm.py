@@ -239,3 +239,65 @@ def test_term_query_bm25_scored(mt_setup, transcripts_df, spark):
     via_scan = eng.search(spec2, k=10).toPandas()
     assert via_idx.doc_id.tolist() == via_scan.doc_id.tolist()
     assert np.allclose(via_idx.score, via_scan.score, atol=1e-5)
+
+
+def test_terms_lookup(mt_setup, transcripts_df, spark):
+    """Host terms-lookup form: the value set is fetched from one row of
+    an attached lookup table at search time, then scores exactly like an
+    inline terms query; a missing doc matches nothing (host behavior)."""
+    from neural_search_spark.engine import Engine, spec_from_json
+    from neural_search_spark.query.neural import execute, QuerySpec
+
+    idx, tt = mt_setup
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    vals = ["tool", "zz9qx"]
+    lk = spark.createDataFrame(
+        [(7, vals), (8, [])],
+        schema="pref_id long, allow array<string>",
+    )
+    eng = Engine(
+        spark, corpus=docs, bm25_index=idx, lookup_tables={"prefs": lk}
+    )
+    spec = {
+        "terms": {
+            "lookup": {
+                "index": "prefs", "id": 7, "path": "allow",
+                "id_field": "pref_id",
+            },
+            "boost": 3.0,
+        }
+    }
+    got = eng.search(spec, k=10).toPandas()
+    inline = eng.search(
+        spec_from_json({"terms": {"values": vals, "boost": 3.0}}), k=10
+    ).toPandas()
+    assert got.doc_id.tolist() == inline.doc_id.tolist()
+    assert (got.score == 3.0).all()
+    # missing doc → empty value set → no hits
+    miss = dict(spec)
+    miss["terms"] = dict(spec["terms"])
+    miss["terms"]["lookup"] = dict(spec["terms"]["lookup"], id=999)
+    assert eng.search(miss, k=10).count() == 0
+    # nested under bool: lookup resolves through the composite walk
+    nb = eng.search(
+        {"bool": {"should": [spec, {"match": {"query_text": "tool"}}]}},
+        k=10,
+    )
+    assert nb.count() > 0
+    # guards: unknown table; values+lookup together; unresolved execute
+    with pytest.raises(ValueError, match="lookup_tables"):
+        Engine(spark, corpus=docs).search(spec, k=5)
+    with pytest.raises(ValueError, match="not both"):
+        spec_from_json(
+            {"terms": {"values": ["a"],
+                       "lookup": {"index": "x", "id": 1, "path": "p"}}}
+        )
+    with pytest.raises(ValueError, match="resolved before execution"):
+        execute(
+            QuerySpec(
+                query_type="terms",
+                lookup={"index": "prefs", "id": 7, "path": "allow"},
+            ),
+            docs,
+            "doc_id",
+        )
