@@ -1375,6 +1375,7 @@ _MT_PREFIX = "du"  # → 'dup', the rare term (~3% of docs): discriminative
 _MT_WILDCARD = "d?p*"  # → 'dup' through both wildcard metachars
 _MT_TERM = "vector"
 _MT_TERMS = ["dup", "customer"]
+_TL_DOC = 42  # terms-lookup source doc: its first 3 tokens are the value set
 _MBP_Q = "vector du"  # 'vector' SHOULD clause + trailing 'du' prefix
 _MT_REGEXP = "d(u|o)[a-z]+"  # → 'dup', 'doc…' via alternation + class
 _SQS_MIX = "spark + join | filter"  # (spark AND join) OR filter
@@ -1435,6 +1436,36 @@ def q_multiterm_matrix(spark: SparkSession, sf: str) -> DataFrame:
             "rank",
         )
         out = r if out is None else out.unionByName(r)
+    # round-5d 'tlookup': the terms-LOOKUP form through Engine.search —
+    # the value set is the first 3 analyzed tokens of doc _TL_DOC,
+    # fetched at search time from an attached lookup table that is
+    # itself derived from the corpus, so the oracle recomputes the
+    # whole chain (fetch + membership) from raw parquet
+    from .engine import Engine as _LkEng
+
+    lkdf = d.filter(F.col("doc_id") == _TL_DOC).select(
+        F.lit(0).cast("long").alias("lk_id"),
+        F.slice(tokenize_expr("text"), 1, 3).alias("allow"),
+    )
+    tl_full = (
+        _LkEng(spark, corpus=d, lookup_tables={"src": lkdf})
+        .search(
+            {"terms": {"lookup": {"index": "src", "id": 0,
+                                  "path": "allow", "id_field": "lk_id"}}},
+            k=1_000_000,
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
+    )
+    tl = _ranked(tl_full, ["doc_id"], 10).select(
+        F.lit("tlookup").alias("variant"),
+        F.col("doc_id").cast("string").alias("kc"),
+        "score",
+        "rank",
+    )
+    out = out.unionByName(tl)
     # round-5 'perc': the percolator registry against every document —
     # kc = doc>query pair, score = matched-term count, rank unused (-1)
     from .query.percolate import PercolatorIndex
@@ -1513,6 +1544,19 @@ FROM documents WHERE {pred} ORDER BY doc_id LIMIT 10"""
     )
     vals = ", ".join(f"'{v}'" for v in _MT_TERMS)
     terms_p = f"len(list_filter({TOK}, t -> t IN ({vals}))) > 0"
+    # terms-lookup twin: value set = doc _TL_DOC's first 3 tokens,
+    # recomputed here from the raw parquet (join shape — DuckDB lambdas
+    # can't host subqueries)
+    tl_sql = f"""
+SELECT 'tlookup' AS variant, doc_id::VARCHAR AS kc, 1.0::DOUBLE AS score,
+       row_number() OVER (ORDER BY doc_id)::INTEGER AS rank
+FROM (
+  SELECT DISTINCT dt.doc_id
+  FROM (SELECT doc_id, unnest(list_distinct({TOK})) AS term
+        FROM documents) dt
+  JOIN (SELECT DISTINCT unnest(list_slice({TOK}, 1, 3)) AS term
+        FROM documents WHERE doc_id = {_TL_DOC}) v USING (term))
+ORDER BY doc_id LIMIT 10"""
     term_b = bm25_scored_sql("documents", ["doc_id"], _MT_TERM, ndp=4)
     term_sql = f"""
 SELECT 'term' AS variant, doc_id::VARCHAR AS kc, score, rank
@@ -1603,6 +1647,7 @@ QUALIFY rank <= 10"""
             const("regexp", rex_p),
             term_sql,
             const("terms", terms_p),
+            tl_sql,
             mbp_sql,
             perc_sql,
             pinned_sql,
