@@ -1975,6 +1975,94 @@ class Engine:
             "idf", "tf_norm", "contribution", "total",
         ).orderBy("doc_id", "term")
 
+    # ---- small host APIs ----------------------------------------------
+    def analyze(self, text: str) -> list[str]:
+        """The host `_analyze` API for the engine's single frozen
+        analyzer (lowercase, split on non-alphanumerics, drop empties —
+        see tokenizer.py): the token stream a field value indexes as."""
+        from .tokenizer import tokenize_py
+
+        return tokenize_py(text)
+
+    def _matched_scored(self, spec) -> DataFrame:
+        """FULL matched set (doc_id, score) of a leaf or bool spec —
+        the collector-free frame `_count` / `_delete_by_query` need
+        (top-k truncation would undercount)."""
+        if isinstance(spec, (dict, str)):
+            spec = spec_from_json(spec)
+        spec = self._resolve_lookups(spec)
+        if isinstance(spec, BoolSpec):
+            return self._bool_scored(spec)
+        if isinstance(spec, QuerySpec):
+            return execute(
+                spec, self._need_corpus(spec.query_type), self.id_col
+            )
+        raise ValueError(
+            "count/delete_by_query accept leaf query specs or bool "
+            f"compositions, got {type(spec).__name__}"
+        )
+
+    def count(self, spec) -> dict:
+        """The host `_count` API: exact matched-doc count for a spec.
+        Always {'relation': 'eq'} — the count is ONE distinct-aggregate
+        over the matched frame (map-side partial counts), there is no
+        early-terminating collector to clip it."""
+        n = self._matched_scored(spec).select("doc_id").distinct().count()
+        return {"count": int(n), "relation": "eq"}
+
+    def mget(self, ids: list[int]) -> DataFrame:
+        """The host `_mget` API: corpus rows for the given ids, in one
+        broadcast semi-join — parquet row-group stats make this a
+        handful of point reads at any corpus size. Missing ids are
+        simply absent from the result (the host marks found=false)."""
+        corpus = self._need_corpus("mget")
+        idf = self.spark.createDataFrame(
+            [(int(i),) for i in ids], schema=f"{self.id_col} long"
+        )
+        return corpus.join(F.broadcast(idf), self.id_col, "left_semi")
+
+    def delete_by_query(self, spec, dry_run: bool = False) -> dict:
+        """The host `_delete_by_query` API, Lucene-shaped: the spec's
+        FULL matched set becomes query-time tombstones on the attached
+        bm25_index (`BM25Index.with_deletes` — liveDocs semantics: live
+        docs' scores unchanged, stats drift until a merge expunges, the
+        permanent form being ``index.merge.merge_indexes(deletes=...)``).
+        Returns {'deleted': newly-deleted count, 'total': matched count}.
+
+        Tombstones ship driver-side (documented with_deletes contract:
+        suited to deletions ≪ corpus); a broad delete should filter the
+        corpus and rebuild instead — same guidance as the host gives for
+        reindex-sized operations."""
+        import numpy as np
+
+        if self.bm25_index is None:
+            raise ValueError(
+                "delete_by_query needs an attached bm25_index to carry "
+                "the tombstones"
+            )
+        matched = (
+            self._matched_scored(spec)
+            .select("doc_id")
+            .distinct()
+            .toPandas()["doc_id"]
+            .to_numpy(dtype=np.int64)
+        )
+        existing = self.bm25_index.deletes
+        already = (
+            int(np.isin(matched, existing).sum())
+            if existing is not None
+            else 0
+        )
+        out = {"total": int(matched.size), "deleted": int(matched.size) - already}
+        if not dry_run and matched.size:
+            union = (
+                np.union1d(existing, matched)
+                if existing is not None
+                else np.unique(matched)
+            )
+            self.bm25_index.with_deletes(union)
+        return out
+
     def explain_route(self, spec) -> dict:
         """Which physical route a spec takes, WITHOUT running it — the
         ops-facing analog of `.explain()` one level up: {'route':

@@ -385,3 +385,50 @@ def test_terms_enum(spark, small_index):
         eng.terms_enum("")
     with _pt.raises(ValueError, match="bm25_index"):
         Engine(spark).terms_enum("s")
+
+
+def test_small_host_apis(spark, transcripts_df, small_index):
+    """_analyze / _count / _mget / _delete_by_query."""
+    import numpy as np
+
+    from neural_search_spark.engine import Engine
+    from neural_search_spark.index.build import doc_id_col
+    from neural_search_spark.query.bm25 import BM25Index, bm25_topk
+
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    idx = BM25Index(spark, small_index)
+    eng = Engine(spark, corpus=docs, bm25_index=idx)
+
+    assert eng.analyze("The QUICK-fox's 2nd run!") == [
+        "the", "quick", "fox", "s", "2nd", "run"
+    ]
+
+    spec = {"match": {"query_text": "tool"}}
+    c = eng.count(spec)
+    brute = docs.filter(
+        F.array_contains(F.split(F.lower("text"), "[^0-9a-z]+"), "tool")
+    ).count()
+    assert c["relation"] == "eq" and c["count"] == brute > 0
+    # bool composition counts through the same full-frame path
+    cb = eng.count({"bool": {"must": [spec], "must_not": [
+        {"match": {"query_text": "zzzznope"}}]}})
+    assert cb["count"] == c["count"]
+
+    ids = [r["doc_id"] for r in docs.select("doc_id").limit(3).collect()]
+    got = eng.mget(ids + [123456789]).toPandas()
+    assert sorted(got["doc_id"]) == sorted(ids)  # missing id absent
+
+    # delete_by_query: matched docs vanish from results, stats unchanged
+    top_before = bm25_topk(idx, "tool", k=5).toPandas()
+    assert len(top_before) > 0
+    rep = eng.delete_by_query(spec, dry_run=True)
+    assert rep["total"] == c["count"] and rep["deleted"] == c["count"]
+    assert idx.deletes is None  # dry run attached nothing
+    rep2 = eng.delete_by_query(spec)
+    assert rep2["deleted"] == c["count"]
+    assert idx.deletes is not None and len(idx.deletes) == c["count"]
+    assert bm25_topk(idx, "tool", k=5).count() == 0
+    # idempotent: second pass deletes nothing new
+    rep3 = eng.delete_by_query(spec)
+    assert rep3["deleted"] == 0 and rep3["total"] == c["count"]
+    idx.with_deletes(None)
