@@ -49,6 +49,10 @@ from ..tokenizer import tokenize_expr, tokenize_py
 
 __all__ = ["CompletionIndexBuilder", "CompletionIndex", "Completion"]
 
+# category-context key separator: sorts below every analyzed char
+# ([0-9a-z ]), so each context owns one contiguous key range
+_CTX_SEP = "\x01"
+
 
 def _encode_keys(
     keys: list[str], width: int
@@ -183,39 +187,100 @@ class CompletionIndexBuilder:
         input_col: str,
         weight_col: str | None = None,
         id_col: str = "doc_id",
+        context_col: str | None = None,
     ) -> dict:
+        """context_col (host category contexts, ContextSuggestField):
+        a string or array<string> column of category values; each value
+        becomes its own contiguous slice of the key space (the key is
+        written as ``ctx + '\\x01' + analyzed_key`` — exactly Lucene's
+        context-prepended FST key), so a context-filtered suggest stays
+        ONE range/point read. A context-built index REQUIRES contexts
+        at query time and vice versa (host 'Missing mandatory contexts'
+        parity). '\\x01' sorts below every analyzed char and cannot
+        appear in a context value (validated)."""
         w = (
             F.col(weight_col).cast("double")
             if weight_col
             else F.lit(1.0)
         )
-        entries = (
-            df.select(
-                F.concat_ws(" ", tokenize_expr(input_col)).alias("key"),
+        base = df
+        akey = F.concat_ws(" ", tokenize_expr(input_col))
+        if context_col is not None:
+            from pyspark.sql.types import ArrayType
+
+            ctype = base.schema[context_col].dataType
+            ctx = (
+                F.explode(F.col(context_col))  # generator must head the select
+                if isinstance(ctype, ArrayType)
+                else F.col(context_col)
+            )
+            base = base.select(
+                ctx.alias("__ctx_raw"),
+                akey.alias("__akey"),
+                F.col(input_col).alias("surface"),
+                w.alias("weight"),
+                F.col(id_col).cast("long").alias("doc_id"),
+            ).select(
+                F.col("__ctx_raw").cast("string").alias("__ctx"),
+                "__akey", "surface", "weight", "doc_id",
+            ).filter(
+                F.col("__ctx").isNotNull() & (F.col("__ctx") != "")
+            )
+            if base.filter(F.col("__ctx").contains(_CTX_SEP)).limit(1).count():
+                raise ValueError(
+                    "context values must not contain the \\x01 separator"
+                )
+        else:
+            base = base.select(
+                F.lit(None).cast("string").alias("__ctx"),
+                akey.alias("__akey"),
                 F.col(input_col).alias("surface"),
                 w.alias("weight"),
                 F.col(id_col).cast("long").alias("doc_id"),
             )
-            .filter(F.col("key") != "")
+        key = F.when(
+            F.col("__ctx").isNotNull(),
+            F.concat(F.col("__ctx"), F.lit(_CTX_SEP), F.col("__akey")),
+        ).otherwise(F.col("__akey"))
+        entries = (
+            base.select(
+                key.alias("key"),
+                "__akey",
+                "__ctx",
+                "surface",
+                "weight",
+                "doc_id",
+            )
+            .filter(F.col("__akey") != "")
         )
         (
-            entries.repartitionByRange(self.n_files, "key")
+            entries.select("key", "surface", "weight", "doc_id")
+            .repartitionByRange(self.n_files, "key")
             .sortWithinPartitions("key", "surface", "doc_id")
             .write.mode("overwrite")
             .parquet(os.path.join(self.out_dir, "entries"))
         )
         # weighted-best-path precompute: every ≤prefix_depth-char prefix
-        # of every key, top prefix_top entries per prefix. One explode +
-        # one Window — the Window key IS the prefix, so skew is bounded
-        # by prefix_top rows surviving per group after the rank filter.
+        # of every SUGGESTION key (the context, when present, is a fixed
+        # prepended bucket — depth budgets the typed prefix, not the
+        # context), top prefix_top entries per prefix. One explode + one
+        # Window — the Window key IS the prefix, so skew is bounded by
+        # prefix_top rows surviving per group after the rank filter.
         depth = self.prefix_depth
+        sub = F.expr(
+            f"transform(sequence(1, least(length(__akey), {depth})),"
+            " i -> substring(__akey, 1, i))"
+        )
         pref = entries.select(
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, least(length(key), {depth})),"
-                    " i -> substring(key, 1, i))"
-                )
-            ).alias("prefix"),
+            F.explode(sub).alias("__sub"),
+            "__ctx", "surface", "weight", "doc_id",
+        ).select(
+            F.when(
+                F.col("__ctx").isNotNull(),
+                F.concat(F.col("__ctx"), F.lit(_CTX_SEP), F.col("__sub")),
+            )
+            .otherwise(F.col("__sub"))
+            .alias("prefix"),
             "surface", "weight", "doc_id",
         )
         rk = F.row_number().over(
@@ -239,6 +304,7 @@ class CompletionIndexBuilder:
             "n_entries": int(n),
             "prefix_depth": depth,
             "prefix_top": self.prefix_top,
+            "contexts": context_col is not None,
         }
         with open(os.path.join(self.out_dir, "meta.json"), "w") as fh:
             json.dump(meta, fh)
@@ -320,6 +386,7 @@ class CompletionIndex:
         size: int = 5,
         skip_duplicates: bool = False,
         fuzzy: dict | None = None,
+        contexts: list[str] | None = None,
     ) -> list[Completion]:
         """Top-`size` completions for `prefix`.
 
@@ -329,20 +396,52 @@ class CompletionIndex:
         candidate read; 0 would scan every entry and is refused unless
         allow_unpruned=True), min_length (prefixes shorter than this
         match exactly, default 3), transpositions (OSA vs plain
-        Levenshtein, default True)."""
+        Levenshtein, default True).
+
+        contexts (host category contexts): the category values to
+        search under, each ONE contiguous key-range/point read; results
+        merge across the requested contexts (a doc matching several
+        appears once). A context-built index requires them ('Missing
+        mandatory contexts' parity) and a context-free one refuses
+        them."""
         akey = _analyze(prefix)
         if not akey:
             return []
-        if fuzzy is None:
-            if len(akey) <= self.meta["prefix_depth"]:
-                rows = self._read_tops(akey)
-                out = [Completion(s, w, d) for s, w, d in rows]
+        has_ctx = bool(self.meta.get("contexts"))
+        if has_ctx and not contexts:
+            raise ValueError(
+                "this completion index was built with contexts — pass "
+                "contexts=[...] (the host's 'Missing mandatory contexts')"
+            )
+        if not has_ctx and contexts:
+            raise ValueError(
+                "contexts passed but the index was built without a "
+                "context_col"
+            )
+        buckets = (
+            [f"{c}{_CTX_SEP}" for c in dict.fromkeys(contexts)]
+            if has_ctx
+            else [""]
+        )
+        out: list[Completion] = []
+        for b in buckets:
+            out.extend(self._complete_one(b, akey, fuzzy))
+        if len(buckets) > 1:
+            seen_pair: set[tuple] = set()
+            uniq = []
+            for c in out:
+                kk = (c.text, c.doc_id)
+                if kk in seen_pair:
+                    continue
+                seen_pair.add(kk)
+                uniq.append(c)
+            if fuzzy is None:
+                uniq.sort(key=lambda c: (-c.weight, c.text, c.doc_id))
             else:
-                got = self._read_range(akey)
-                got.sort(key=lambda r: (-r[2], r[1], r[3]))
-                out = [Completion(s, w, d) for _, s, w, d in got]
-        else:
-            out = self._fuzzy(akey, fuzzy)
+                uniq.sort(
+                    key=lambda c: (c.distance, -c.weight, c.text, c.doc_id)
+                )
+            out = uniq
         if skip_duplicates:
             seen: set[str] = set()
             dedup = []
@@ -354,7 +453,24 @@ class CompletionIndex:
             out = dedup
         return out[:size]
 
-    def _fuzzy(self, akey: str, fuzzy: dict) -> list[Completion]:
+    def _complete_one(
+        self, bucket: str, akey: str, fuzzy: dict | None
+    ) -> list[Completion]:
+        """One context bucket (or '' for a context-free index): the
+        original exact tops/range/fuzzy paths with the bucket prepended
+        to every key the reads touch."""
+        if fuzzy is None:
+            if len(akey) <= self.meta["prefix_depth"]:
+                rows = self._read_tops(bucket + akey)
+                return [Completion(s, w, d) for s, w, d in rows]
+            got = self._read_range(bucket + akey)
+            got.sort(key=lambda r: (-r[2], r[1], r[3]))
+            return [Completion(s, w, d) for _, s, w, d in got]
+        return self._fuzzy(akey, fuzzy, bucket=bucket)
+
+    def _fuzzy(
+        self, akey: str, fuzzy: dict, bucket: str = ""
+    ) -> list[Completion]:
         fz = fuzzy.get("fuzziness", "AUTO")
         if fz == "AUTO":
             edits = 0 if len(akey) < 3 else (1 if len(akey) < 6 else 2)
@@ -369,16 +485,20 @@ class CompletionIndex:
                 "pass allow_unpruned=True to override (sandbox scale only)"
             )
         if edits == 0:
-            got = self._read_range(akey)
+            got = self._read_range(bucket + akey)
             got.sort(key=lambda r: (-r[2], r[1], r[3]))
             return [Completion(s, w, d) for _, s, w, d in got]
         # candidates: everything sharing the protected prefix — a range
         # read bounded by the pl-char bucket (document: pl>=2 recommended
         # at large entry counts; the guard above refuses pl=0), cached
-        # pre-encoded per seed (the Lucene resident-FST analog, bounded)
-        seed = akey[: min(pl, len(akey))]
+        # pre-encoded per seed (the Lucene resident-FST analog, bounded).
+        # Under a context the seed carries the context bucket and the
+        # fixed-length bucket prefix is stripped before the DP encode.
+        seed = bucket + akey[: min(pl, len(akey))]
         maxj = len(akey) + edits
-        surfaces, weights, doc_ids, keys, mat, lens = self._candidates(seed)
+        surfaces, weights, doc_ids, keys, mat, lens = self._candidates(
+            seed, strip=len(bucket)
+        )
         if not surfaces:
             return []
         if maxj > mat.shape[1]:
@@ -398,9 +518,13 @@ class CompletionIndex:
             for b, _, s, d, w in scored
         ]
 
-    def _candidates(self, seed: str):
+    def _candidates(self, seed: str, strip: int = 0):
         """(surfaces, weights, doc_ids, keys, mat, lens) for a protected
-        prefix, LRU-cached with the key matrix pre-encoded at _ENC_WIDTH."""
+        prefix, LRU-cached with the key matrix pre-encoded at _ENC_WIDTH.
+        ``strip`` removes a fixed-length context bucket from every key
+        before encoding (the DP compares suggestion keys, not composite
+        ones); it is derivable from the seed, so the seed stays the
+        cache key."""
         hit = self._seed_cache.get(seed)
         if hit is not None:
             self._seed_cache.move_to_end(seed)
@@ -418,7 +542,7 @@ class CompletionIndex:
                     tbl["weight"].to_pylist(), tbl["doc_id"].to_pylist(),
                 )
             )
-        keys = [r[0] for r in rows]
+        keys = [r[0][strip:] if strip else r[0] for r in rows]
         mat, lens = _encode_keys(keys, self._ENC_WIDTH)
         item = (
             [r[1] for r in rows],

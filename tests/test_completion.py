@@ -180,3 +180,91 @@ def test_prefix_edit_distance_kernel_property():
                 )
     # all-empty candidate list
     assert _prefix_edit_distances("ab", [], 2, True).size == 0
+
+
+CTX_ENTRIES = [
+    # (input, weight, doc_id, contexts)
+    ("machine learning basics", 10.0, 1, ["tech"]),
+    ("machine learning advanced", 30.0, 2, ["tech", "edu"]),
+    ("machine translation", 20.0, 3, ["tech"]),
+    ("market analysis", 30.0, 4, ["biz"]),
+    ("marketing mix", 1.0, 5, ["biz"]),
+    ("machinery maintenance", 25.0, 6, ["industry"]),
+]
+
+
+@pytest.fixture(scope="module")
+def ctx_idx(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cctx"))
+    df = spark.createDataFrame(
+        pd.DataFrame(CTX_ENTRIES, columns=["inp", "w", "doc_id", "cats"])
+    )
+    CompletionIndexBuilder(
+        spark, p, prefix_depth=3, prefix_top=4, n_files=2
+    ).build(df, input_col="inp", weight_col="w", context_col="cats")
+    return CompletionIndex(spark, p)
+
+
+def brute_ctx(prefix, ctxs, size=5):
+    akey = " ".join(tokenize_py(prefix))
+    got = []
+    for text, w, d, cats in CTX_ENTRIES:
+        k = " ".join(tokenize_py(text))
+        if k.startswith(akey) and any(c in cats for c in ctxs):
+            got.append((text, w, d))
+    got.sort(key=lambda r: (-r[1], r[0], r[2]))
+    return got[:size]
+
+
+def test_contexts_filter_and_merge(ctx_idx):
+    # single context: short (tops) and long (range) prefixes
+    for pfx in ("ma", "machine l"):
+        got = [
+            (c.text, c.weight, c.doc_id)
+            for c in ctx_idx.complete(pfx, size=5, contexts=["tech"])
+        ]
+        assert got == brute_ctx(pfx, ["tech"]), pfx
+    # multi-context merge: doc 2 carries both tech and edu → once
+    got = ctx_idx.complete("machine", size=10, contexts=["tech", "edu"])
+    ids = [c.doc_id for c in got]
+    assert ids.count(2) == 1
+    assert [(c.text, c.weight, c.doc_id) for c in got] == brute_ctx(
+        "machine", ["tech", "edu"], size=10
+    )
+    # a context with no matches under the prefix
+    assert ctx_idx.complete("machine", size=5, contexts=["biz"]) == []
+
+
+def test_contexts_fuzzy(ctx_idx):
+    # 'machene' (1 edit) under tech only — machinery (industry) excluded
+    got = ctx_idx.complete(
+        "machene", size=5, contexts=["tech"], fuzzy={}
+    )
+    assert all(c.doc_id in (1, 2, 3) for c in got) and got
+    assert got[0].distance >= 1
+    # same typo under industry reaches machinery
+    goti = ctx_idx.complete(
+        "machiner", size=5, contexts=["industry"], fuzzy={}
+    )
+    assert [c.doc_id for c in goti] == [6]
+
+
+def test_contexts_mandatory_both_ways(ctx_idx, cidx):
+    with pytest.raises(ValueError, match="[Mm]andatory"):
+        ctx_idx.complete("machine", size=5)
+    with pytest.raises(ValueError, match="without a"):
+        cidx.complete("machine", size=5, contexts=["tech"])
+
+
+def test_context_separator_validation(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cbad"))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("abc", 1.0, 1, "te\x01ch")],
+            columns=["inp", "w", "doc_id", "cat"],
+        )
+    )
+    with pytest.raises(ValueError, match="separator"):
+        CompletionIndexBuilder(spark, p).build(
+            df, input_col="inp", weight_col="w", context_col="cat"
+        )
