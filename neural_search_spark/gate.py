@@ -554,6 +554,40 @@ def _gate_completion_index(spark: SparkSession, sf: str):
     return handle
 
 
+_COMPLETION_CTX_CACHE: dict = {}
+
+
+def _gate_completion_ctx_index(spark: SparkSession, sf: str):
+    """Context-enabled twin of the gate completion index: same entries,
+    category context = the document's ``source`` column (one context
+    per doc, so the DuckDB twin is a plain source-IN filter)."""
+    key = _sf_key(sf)
+    if key in _COMPLETION_CTX_CACHE:
+        return _COMPLETION_CTX_CACHE[key]
+    from .index.completion import CompletionIndex, CompletionIndexBuilder
+
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:8]
+    out = f"/tmp/nss_gate_compctx_{tag}"
+    d = _docs(spark, sf)
+    inputs = d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(tokenize_expr("text"), 1, 4), " "
+        ).alias("inp"),
+        "n_chars",
+        "source",
+    ).filter(F.col("inp") != "")
+    CompletionIndexBuilder(
+        spark, out, prefix_depth=3, prefix_top=50, n_files=4
+    ).build(
+        inputs, input_col="inp", weight_col="n_chars",
+        context_col="source",
+    )
+    handle = CompletionIndex(spark, out)
+    _COMPLETION_CTX_CACHE[key] = handle
+    return handle
+
+
 _SAYT_CACHE: dict = {}
 
 
@@ -1376,6 +1410,10 @@ _MT_WILDCARD = "d?p*"  # → 'dup' through both wildcard metachars
 _MT_TERM = "vector"
 _MT_TERMS = ["dup", "customer"]
 _TL_DOC = 42  # terms-lookup source doc: its first 3 tokens are the value set
+# context-completion probe contexts (documents carry 20 sources ~25 docs
+# each at sf0.01 — wide enough sets keep the merged top-10 non-trivial)
+_CTX_SHORT_SRCS = ["src1", "src2", "src3", "src4", "src5"]
+_CTX_LONG_SRCS = [f"src{i}" for i in range(1, 9)]
 _MBP_Q = "vector du"  # 'vector' SHOULD clause + trailing 'du' prefix
 _MT_REGEXP = "d(u|o)[a-z]+"  # → 'dup', 'doc…' via alternation + class
 _SQS_MIX = "spark + join | filter"  # (spark AND join) OR filter
@@ -1519,6 +1557,20 @@ def q_multiterm_matrix(spark: SparkSession, sf: str) -> DataFrame:
             rows.append(
                 (vname, f"{c.text}|{c.doc_id}", float(c.weight), rk)
             )
+    # round-5d 'complete_ctx_*': category contexts (ContextSuggestField
+    # analog) — per-context tops point read (short) and composite range
+    # read (long) merged across the requested contexts
+    comp_ctx = _gate_completion_ctx_index(spark, sf)
+    for vname, pfx, ctxs in (
+        ("complete_ctx_short", "s", _CTX_SHORT_SRCS),
+        ("complete_ctx_long", "the ", _CTX_LONG_SRCS),
+    ):
+        for rk, c in enumerate(
+            comp_ctx.complete(pfx, 10, contexts=ctxs), 1
+        ):
+            rows.append(
+                (vname, f"{c.text}|{c.doc_id}", float(c.weight), rk)
+            )
     comp_df = spark.createDataFrame(
         rows, "variant string, kc string, score double, rank int"
     )
@@ -1625,6 +1677,24 @@ SELECT '{name}' AS variant, key || '|' || doc_id::VARCHAR AS kc,
 FROM ck WHERE starts_with(key, '{pfx}')
 QUALIFY rank <= 10"""
 
+    # context twin: one context per doc (source), so the filtered
+    # suggest is the same ranking under a source-IN predicate
+    ckeys_ctx = f"""
+SELECT array_to_string(list_slice({TOK}, 1, 4), ' ') AS key,
+       n_chars AS w, doc_id, source AS src
+FROM documents WHERE len({TOK}) >= 1"""
+
+    def comp_ctx(name: str, pfx: str, srcs: list[str]) -> str:
+        sl = ", ".join(f"'{s}'" for s in srcs)
+        return f"""
+WITH ck AS ({ckeys_ctx})
+SELECT '{name}' AS variant, key || '|' || doc_id::VARCHAR AS kc,
+       w::DOUBLE AS score,
+       row_number() OVER (ORDER BY w DESC, key ASC, doc_id ASC)::INTEGER
+       AS rank
+FROM ck WHERE starts_with(key, '{pfx}') AND src IN ({sl})
+QUALIFY rank <= 10"""
+
     comp_fuzzy_sql = f"""
 WITH ck AS ({ckeys}),
 cand AS (
@@ -1653,6 +1723,8 @@ QUALIFY rank <= 10"""
             pinned_sql,
             comp_exact("complete_short", "sp"),
             comp_exact("complete_long", "the "),
+            comp_ctx("complete_ctx_short", "s", _CTX_SHORT_SRCS),
+            comp_ctx("complete_ctx_long", "the ", _CTX_LONG_SRCS),
             comp_fuzzy_sql,
         )
     )
