@@ -499,6 +499,35 @@ def main():
     assert "CartesianProduct" not in md_text
     print("SAYT stream zero-exchange, MAD broadcast two-pass — ok")
 
+    # round-5d: the batched bool_prefix kernel (SAYT msearch shape) must
+    # keep the per-query kernels' contracts while serving the WHOLE
+    # batch: pruned postings scan, ONE shard-keyed Arrow kernel, no
+    # join anywhere — the only post-kernel step is the per-query window
+    # over ≤ k·|batch| rows
+    from neural_search_spark.query.multiterm import (
+        match_bool_prefix_topk_batch,
+    )
+
+    mbpb = match_bool_prefix_topk_batch(
+        idx,
+        [("q0", "the spark jo"), ("q1", "merge wind")],
+        k=10,
+        mode="distributed",
+    )
+    plans[
+        "SAYT/bool_prefix batch (one shard-keyed kernel for the whole "
+        "batch)"
+    ] = mbpb
+    mb_text = cap(mbpb)
+    assert "PartitionFilters" in mb_text, (
+        "bool_prefix batch postings scan not partition-pruned"
+    )
+    assert mb_text.split("\n\n")[0].count("FlatMapGroupsInPandas") == 1, (
+        "bool_prefix batch must run ONE shard-keyed Arrow kernel"
+    )
+    assert "Join" not in mb_text, "bool_prefix batch must not join"
+    print("bool_prefix batch: pruned scan, one kernel, no join — ok")
+
     out = ["# PLANS — physical-plan audit (auto-generated)\n"]
     out.append(
         "Generated by `scripts/explain_audit.py`; greps each plan for the "
