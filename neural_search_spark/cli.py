@@ -210,6 +210,40 @@ def _load_ann_store(spark, path: str):
     )
 
 
+def _load_corpus(spark, path):
+    if not path:
+        return None
+    corpus = spark.read.parquet(path)
+    if "doc_id" not in corpus.columns:
+        if {"conv_id", "turn_idx"} <= set(corpus.columns):
+            # transcripts-shaped corpus: derive the stable doc id the
+            # index build uses, so corpus plans and index plans agree
+            from .index.build import doc_id_col
+
+            corpus = corpus.withColumn("doc_id", doc_id_col())
+        else:
+            raise SystemExit(
+                "--corpus table needs a doc_id column (or conv_id + "
+                "turn_idx to derive one)"
+            )
+    return corpus
+
+
+def _parse_kv(items, flag: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for kv in items or []:
+        name, sep, path = kv.partition("=")
+        if not sep or not name or not path:
+            raise SystemExit(f"{flag} wants NAME=DIR, got {kv!r}")
+        out[name] = path
+    return out
+
+
+def _lookup_tables(spark, args):
+    kvs = _parse_kv(getattr(args, "lookup_table", []), "--lookup-table")
+    return {n: spark.read.parquet(p) for n, p in kvs.items()} or None
+
+
 def cmd_search(args) -> None:
     """Engine.search() front door: routes a JSON QuerySpec/HybridSpec tree
     to the attached indexes / corpus (HybridQueryPhaseSearcher analog)."""
@@ -228,27 +262,13 @@ def cmd_search(args) -> None:
     ann = None
     if args.ann_index:
         ann = _load_ann_store(spark, args.ann_index)
-    corpus = spark.read.parquet(args.corpus) if args.corpus else None
-    if corpus is not None and "doc_id" not in corpus.columns:
-        if {"conv_id", "turn_idx"} <= set(corpus.columns):
-            # transcripts-shaped corpus: derive the stable doc id the
-            # index build uses, so corpus plans and index plans agree
-            from .index.build import doc_id_col
-
-            corpus = corpus.withColumn("doc_id", doc_id_col())
-        else:
-            raise SystemExit(
-                "--corpus table needs a doc_id column (or conv_id + "
-                "turn_idx to derive one)"
-            )
-    field_indexes = {}
-    for spec_kv in getattr(args, "field_index", []) or []:
-        name, sep, path = spec_kv.partition("=")
-        if not sep or not name or not path:
-            raise SystemExit(
-                f"--field-index wants FIELD=DIR, got {spec_kv!r}"
-            )
-        field_indexes[name] = BM25Index(spark, path)
+    corpus = _load_corpus(spark, args.corpus)
+    field_indexes = {
+        name: BM25Index(spark, path)
+        for name, path in _parse_kv(
+            getattr(args, "field_index", []), "--field-index"
+        ).items()
+    }
     eng = Engine(
         spark,
         corpus=corpus,
@@ -258,6 +278,7 @@ def cmd_search(args) -> None:
         ),
         ann_index=ann,
         field_indexes=field_indexes or None,
+        lookup_tables=_lookup_tables(spark, args),
     )
     parsed = json.loads(spec)
     rescore = json.loads(args.rescore_json) if args.rescore_json else None
@@ -296,6 +317,11 @@ def cmd_complete(args) -> None:
         size=args.size,
         skip_duplicates=args.skip_duplicates,
         fuzzy=({} if args.fuzzy else None),
+        contexts=(
+            [c for c in args.contexts.split(",") if c]
+            if getattr(args, "contexts", None)
+            else None
+        ),
     )
     print(
         json.dumps(
@@ -325,6 +351,64 @@ def cmd_terms_enum(args) -> None:
             )
         )
     )
+
+
+def _spec_arg(args) -> str:
+    if not args.spec and not args.spec_json:
+        raise SystemExit(f"{args.cmd}: provide --spec FILE or --spec-json JSON")
+    if args.spec_json:
+        return args.spec_json
+    with open(args.spec) as f:
+        return f.read()
+
+
+def cmd_analyze(args) -> None:
+    from .engine import Engine
+
+    spark = _get_session(args)
+    print(json.dumps(Engine(spark).analyze(args.text)))
+
+
+def cmd_count(args) -> None:
+    from .engine import Engine
+
+    spark = _get_session(args)
+    eng = Engine(
+        spark,
+        corpus=_load_corpus(spark, args.corpus),
+        lookup_tables=_lookup_tables(spark, args),
+    )
+    print(json.dumps(eng.count(json.loads(_spec_arg(args)))))
+
+
+def cmd_mget(args) -> None:
+    from .engine import Engine
+
+    spark = _get_session(args)
+    eng = Engine(spark, corpus=_load_corpus(spark, args.corpus))
+    ids = [int(x) for x in args.ids.split(",") if x.strip()]
+    for row in eng.mget(ids).collect():
+        print(json.dumps(row.asDict(), default=str))
+
+
+def cmd_delete_by_query(args) -> None:
+    """Tombstone report only: the CLI process exits after printing, so
+    the attached liveDocs are demonstrated by the (deleted, total)
+    counts; a durable delete is `merge` with --deletes."""
+    from .engine import Engine
+    from .query.bm25 import BM25Index
+
+    spark = _get_session(args)
+    eng = Engine(
+        spark,
+        corpus=_load_corpus(spark, args.corpus),
+        bm25_index=BM25Index(spark, args.index),
+        lookup_tables=_lookup_tables(spark, args),
+    )
+    rep = eng.delete_by_query(
+        json.loads(_spec_arg(args)), dry_run=args.dry_run
+    )
+    print(json.dumps(rep))
 
 
 def main(argv=None) -> None:
@@ -425,6 +509,11 @@ def main(argv=None) -> None:
     ce.add_argument("--skip-duplicates", action="store_true")
     ce.add_argument("--fuzzy", action="store_true",
                     help="FuzzyCompletionQuery mode (AUTO fuzziness)")
+    ce.add_argument(
+        "--contexts",
+        help="comma-separated category contexts (mandatory for a "
+        "context-built index, refused otherwise)",
+    )
     ce.set_defaults(fn=cmd_complete)
 
     te = sub.add_parser(
@@ -499,7 +588,51 @@ def main(argv=None) -> None:
         help="spec is {query_id: spec}; runs Engine.msearch (one batched "
         "job for the match specs)",
     )
+    s.add_argument(
+        "--lookup-table",
+        action="append",
+        default=[],
+        metavar="NAME=DIR",
+        help="terms-lookup source table (repeatable): parquet DIR "
+        "registered as NAME for {'terms': {'lookup': {'index': NAME, "
+        "...}}} specs",
+    )
     s.set_defaults(fn=cmd_search)
+
+    an = sub.add_parser("analyze", help="_analyze: the token stream of a value")
+    an.add_argument("--text", required=True)
+    an.set_defaults(fn=cmd_analyze)
+
+    ct = sub.add_parser(
+        "count", help="_count: exact matched-doc count for a spec"
+    )
+    ct.add_argument("--spec", help="path to a JSON query spec file")
+    ct.add_argument("--spec-json", help="inline JSON query spec")
+    ct.add_argument("--corpus", required=True)
+    ct.add_argument(
+        "--lookup-table", action="append", default=[], metavar="NAME=DIR"
+    )
+    ct.set_defaults(fn=cmd_count)
+
+    mg = sub.add_parser("mget", help="_mget: corpus rows by id")
+    mg.add_argument("--corpus", required=True)
+    mg.add_argument("--ids", required=True, help="comma-separated doc ids")
+    mg.set_defaults(fn=cmd_mget)
+
+    dq = sub.add_parser(
+        "delete-by-query",
+        help="_delete_by_query: report the tombstone counts for a spec "
+        "(durable delete = the merge command's --deletes)",
+    )
+    dq.add_argument("--spec", help="path to a JSON query spec file")
+    dq.add_argument("--spec-json", help="inline JSON query spec")
+    dq.add_argument("--corpus", required=True)
+    dq.add_argument("--index", required=True)
+    dq.add_argument("--dry-run", action="store_true")
+    dq.add_argument(
+        "--lookup-table", action="append", default=[], metavar="NAME=DIR"
+    )
+    dq.set_defaults(fn=cmd_delete_by_query)
 
     args = p.parse_args(argv)
     args.fn(args)
