@@ -318,7 +318,7 @@ def cmd_complete(args) -> None:
         skip_duplicates=args.skip_duplicates,
         fuzzy=({} if args.fuzzy else None),
         contexts=(
-            [c for c in args.contexts.split(",") if c]
+            [c.strip() for c in args.contexts.split(",") if c.strip()]
             if getattr(args, "contexts", None)
             else None
         ),
@@ -363,10 +363,10 @@ def _spec_arg(args) -> str:
 
 
 def cmd_analyze(args) -> None:
-    from .engine import Engine
+    # pure-Python tokenization — no reason to pay SparkSession startup
+    from .tokenizer import tokenize_py
 
-    spark = _get_session(args)
-    print(json.dumps(Engine(spark).analyze(args.text)))
+    print(json.dumps(tokenize_py(args.text)))
 
 
 def cmd_count(args) -> None:

@@ -808,6 +808,7 @@ class Engine:
         FilteredCollector contract. Branches with a post_filter route
         through the corpus-scan plans (the index kernels return an already
         k-truncated set, which would under-fill after filtering)."""
+        spec = self._resolve_lookups(spec)
 
         def _bound(scored: DataFrame) -> DataFrame:
             if allowed is not None:
@@ -1391,6 +1392,9 @@ class Engine:
     def _full_scored(self, spec) -> DataFrame:
         """Unbounded (doc_id, score) for any non-hybrid spec — the full
         matched set a wrapping query (function_score, rescore) needs."""
+        spec = self._resolve_lookups(spec)  # chokepoint: every execute-
+        # bound surface (scroll, rescore, has_child inner query, ...)
+        # flows through here or _branch_topk
         if isinstance(spec, BoolSpec):
             return self._bool_scored(spec)
         if isinstance(spec, DisMaxSpec):
@@ -1607,7 +1611,9 @@ class Engine:
             if not isinstance(rq, QuerySpec):
                 raise ValueError("rescore query must be a leaf query spec")
             secondary = execute(
-                rq, self._need_corpus("rescore"), self.id_col
+                self._resolve_lookups(rq),
+                self._need_corpus("rescore"),
+                self.id_col,
             )
             return rescore_window(
                 primary.drop("rank"),
@@ -1663,7 +1669,9 @@ class Engine:
                         "rescore query must be a leaf query spec"
                     )
                 secondary = execute(
-                    rq, self._need_corpus("rescore"), self.id_col
+                    self._resolve_lookups(rq),
+                    self._need_corpus("rescore"),
+                    self.id_col,
                 )
                 branches = [
                     rescore_window(

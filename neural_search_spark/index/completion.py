@@ -210,7 +210,10 @@ class CompletionIndexBuilder:
 
             ctype = base.schema[context_col].dataType
             ctx = (
-                F.explode(F.col(context_col))  # generator must head the select
+                # a doc's contexts are a SET (host semantics): dedupe so
+                # duplicate categories can't mint duplicate entries.
+                # Generator must head the select.
+                F.explode(F.array_distinct(F.col(context_col)))
                 if isinstance(ctype, ArrayType)
                 else F.col(context_col)
             )
@@ -221,15 +224,24 @@ class CompletionIndexBuilder:
                 w.alias("weight"),
                 F.col(id_col).cast("long").alias("doc_id"),
             ).select(
-                F.col("__ctx_raw").cast("string").alias("__ctx"),
+                # separator validation rides the same pass (raise_error
+                # folds into the projection — no extra validation job
+                # over the input)
+                F.when(
+                    F.col("__ctx_raw").cast("string").contains(_CTX_SEP),
+                    F.raise_error(
+                        F.lit(
+                            "context values must not contain the \\x01 "
+                            "separator"
+                        )
+                    ),
+                )
+                .otherwise(F.col("__ctx_raw").cast("string"))
+                .alias("__ctx"),
                 "__akey", "surface", "weight", "doc_id",
             ).filter(
                 F.col("__ctx").isNotNull() & (F.col("__ctx") != "")
             )
-            if base.filter(F.col("__ctx").contains(_CTX_SEP)).limit(1).count():
-                raise ValueError(
-                    "context values must not contain the \\x01 separator"
-                )
         else:
             base = base.select(
                 F.lit(None).cast("string").alias("__ctx"),

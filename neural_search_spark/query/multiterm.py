@@ -558,13 +558,14 @@ def match_bool_prefix_topk_batch(
         tfs_col = tbl["tfs"].to_pylist()
         dls_col = tbl["dls"].to_pylist()
         order = np.argsort(tid_a, kind="stable")
+        sorted_tids = tid_a[order]  # hoisted: one O(rows) copy, not 2/miss
         cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
         def contrib_driver(tid: int) -> tuple[np.ndarray, np.ndarray]:
             got = cache.get(tid)
             if got is None:
-                lo = np.searchsorted(tid_a[order], tid, side="left")
-                hi = np.searchsorted(tid_a[order], tid, side="right")
+                lo = np.searchsorted(sorted_tids, tid, side="left")
+                hi = np.searchsorted(sorted_tids, tid, side="right")
                 rows = order[lo:hi]
                 ids = np.concatenate(
                     [decode_doc_ids(docs_col[i]) for i in rows]

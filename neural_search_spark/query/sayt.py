@@ -187,9 +187,9 @@ def search_as_you_type_batch(
     parts = []
     for n in sorted(indexes):
         sh_by_qid = {
-            qid: shingles_py(toks, n)
+            qid: sh
             for qid, toks in toks_by_qid.items()
-            if shingles_py(toks, n)
+            if (sh := shingles_py(toks, n))
         }
         if not sh_by_qid:
             continue  # every query shorter than this shingle size
@@ -199,10 +199,17 @@ def search_as_you_type_batch(
             k=k,
             tokens_by_qid=sh_by_qid,
         )
-        parts.append(part.select("query_id", "doc_id", "score"))
+        parts.append(
+            part.select(
+                "query_id",
+                "doc_id",
+                # match the single-query path's public schema (double)
+                F.col("score").cast("double").alias("score"),
+            )
+        )
     if not parts:
         return spark.createDataFrame(
-            [], schema="query_id string, doc_id long, score float, rank int"
+            [], schema="query_id string, doc_id long, score double, rank int"
         )
     allp = parts[0]
     for p in parts[1:]:

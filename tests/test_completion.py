@@ -264,7 +264,10 @@ def test_context_separator_validation(spark, tmp_path_factory):
             columns=["inp", "w", "doc_id", "cat"],
         )
     )
-    with pytest.raises(ValueError, match="separator"):
+    # validation rides the build pass itself (raise_error in the
+    # projection — no separate validation job), so it surfaces as the
+    # build action's Spark error rather than a driver-side ValueError
+    with pytest.raises(Exception, match="separator"):
         CompletionIndexBuilder(spark, p).build(
             df, input_col="inp", weight_col="w", context_col="cat"
         )

@@ -301,3 +301,38 @@ def test_terms_lookup(mt_setup, transcripts_df, spark):
             docs,
             "doc_id",
         )
+
+
+def test_terms_lookup_reaches_every_surface(mt_setup, transcripts_df, spark):
+    """The chokepoint fix: lookups resolve inside _full_scored/_branch_topk,
+    so has_child-wrapped, scroll-filtered and rescore-query lookups all
+    work — not just bare search()."""
+    from neural_search_spark.engine import Engine
+
+    idx, tt = mt_setup
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    lk = spark.createDataFrame(
+        [(7, ["tool"])], schema="pref_id long, allow array<string>"
+    )
+    eng = Engine(
+        spark, corpus=docs, bm25_index=idx, lookup_tables={"prefs": lk}
+    )
+    spec = {
+        "terms": {
+            "lookup": {"index": "prefs", "id": 7, "path": "allow",
+                       "id_field": "pref_id"}
+        }
+    }
+    # has_child wrapping
+    hc = eng.search({"has_child": {"query": spec}}, k=5)
+    assert hc.count() > 0
+    # scroll with the lookup spec as the match filter
+    cur = eng.scroll(spec=spec, page_size=7, sort=[("ts", "asc")])
+    assert len(cur.next_page()) == 7
+    # rescore query carrying the lookup
+    got = eng.search(
+        {"match": {"query_text": "tool"}},
+        k=5,
+        rescore={"window_size": 10, "query": spec},
+    )
+    assert got.count() == 5
