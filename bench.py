@@ -390,7 +390,6 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
             CompletionIndex,
             CompletionIndexBuilder,
         )
-        from neural_search_spark.query.sayt import _shingle_expr
         from neural_search_spark.tokenizer import tokenize_expr
 
         comp_dir = f"/tmp/nss_bench_comp_{cpus}"
@@ -429,25 +428,19 @@ def run_workload(cpus: int, mode: str = "full") -> dict:
         # index builds via the pre-analyzed tokens_col path, then the
         # canonical bool_prefix dis-max across root + subfields
         from neural_search_spark.query.sayt import (
+            build_sayt_indexes,
             search_as_you_type_topk,
         )
 
-        sayt_idx = {1: idx}
+        # one persisted tokenize feeds both subfield builds, and the two
+        # builds run CONCURRENTLY (each field's driver-side phases overlap
+        # the other's executor-bound stages) — see build_sayt_indexes
         t0 = time.time()
-        for n in (2, 3):
-            gram_dir = f"/tmp/nss_bench_sayt{n}_{cpus}"
-            IndexBuilder(
-                spark, gram_dir, n_shards=32, block_size=4096,
-                tokens_col="__sayt_toks",
-            ).build(
-                # base tokens materialized in their own column first —
-                # the expression tree inside the transform lambda would
-                # re-tokenize per shingle position (see query/sayt.py)
-                tr.withColumn("__b", tokenize_expr("text"))
-                .withColumn("__sayt_toks", _shingle_expr(F.col("__b"), n))
-                .drop("__b")
-            )
-            sayt_idx[n] = BM25Index(spark, gram_dir)
+        sayt_idx = build_sayt_indexes(
+            spark, f"/tmp/nss_bench_sayt_{cpus}", tr, grams=(2, 3),
+            n_shards=32, block_size=4096,
+        )
+        sayt_idx[1] = idx
         out["sayt_gram_build_sec"] = round(time.time() - t0, 3)
         sayt_qs = [" ".join(p.split()[:2])[:-2] for p in phrases]
         search_as_you_type_topk(sayt_idx, sayt_qs[0], k=10).collect()

