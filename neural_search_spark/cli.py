@@ -391,6 +391,26 @@ def cmd_mget(args) -> None:
         print(json.dumps(row.asDict(), default=str))
 
 
+def cmd_termvectors(args) -> None:
+    from .engine import Engine
+    from .query.bm25 import BM25Index
+
+    spark = _get_session(args)
+    eng = Engine(
+        spark,
+        corpus=_load_corpus(spark, args.corpus),
+        bm25_index=BM25Index(spark, args.index) if args.index else None,
+    )
+    ids = [int(x) for x in args.ids.split(",") if x.strip()]
+    resp = eng.termvectors(
+        ids,
+        term_statistics=args.term_statistics,
+        field_statistics=args.field_statistics,
+    )
+    # JSON object keys are strings; keep the host's id-keyed shape
+    print(json.dumps({str(k): v for k, v in resp.items()}))
+
+
 def cmd_delete_by_query(args) -> None:
     """Tombstone report only: the CLI process exits after printing, so
     the attached liveDocs are demonstrated by the (deleted, total)
@@ -618,6 +638,18 @@ def main(argv=None) -> None:
     mg.add_argument("--corpus", required=True)
     mg.add_argument("--ids", required=True, help="comma-separated doc ids")
     mg.set_defaults(fn=cmd_mget)
+
+    tv = sub.add_parser(
+        "termvectors",
+        help="_termvectors: re-analyzed per-doc term vectors; "
+        "--term-statistics/--field-statistics read df/ttf from --index",
+    )
+    tv.add_argument("--corpus", required=True)
+    tv.add_argument("--ids", required=True, help="comma-separated doc ids")
+    tv.add_argument("--index", help="bm25 index dir (for statistics)")
+    tv.add_argument("--term-statistics", action="store_true")
+    tv.add_argument("--field-statistics", action="store_true")
+    tv.set_defaults(fn=cmd_termvectors)
 
     dq = sub.add_parser(
         "delete-by-query",

@@ -2071,6 +2071,34 @@ class Engine:
             self.bm25_index.with_deletes(union)
         return out
 
+    def termvectors(
+        self,
+        ids: list[int],
+        term_statistics: bool = False,
+        field_statistics: bool = False,
+        positions: bool = True,
+        offsets: bool = True,
+    ) -> dict:
+        """The host `_termvectors` / `_mtermvectors` API: per-doc term
+        vectors via on-the-fly re-analysis of the fetched rows (the
+        host's behavior for fields without stored term vectors), with
+        df/ttf and field statistics read from the attached bm25_index's
+        terms table as driver-side pyarrow point reads — the _mget
+        broadcast semi-join is the only Spark job. Requires the index
+        when term_statistics/field_statistics are requested."""
+        from .query.termvectors import termvectors_response
+
+        return termvectors_response(
+            self._need_corpus("termvectors"),
+            ids,
+            index=self.bm25_index,
+            id_col=self.id_col,
+            term_statistics=term_statistics,
+            field_statistics=field_statistics,
+            positions=positions,
+            offsets=offsets,
+        )
+
     def explain_route(self, spec) -> dict:
         """Which physical route a spec takes, WITHOUT running it — the
         ops-facing analog of `.explain()` one level up: {'route':

@@ -4427,6 +4427,11 @@ def q_sort_search_after(spark: SparkSession, sf: str) -> DataFrame:
       path) and ranks 6-8 are relevant-but-outside-the-window
       (exercises the recall denominator). kc = request id,
       v = metric_score (6 dp), rank = unrated_docs.
+    * 'tv'     — the `_termvectors` API's distributed frame twin
+      (query/termvectors.py): per-term term_freq (v) and corpus
+      doc_freq (rank) for the first 3 documents by doc_id — tf from
+      re-analysis of the fetched rows, df from one corpus pass whose
+      term stream is filtered by the broadcast doc vocabulary.
 
     Shared schema (variant string, kc string, v double, rank int)."""
     from .query import neural as nq
@@ -4489,7 +4494,23 @@ def q_sort_search_after(spark: SparkSession, sf: str) -> DataFrame:
     ratings = spark.createDataFrame(
         ratings_rows, schema="query_id string, doc_id long, rating int"
     )
-    out = sa.unionByName(scroll)
+    # --- _termvectors frame over the first 3 docs by doc_id ------------
+    from .query.termvectors import termvectors_frame
+
+    tv_ids = [
+        int(r["doc_id"])
+        for r in d.select("doc_id").orderBy("doc_id").limit(3).collect()
+    ]
+    tv = termvectors_frame(d, tv_ids).select(
+        F.lit("tv").alias("variant"),
+        F.concat_ws(
+            "/", F.col("doc_id").cast("string"), "term"
+        ).alias("kc"),
+        F.col("term_freq").cast("double").alias("v"),
+        F.col("doc_freq").cast("int").alias("rank"),
+    )
+
+    out = sa.unionByName(scroll).unionByName(tv)
     for name, metric in _RE_METRICS:
         per = compute_metric(hits, ratings, metric, ["qa", "qb"])
         out = out.unionByName(
@@ -4582,6 +4603,20 @@ FROM (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0) AS prior
   FROM (SELECT rank, (pow(2.0, coalesce(rating, 0)) - 1.0) / 16.0 AS r_i
         FROM ({j5})))""")
+    # _termvectors twin: tf over the 3 selected docs, df over the corpus
+    parts.append(f"""
+SELECT 'tv' AS variant, tf.doc_id::VARCHAR || '/' || tf.term AS kc,
+       tf.tf::DOUBLE AS v, df.df::INTEGER AS rank
+FROM (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({TOK}) AS term
+        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 3))
+  GROUP BY 1, 2) tf
+JOIN (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term
+        FROM (SELECT doc_id, unnest({TOK}) AS term FROM documents))
+  GROUP BY 1) df USING (term)""")
     return " UNION ALL ".join(parts)
 
 

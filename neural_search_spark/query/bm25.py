@@ -157,6 +157,52 @@ class BM25Index:
             zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist()))
         )
 
+    def term_stats_full(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """{term: (df, cf)} — the ``term_stats`` point read widened to the
+        collection frequency column (the host's ``ttf``), for the
+        _termvectors API. Same pyarrow predicate-pushdown shape."""
+        if not terms:
+            return {}
+        import pyarrow.dataset as ds
+
+        if self._terms_ds is None:
+            self._terms_ds = ds.dataset(self._terms_path, format="parquet")
+        tbl = self._terms_ds.to_table(
+            columns=["term", "df", "cf"], filter=ds.field("term").isin(terms)
+        )
+        return {
+            t: (int(d), int(c))
+            for t, d, c in zip(
+                tbl["term"].to_pylist(),
+                tbl["df"].to_pylist(),
+                tbl["cf"].to_pylist(),
+            )
+        }
+
+    def field_stats(self) -> dict:
+        """Field-level statistics for the _termvectors API:
+        ``sum_doc_freq`` (Σ df), ``doc_count`` (N) and ``sum_ttf`` (Σ cf)
+        — ONE pyarrow aggregate over the vocabulary-sized terms table,
+        cached on the handle. NOTE the stats contract matches the rest of
+        the index: deleted docs still count until a merge expunges them
+        (Lucene liveDocs semantics)."""
+        if getattr(self, "_field_stats", None) is None:
+            import pyarrow.dataset as ds
+
+            if self._terms_ds is None:
+                self._terms_ds = ds.dataset(
+                    self._terms_path, format="parquet"
+                )
+            tbl = self._terms_ds.to_table(columns=["df", "cf"])
+            import pyarrow.compute as pc
+
+            self._field_stats = {
+                "sum_doc_freq": int(pc.sum(tbl["df"]).as_py() or 0),
+                "doc_count": int(self.n_docs),
+                "sum_ttf": int(pc.sum(tbl["cf"]).as_py() or 0),
+            }
+        return dict(self._field_stats)
+
     def prefix_stats(self, prefix: str, limit: int = 50) -> list[tuple[str, int]]:
         """Dictionary prefix expansion: the first ``limit`` index terms with
         the given prefix IN LEXICOGRAPHIC (binary/ASCII) ORDER, with their

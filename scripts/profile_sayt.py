@@ -25,11 +25,17 @@ def main(variant: str) -> None:
     from neural_search_spark.query.sayt import _shingle_expr
     from neural_search_spark.tokenizer import tokenize_expr
 
+    # warm the session like the bench does: a full root-index build first
+    info = IndexBuilder(
+        spark, "/tmp/nss_prof_root", n_shards=32, block_size=4096
+    ).build(tr)
+    print("root stage_sec:", info.get("stage_sec"))
+
     t0 = time.time()
     if variant == "old":
         for n in (2, 3):
             gram_dir = f"/tmp/nss_prof_sayt{n}"
-            IndexBuilder(
+            info = IndexBuilder(
                 spark, gram_dir, n_shards=32, block_size=4096,
                 tokens_col="__sayt_toks",
             ).build(
@@ -37,12 +43,14 @@ def main(variant: str) -> None:
                 .withColumn("__sayt_toks", _shingle_expr(F.col("__b"), n))
                 .drop("__b")
             )
+            print(f"gram{n} stage_sec:", info.get("stage_sec"))
     else:
         from neural_search_spark.query.sayt import build_sayt_indexes
 
         build_sayt_indexes(
             spark, "/tmp/nss_prof_saytN", tr, grams=(2, 3),
             n_shards=32, block_size=4096,
+            concurrent=(variant != "newseq"),
         )
     print(f"VARIANT={variant} gram_build_sec={time.time() - t0:.2f}")
     spark.stop()

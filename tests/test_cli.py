@@ -77,3 +77,20 @@ def test_cli_lookup_search_and_delete(cli_env, capsys):
     )
     rep = json.loads(out[-1])
     assert rep["total"] == rep["deleted"] > 0
+
+
+def test_cli_termvectors(cli_env, capsys):
+    ids = ",".join(str(i) for i in cli_env["ids"])
+    out = run_cli(
+        capsys, "termvectors",
+        "--corpus", cli_env["corpus"], "--ids", ids,
+        "--index", cli_env["idx"],
+        "--term-statistics", "--field-statistics",
+    )
+    resp = json.loads(out[-1])
+    assert set(resp) == {str(i) for i in cli_env["ids"]}
+    doc = resp[str(cli_env["ids"][0])]
+    assert doc["found"] and doc["terms"]
+    first = next(iter(doc["terms"].values()))
+    assert first["doc_freq"] >= 1 and first["ttf"] >= first["term_freq"]
+    assert doc["field_statistics"]["doc_count"] > 0
