@@ -391,6 +391,29 @@ def cmd_mget(args) -> None:
         print(json.dumps(row.asDict(), default=str))
 
 
+def cmd_update_by_query(args) -> None:
+    from .engine import Engine
+    from .query.bm25 import BM25Index
+
+    spark = _get_session(args)
+    eng = Engine(
+        spark,
+        corpus=_load_corpus(spark, args.corpus),
+        bm25_index=BM25Index(spark, args.index) if args.index else None,
+        lookup_tables=_lookup_tables(spark, args),
+    )
+    set_exprs = dict(
+        kv.split("=", 1) for kv in (args.set or []) if "=" in kv
+    )
+    rep = eng.update_by_query(
+        json.loads(_spec_arg(args)),
+        set_exprs,
+        out_dir=args.out,
+        dry_run=args.dry_run,
+    )
+    print(json.dumps(rep))
+
+
 def cmd_termvectors(args) -> None:
     from .engine import Engine
     from .query.bm25 import BM25Index
@@ -638,6 +661,26 @@ def main(argv=None) -> None:
     mg.add_argument("--corpus", required=True)
     mg.add_argument("--ids", required=True, help="comma-separated doc ids")
     mg.set_defaults(fn=cmd_mget)
+
+    ub = sub.add_parser(
+        "update-by-query",
+        help="_update_by_query: apply --set COL=SQL_EXPR to the matched "
+        "set; --out incrementally reindexes (segment + scoped merge)",
+    )
+    ub.add_argument("--spec", help="path to a JSON query spec file")
+    ub.add_argument("--spec-json", help="inline JSON query spec")
+    ub.add_argument("--corpus", required=True)
+    ub.add_argument("--index", help="bm25 index dir (needed with --out)")
+    ub.add_argument("--out", help="merged index output dir")
+    ub.add_argument(
+        "--set", action="append", default=[], metavar="COL=SQL_EXPR",
+        help="column update expression (repeatable)",
+    )
+    ub.add_argument("--dry-run", action="store_true")
+    ub.add_argument(
+        "--lookup-table", action="append", default=[], metavar="NAME=DIR"
+    )
+    ub.set_defaults(fn=cmd_update_by_query)
 
     tv = sub.add_parser(
         "termvectors",

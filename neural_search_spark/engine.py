@@ -2071,6 +2071,50 @@ class Engine:
             self.bm25_index.with_deletes(union)
         return out
 
+    def update_by_query(
+        self,
+        spec,
+        set_exprs: dict[str, str],
+        out_dir: str | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """The host `_update_by_query` API: the spec's FULL matched set
+        gets ``set_exprs`` applied (Spark SQL expressions per column —
+        the vectorized stand-in for the host's painless script, see
+        index/update.py), the engine's corpus swaps to the updated frame,
+        and with ``out_dir`` the attached bm25_index is incrementally
+        reindexed: a segment build over the matched rows + ONE
+        source-scoped merge expunging the stale copies — cost scales
+        with the update size, never the corpus. Returns {'total',
+        'updated'} (+ merge info under 'reindex' when out_dir given)."""
+        from .index.update import apply_update, update_and_reindex
+
+        matched = self._matched_scored(spec).select("doc_id").distinct()
+        total = int(matched.count())
+        out = {"total": total, "updated": 0 if dry_run else total}
+        if dry_run:
+            return out
+        corpus = self._need_corpus("update_by_query")
+        new_corpus = apply_update(corpus, matched, set_exprs, self.id_col)
+        if out_dir is not None:
+            if self.bm25_index is None:
+                raise ValueError(
+                    "update_by_query with out_dir needs an attached "
+                    "bm25_index to reindex"
+                )
+            info = update_and_reindex(
+                self.spark, self.bm25_index, new_corpus, matched,
+                out_dir, id_col=self.id_col,
+            )
+            from .query.bm25 import BM25Index
+
+            self.bm25_index = BM25Index(self.spark, out_dir)
+            out["reindex"] = {
+                k: info[k] for k in ("run_id", "n_docs", "docs_expunged")
+            }
+        self.corpus = new_corpus
+        return out
+
     def termvectors(
         self,
         ids: list[int],

@@ -65,12 +65,16 @@ from .codec import decode_doc_ids, decode_tfs
 _LAYOUT_KEYS = ("format_version", "n_shards", "block_size", "k1", "b")
 
 
-def decoded_postings(blocks: DataFrame) -> DataFrame:
+def decoded_postings(blocks: DataFrame, with_src: bool = False) -> DataFrame:
     """(tid, shard_id, doc_id, tf, dl) exploded back out of block rows.
 
     numpy-vectorized per block (the codec decoders are loop-free); Python
     touches block-grained batches only — the merge analog of the build's
-    "python sees block arrays, not postings" rule."""
+    "python sees block arrays, not postings" rule.
+
+    with_src=True additionally carries a ``__src`` int column (the source
+    index ordinal, tagged by the caller) through the decode — the handle
+    source-scoped deletes filter on."""
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,25 +82,31 @@ def decoded_postings(blocks: DataFrame) -> DataFrame:
                 continue
             ids = [decode_doc_ids(b) for b in pdf["docs"]]
             ns = np.array([len(a) for a in ids], dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "tid": np.repeat(pdf["tid"].to_numpy(), ns),
-                    "shard_id": np.repeat(
-                        pdf["shard_id"].to_numpy(), ns
-                    ).astype(np.int32),
-                    "doc_id": np.concatenate(ids),
-                    "tf": np.concatenate(
-                        [decode_tfs(b) for b in pdf["tfs"]]
-                    ),
-                    "dl": np.concatenate(
-                        [decode_tfs(b) for b in pdf["dls"]]
-                    ),
-                }
-            )
+            out = {
+                "tid": np.repeat(pdf["tid"].to_numpy(), ns),
+                "shard_id": np.repeat(
+                    pdf["shard_id"].to_numpy(), ns
+                ).astype(np.int32),
+                "doc_id": np.concatenate(ids),
+                "tf": np.concatenate(
+                    [decode_tfs(b) for b in pdf["tfs"]]
+                ),
+                "dl": np.concatenate(
+                    [decode_tfs(b) for b in pdf["dls"]]
+                ),
+            }
+            if with_src:
+                out["__src"] = np.repeat(
+                    pdf["__src"].to_numpy(), ns
+                ).astype(np.int32)
+            yield pd.DataFrame(out)
 
-    return blocks.select("tid", "shard_id", "docs", "tfs", "dls").mapInPandas(
-        explode, "tid long, shard_id int, doc_id long, tf long, dl long"
-    )
+    cols = ["tid", "shard_id", "docs", "tfs", "dls"]
+    schema = "tid long, shard_id int, doc_id long, tf long, dl long"
+    if with_src:
+        cols.append("__src")
+        schema += ", __src int"
+    return blocks.select(*cols).mapInPandas(explode, schema)
 
 
 def _read_layout(spark: SparkSession, path: str) -> dict:
@@ -115,6 +125,7 @@ def merge_indexes(
     out_dir: str,
     target_postings_per_task: int = 500_000,
     deletes: DataFrame | None = None,
+    deletes_sources: list[str] | None = None,
 ) -> dict:
     """Merge ≥2 block indexes into ``out_dir`` (see module docstring).
 
@@ -134,7 +145,16 @@ def merge_indexes(
     corrected from the deleted docs' own (doc_id, dl) pairs; per-term
     df/cf recomputed from the live postings), so the expunged index is
     query-identical to a from-scratch build over the corpus minus the
-    deleted docs. Caveat: a deleted doc that had ZERO tokens leaves no
+    deleted docs.
+
+    ``deletes_sources`` scopes the expunge to the listed source dirs (a
+    subset of ``src_dirs``): only postings whose SOURCE index is in the
+    list are dropped for the deleted doc ids, other sources' postings for
+    the same ids survive. This is Lucene's update-as-delete-plus-add in
+    merge form — _update_by_query builds a fresh segment for the updated
+    docs (same doc ids, new text) and merges it with the main index while
+    expunging ONLY the main's stale copies. Default None keeps the
+    global-expunge behavior. Caveat: a deleted doc that had ZERO tokens leaves no
     posting to correct n_docs by — its count lingers in n_docs (exactly
     the information Lucene keeps in liveDocs/maxDoc and this format does
     not store); token-bearing docs expunge exactly.
@@ -178,26 +198,41 @@ def merge_indexes(
         }
     ).to_parquet(os.path.join(out_dir, "build_config.parquet"))
 
+    scoped = deletes is not None and deletes_sources is not None
+    del_src_idx: list[int] = []
+    if scoped:
+        srcset = set(deletes_sources)
+        unknown = srcset - set(src_dirs)
+        if unknown:
+            raise ValueError(
+                f"deletes_sources not among src_dirs: {sorted(unknown)}"
+            )
+        del_src_idx = [i for i, p in enumerate(src_dirs) if p in srcset]
+
     # terms: union by (term, tid) — tid is content-hashed so sources agree;
     # disjoint doc sets ⇒ df/cf add
-    def _union(sub: str, cols: list[str]) -> DataFrame:
+    def _union(sub: str, cols: list[str], tag: bool = False) -> DataFrame:
         # per-root reads unioned explicitly: multi-path parquet reads infer
         # hive partitions relative to the COMMON ancestor, which scrambles
         # partition columns when roots live in unrelated directories
-        dfs = [
-            spark.read.parquet(os.path.join(p, sub)).select(*cols)
-            for p in src_dirs
-        ]
+        dfs = []
+        for i, p in enumerate(src_dirs):
+            d = spark.read.parquet(os.path.join(p, sub)).select(*cols)
+            if tag:
+                d = d.withColumn("__src", F.lit(i))
+            dfs.append(d)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
 
-    src_blocks = _union("postings", ["tid", "shard_id", "docs", "tfs", "dls"])
+    src_blocks = _union(
+        "postings", ["tid", "shard_id", "docs", "tfs", "dls"], tag=scoped
+    )
     # ONE decoded stream feeds both the term dictionary (deletes path) and
     # the salted block rebuild below — the expunge filter applied here is
     # what keeps deleted postings out of the rebuilt blocks
-    dec = decoded_postings(src_blocks)
+    dec = decoded_postings(src_blocks, with_src=scoped)
     n_deleted = 0
     if deletes is not None:
         from pyspark import StorageLevel
@@ -213,10 +248,16 @@ def merge_indexes(
         dels = deletes.select(F.col("doc_id").cast("long")).distinct()
         # corpus-stat corrections from the deleted docs' own postings:
         # dl repeats identically on each of a doc's postings, so distinct
-        # (doc_id, dl) recovers exact per-doc lengths
+        # (doc_id, dl) recovers exact per-doc lengths; scoped deletes key
+        # by (__src, doc_id, dl) — each masked COPY decrements n_docs once
+        sel = dec.join(dels, "doc_id", "left_semi")
+        if scoped:
+            sel = sel.filter(F.col("__src").isin(del_src_idx))
+            key_cols = ["__src", "doc_id", "dl"]
+        else:
+            key_cols = ["doc_id", "dl"]
         drow = (
-            dec.join(dels, "doc_id", "left_semi")
-            .select("doc_id", "dl")
+            sel.select(*key_cols)
             .distinct()
             .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
             .collect()[0]
@@ -225,7 +266,23 @@ def merge_indexes(
         n_docs -= n_deleted
         sum_dl -= float(drow["s"] or 0)
         avgdl = sum_dl / max(n_docs, 1)
-        dec = dec.join(dels, "doc_id", "left_anti")
+        if scoped:
+            dec = (
+                dec.join(
+                    dels.withColumn("__del", F.lit(True)), "doc_id", "left"
+                )
+                .filter(
+                    ~(
+                        F.coalesce(F.col("__del"), F.lit(False))
+                        & F.col("__src").isin(del_src_idx)
+                    )
+                )
+                .drop("__del")
+            )
+        else:
+            dec = dec.join(dels, "doc_id", "left_anti")
+        if scoped:
+            dec = dec.drop("__src")
         # df/cf must be RE-derived from live postings — the sum-of-sources
         # shortcut below is wrong once postings vanish; terms whose df
         # drops to zero fall out of the dictionary via the inner join
@@ -292,7 +349,10 @@ def merge_indexes(
         )
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
 
-    positions_merged = _merge_positions(spark, src_dirs, out_dir, deletes)
+    positions_merged = _merge_positions(
+        spark, src_dirs, out_dir, deletes,
+        del_src_idx if scoped else None,
+    )
 
     elapsed = time.time() - t0
     mdf = pd.DataFrame(
@@ -327,6 +387,7 @@ def _merge_positions(
     src_dirs: list[str],
     out_dir: str,
     deletes: DataFrame | None,
+    del_src_idx: list[int] | None = None,
 ) -> bool:
     """Union the sources' positions sidecars into ``out_dir/positions``.
 
@@ -358,16 +419,35 @@ def _merge_positions(
                 f"v{POSITIONS_FORMAT_VERSION}"
             )
     cols = ["tid", "doc_id", "dl", "positions"]
-    dfs = [
-        spark.read.parquet(os.path.join(p, "positions")).select(*cols)
-        for p in src_dirs
-    ]
+    scoped = deletes is not None and del_src_idx is not None
+    dfs = []
+    for i, p in enumerate(src_dirs):
+        d = spark.read.parquet(os.path.join(p, "positions")).select(*cols)
+        if scoped:
+            d = d.withColumn("__src", F.lit(i))
+        dfs.append(d)
     pos = dfs[0]
     for d in dfs[1:]:
         pos = pos.unionByName(d)
     if deletes is not None:
         dels = deletes.select(F.col("doc_id").cast("long")).distinct()
-        pos = pos.join(dels, "doc_id", "left_anti")
+        if scoped:
+            # drop ONLY the masked sources' rows for the deleted ids —
+            # the update path's fresh-segment positions survive
+            pos = (
+                pos.join(
+                    dels.withColumn("__del", F.lit(True)), "doc_id", "left"
+                )
+                .filter(
+                    ~(
+                        F.coalesce(F.col("__del"), F.lit(False))
+                        & F.col("__src").isin(del_src_idx)
+                    )
+                )
+                .drop("__del", "__src")
+            )
+        else:
+            pos = pos.join(dels, "doc_id", "left_anti")
     out = os.path.join(out_dir, "positions")
     if os.path.exists(out):
         shutil.rmtree(out)

@@ -94,3 +94,25 @@ def test_cli_termvectors(cli_env, capsys):
     first = next(iter(doc["terms"].values()))
     assert first["doc_freq"] >= 1 and first["ttf"] >= first["term_freq"]
     assert doc["field_statistics"]["doc_count"] > 0
+
+
+def test_cli_update_by_query(cli_env, capsys, tmp_path):
+    out_dir = str(tmp_path / "ubq_merged")
+    out = run_cli(
+        capsys, "update-by-query",
+        "--spec-json", '{"match": {"query_text": "tool"}}',
+        "--corpus", cli_env["corpus"],
+        "--index", cli_env["idx"],
+        "--out", out_dir,
+        "--set", "text=concat(text, ' zzcliupd')",
+    )
+    rep = json.loads(out[-1])
+    assert rep["updated"] == rep["total"] > 0
+    assert rep["reindex"]["docs_expunged"] >= 1
+    # the merged index on disk serves the new term
+    from neural_search_spark.query.bm25 import BM25Index, bm25_topk
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    hits = bm25_topk(BM25Index(spark, out_dir), "zzcliupd", k=5).collect()
+    assert len(hits) > 0
