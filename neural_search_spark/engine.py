@@ -2071,6 +2071,100 @@ class Engine:
             self.bm25_index.with_deletes(union)
         return out
 
+    def field_caps(self) -> dict:
+        """The host `_field_caps` API: per-field type + searchable/
+        aggregatable capabilities, derived from the corpus schema (the
+        host derives them from mappings). Type names follow the host's
+        vocabulary: string → text, array<float/double> → dense_vector
+        (knn-servable), map → rank_features (the sparse feature shape),
+        numerics/timestamps keep their names. Every stored field is
+        searchable (Catalyst predicates); text is aggregatable only via
+        its analyzed terms, mirroring fielddata-off text fields → False."""
+        from pyspark.sql import types as T
+
+        def cap(f) -> dict:
+            dt = f.dataType
+            if isinstance(dt, T.StringType):
+                return {"type": "text", "searchable": True, "aggregatable": False}
+            if isinstance(dt, T.ArrayType) and isinstance(
+                dt.elementType, (T.FloatType, T.DoubleType)
+            ):
+                return {
+                    "type": "dense_vector",
+                    "searchable": True,  # neural_knn serves it
+                    "aggregatable": False,
+                }
+            if isinstance(dt, T.MapType):
+                return {
+                    "type": "rank_features",
+                    "searchable": True,  # neural_sparse serves it
+                    "aggregatable": False,
+                }
+            name = {
+                T.LongType: "long", T.IntegerType: "integer",
+                T.DoubleType: "double", T.FloatType: "float",
+                T.BooleanType: "boolean", T.TimestampType: "date",
+                T.TimestampNTZType: "date", T.BinaryType: "binary",
+            }.get(type(dt), dt.simpleString())
+            return {
+                "type": name,
+                "searchable": True,
+                "aggregatable": not isinstance(dt, T.BinaryType),
+            }
+
+        corpus = self._need_corpus("field_caps")
+        return {f.name: cap(f) for f in corpus.schema.fields}
+
+    def reindex(
+        self,
+        out_dir: str,
+        spec=None,
+        set_exprs: dict[str, str] | None = None,
+        n_shards: int | None = None,
+        block_size: int | None = None,
+        with_positions: bool = False,
+    ) -> dict:
+        """The host `_reindex` API, destination-index form: build a FRESH
+        index at ``out_dir`` over the corpus — optionally restricted to a
+        query's matched set (the host's ``source.query``) and transformed
+        by per-column SQL expressions (the script analog, same contract
+        as update_by_query). Unlike update_by_query this is a full build
+        of the selected rows (the host shape for copy-into-new-index);
+        layout params default to the attached index's when one is
+        attached. Returns the build info dict."""
+        from .index.build import IndexBuilder
+        from .index.positions import build_positions
+        from .index.update import apply_update
+
+        corpus = self._need_corpus("reindex")
+        rows = corpus
+        if spec is not None:
+            matched = self._matched_scored(spec).select("doc_id").distinct()
+            rows = corpus.join(
+                matched.withColumnRenamed("doc_id", self.id_col),
+                self.id_col, "left_semi",
+            )
+            if set_exprs:
+                rows = apply_update(rows, matched, set_exprs, self.id_col)
+        elif set_exprs:
+            rows = apply_update(
+                rows, rows.select(self.id_col), set_exprs, self.id_col
+            )
+        lay = {}
+        if self.bm25_index is not None:
+            from .index.merge import _read_layout
+
+            lay = _read_layout(self.spark, self.bm25_index.path)
+        info = IndexBuilder(
+            self.spark,
+            out_dir,
+            n_shards=int(n_shards or lay.get("n_shards", 32)),
+            block_size=int(block_size or lay.get("block_size", 4096)),
+        ).build(rows)
+        if with_positions:
+            build_positions(self.spark, out_dir, rows)
+        return info
+
     def update_by_query(
         self,
         spec,

@@ -432,3 +432,39 @@ def test_small_host_apis(spark, transcripts_df, small_index):
     rep3 = eng.delete_by_query(spec)
     assert rep3["deleted"] == 0 and rep3["total"] == c["count"]
     idx.with_deletes(None)
+
+
+def test_field_caps_and_reindex(spark, transcripts_df, small_index, tmp_path):
+    from neural_search_spark.engine import Engine
+    from neural_search_spark.index.build import doc_id_col
+    from neural_search_spark.query.bm25 import BM25Index, bm25_topk
+
+    docs = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=docs, bm25_index=BM25Index(spark, small_index))
+
+    caps = eng.field_caps()
+    assert caps["text"] == {
+        "type": "text", "searchable": True, "aggregatable": False
+    }
+    assert caps["doc_id"]["type"] == "long" and caps["doc_id"]["aggregatable"]
+    assert caps["ts"]["type"] == "date"
+
+    # reindex a query's matched set into a fresh index: only matched docs
+    # are searchable there, and layout params inherit from the attached
+    out_dir = str(tmp_path / "reindexed")
+    spec = {"match": {"query_text": "tool"}}
+    info = eng.reindex(out_dir, spec=spec)
+    sub = BM25Index(spark, out_dir)
+    assert info["n_docs"] == eng.count(spec)["count"] == sub.n_docs
+    assert sub.n_shards == eng.bm25_index.n_shards
+    full_ids = {
+        int(r["doc_id"])
+        for r in eng._matched_scored(spec).select("doc_id").collect()
+    }
+    hits = {int(r["doc_id"]) for r in bm25_topk(sub, "tool", k=10_000).collect()}
+    assert hits and hits <= full_ids
+
+    # reindex with a transform: the new index serves the rewritten text
+    out2 = str(tmp_path / "reindexed2")
+    eng.reindex(out2, spec=spec, set_exprs={"text": "concat(text, ' zzrx')"})
+    assert bm25_topk(BM25Index(spark, out2), "zzrx", k=5).count() > 0
