@@ -296,7 +296,11 @@ def merge_indexes(
         term_stats = _union("terms", ["term", "tid", "df", "cf"]).groupBy(
             "term", "tid"
         ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-    term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    # sorted-by-term like the builder's write: keeps dictionary prefix
+    # range reads row-group-pruned on merged indexes too
+    term_stats.sort("term").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "terms")
+    )
     term_stats = spark.read.parquet(os.path.join(out_dir, "terms"))
 
     # salt plan from MERGED df (a term hot only in aggregate still splits)

@@ -211,7 +211,9 @@ class SparseIndexBuilder:
                 .groupBy("token", "tid")
                 .agg(F.count(F.lit(1)).alias("df"))
             )
-            tstats.write.mode("overwrite").parquet(terms_path)
+            # sorted by token: row-group-pruned driver point reads
+            # (same rationale as the block index's terms table)
+            tstats.sort("token").write.mode("overwrite").parquet(terms_path)
         terms = self.spark.read.parquet(terms_path)
         hot = terms.filter(
             F.col("df") > F.lit(self.target * self.n_shards)
