@@ -4432,6 +4432,14 @@ def q_sort_search_after(spark: SparkSession, sf: str) -> DataFrame:
       doc_freq (rank) for the first 3 documents by doc_id — tf from
       re-analysis of the fetched rows, df from one corpus pass whose
       term stream is filtered by the broadcast doc vocabulary.
+    * 'ubq'    — `_update_by_query`'s corpus transform
+      (index/update.apply_update): docs whose text contains QUERY_A's
+      first term get `concat(text, ' zzupd')` + a NEW column
+      `upd_len = length(text)` evaluated against the PRE-update row;
+      rows are the first 40 docs by doc_id with v = length of the
+      post-update text (catches a missed or doubly-applied transform)
+      and rank = upd_len (NULL→-1 on unmatched; catches expression
+      leakage onto unmatched rows).
 
     Shared schema (variant string, kc string, v double, rank int)."""
     from .query import neural as nq
@@ -4510,7 +4518,27 @@ def q_sort_search_after(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_freq").cast("int").alias("rank"),
     )
 
-    out = sa.unionByName(scroll).unionByName(tv)
+    # --- _update_by_query corpus transform over the first 40 docs ------
+    from .index.update import apply_update
+
+    matched = d.filter(F.col("text").contains("spark")).select("doc_id")
+    upd = apply_update(
+        d.select("doc_id", "text"),
+        matched,
+        {"text": "concat(text, ' zzupd')", "upd_len": "length(text)"},
+    )
+    ubq = (
+        upd.orderBy("doc_id")
+        .limit(40)
+        .select(
+            F.lit("ubq").alias("variant"),
+            F.col("doc_id").cast("string").alias("kc"),
+            F.length("text").cast("double").alias("v"),
+            F.coalesce(F.col("upd_len"), F.lit(-1)).cast("int").alias("rank"),
+        )
+    )
+
+    out = sa.unionByName(scroll).unionByName(tv).unionByName(ubq)
     for name, metric in _RE_METRICS:
         per = compute_metric(hits, ratings, metric, ["qa", "qb"])
         out = out.unionByName(
@@ -4617,6 +4645,15 @@ JOIN (
   FROM (SELECT DISTINCT doc_id, term
         FROM (SELECT doc_id, unnest({TOK}) AS term FROM documents))
   GROUP BY 1) df USING (term)""")
+    # _update_by_query corpus-transform twin: matched rows get the concat
+    # + the pre-update length; unmatched pass through with rank=-1
+    parts.append("""
+SELECT 'ubq' AS variant, doc_id::VARCHAR AS kc,
+       length(CASE WHEN position('spark' IN text) > 0
+                   THEN text || ' zzupd' ELSE text END)::DOUBLE AS v,
+       (CASE WHEN position('spark' IN text) > 0
+             THEN length(text) ELSE -1 END)::INTEGER AS rank
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 40)""")
     return " UNION ALL ".join(parts)
 
 
