@@ -422,6 +422,47 @@ def main():
     )
     print("serving cache: no exchange between cache and kernel — ok")
 
+    # _termvectors frame: the doc fetch is a BROADCAST semi-join point
+    # read and the corpus df pass joins exploded terms against the
+    # BROADCAST doc vocabulary — the shuffle carries matching terms only,
+    # never corpus-keyed rows; no quadratic joins anywhere
+    from neural_search_spark.query.termvectors import termvectors_frame
+
+    tvd = gate._docs(spark, sf)
+    tv_ids = [
+        int(r["doc_id"])
+        for r in tvd.select("doc_id").orderBy("doc_id").limit(3).collect()
+    ]
+    tv_plan = termvectors_frame(tvd, tv_ids)
+    plans[
+        "_termvectors frame (broadcast id fetch + broadcast-vocab df pass)"
+    ] = tv_plan
+    tv_text = cap(tv_plan)
+    assert "CartesianProduct" not in tv_text
+    assert "BroadcastNestedLoop" not in tv_text
+    assert tv_text.count("BroadcastHashJoin") >= 2, (
+        "termvectors: id fetch / vocab joins must both broadcast"
+    )
+    print("termvectors frame: broadcast fetch + vocab joins — ok")
+
+    # _update_by_query corpus transform: ONE matched-flag left join feeding
+    # a single Project of conditional columns — no Window, no extra
+    # exchange per updated column
+    from neural_search_spark.index.update import apply_update
+
+    upd_plan = apply_update(
+        tvd.select("doc_id", "text"),
+        tvd.filter(F.col("text").contains("spark")).select("doc_id"),
+        {"text": "concat(text, ' z')", "extra": "length(text)"},
+    )
+    plans[
+        "_update_by_query transform (one flag join, one conditional Project)"
+    ] = upd_plan
+    upd_text = cap(upd_plan)
+    assert "Window" not in upd_text
+    assert "CartesianProduct" not in upd_text
+    print("update_by_query transform: flag join + single project — ok")
+
     # aggregations: a bucket + its metric sub-aggs must be ONE hash
     # aggregate (single exchange, map-side partials), and a composite
     # after-cursor must reach the parquet scan as a pushed filter
