@@ -2184,6 +2184,19 @@ class Engine:
         from .index.update import apply_update, update_and_reindex
 
         matched = self._matched_scored(spec).select("doc_id").distinct()
+        # host semantics: deleted docs are invisible to update_by_query —
+        # the corpus-side match must not touch (or resurrect) tombstoned
+        # ids; the reindex additionally expunges the tombstones durably
+        if (
+            self.bm25_index is not None
+            and getattr(self.bm25_index, "deletes", None) is not None
+            and len(self.bm25_index.deletes)
+        ):
+            tomb = self.spark.createDataFrame(
+                [(int(x),) for x in self.bm25_index.deletes],
+                schema="doc_id long",
+            )
+            matched = matched.join(F.broadcast(tomb), "doc_id", "left_anti")
         total = int(matched.count())
         out = {"total": total, "updated": 0 if dry_run else total}
         if dry_run:

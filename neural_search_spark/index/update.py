@@ -109,6 +109,16 @@ def update_and_reindex(
         k1=float(lay["k1"]),
         b=float(lay["b"]),
     ).build(rows)
+    dels = matched_ids.select(F.col(id_col).cast("long").alias("doc_id"))
+    # fold the handle's query-time tombstones into the scoped expunge:
+    # without this, an update after delete_by_query would RESURRECT the
+    # tombstoned docs (tombstones live on the handle, not in the files,
+    # so a plain merge would carry their postings into the new index)
+    if getattr(index, "deletes", None) is not None and len(index.deletes):
+        tomb = spark.createDataFrame(
+            [(int(x),) for x in index.deletes], schema="doc_id long"
+        )
+        dels = dels.unionByName(tomb).distinct()
     try:
         if has_positions(index.path):
             build_positions(spark, seg_dir, rows)
@@ -117,9 +127,7 @@ def update_and_reindex(
             [index.path, seg_dir],
             out_dir,
             target_postings_per_task=target_postings_per_task,
-            deletes=matched_ids.select(
-                F.col(id_col).cast("long").alias("doc_id")
-            ),
+            deletes=dels,
             deletes_sources=[index.path],
         )
     finally:

@@ -137,3 +137,56 @@ def test_reindex_merges_positions_scoped(spark, transcripts_df, tmp_path_factory
         assert [(r["doc_id"], round(r["score"], 5)) for r in a] == [
             (r["doc_id"], round(r["score"], 5)) for r in b
         ], q
+
+
+def test_update_after_delete_does_not_resurrect(
+    spark, transcripts_df, tmp_path_factory
+):
+    """Tombstoned docs are invisible to update_by_query: they are not
+    updated, and the incremental reindex expunges them durably instead of
+    resurrecting their postings from the merged sources."""
+    from neural_search_spark.engine import Engine
+
+    root = tmp_path_factory.mktemp("updtomb")
+    main_dir = str(root / "main")
+    IndexBuilder(spark, main_dir, n_shards=4, block_size=64).build(
+        transcripts_df
+    )
+    corpus = transcripts_df.withColumn("doc_id", doc_id_col())
+    eng = Engine(spark, corpus=corpus, bm25_index=BM25Index(spark, main_dir))
+
+    # tombstone the w0009 docs, then update the (overlapping) w0009|w0011 set
+    del_spec = {"match": {"query_text": "w0009"}}
+    n_del = eng.delete_by_query(del_spec)["deleted"]
+    assert n_del > 0
+    tomb_ids = {int(x) for x in eng.bm25_index.deletes}
+
+    out_dir = str(root / "merged")
+    rep = eng.update_by_query(
+        {"bool": {"should": [
+            {"match": {"query_text": "w0009"}},
+            {"match": {"query_text": "w0011"}},
+        ]}},
+        {"text": "concat(text, ' zztomb')"},
+        out_dir=out_dir,
+    )
+    # matched excludes every tombstoned id
+    assert rep["total"] > 0
+    merged = eng.bm25_index
+    # durably gone: the merged index never returns a tombstoned id ...
+    got = {
+        int(r["doc_id"]) for r in bm25_topk(merged, "w0009", k=10_000).collect()
+    }
+    assert not (got & tomb_ids)
+    # ... including via the update's new term (no resurrection-as-updated)
+    upd_hits = {
+        int(r["doc_id"])
+        for r in bm25_topk(merged, "zztomb", k=10_000).collect()
+    }
+    assert upd_hits and not (upd_hits & tomb_ids)
+    # and the corpus rows of tombstoned docs were not rewritten
+    n_tomb_updated = eng.corpus.filter(
+        F.col("doc_id").isin([int(x) for x in tomb_ids])
+        & F.col("text").contains("zztomb")
+    ).count()
+    assert n_tomb_updated == 0
