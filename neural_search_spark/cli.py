@@ -283,6 +283,11 @@ def cmd_search(args) -> None:
     parsed = json.loads(spec)
     rescore = json.loads(args.rescore_json) if args.rescore_json else None
     aggs = json.loads(args.aggs_json) if args.aggs_json else None
+    hl = (
+        json.loads(args.highlight_json)
+        if getattr(args, "highlight_json", None)
+        else None
+    )
     if args.batch:
         # {query_id: spec} → one msearch job (match specs batched together)
         if rescore is not None:
@@ -298,9 +303,9 @@ def cmd_search(args) -> None:
             for row in frame.collect():
                 print(json.dumps({"agg": path, **row.asDict()}, default=str))
     else:
-        out = eng.search(parsed, k=args.k, rescore=rescore)
+        out = eng.search(parsed, k=args.k, rescore=rescore, highlight=hl)
     for row in out.collect():
-        print(json.dumps(row.asDict()))
+        print(json.dumps(row.asDict(), default=str))
     if getattr(args, "explain_ids", None):
         ids = [int(x) for x in args.explain_ids.split(",") if x.strip()]
         for row in eng.explain_score(parsed, ids).collect():
@@ -619,6 +624,11 @@ def main(argv=None) -> None:
         "neural, a MapType features column for neural_sparse fallback)",
     )
     s.add_argument("--k", type=int, default=10)
+    s.add_argument(
+        "--highlight-json",
+        help="host-shaped highlight block applied to the final top-k "
+        '(e.g. \'{"fields": {"text": {"fragment_size": 80}}}\')',
+    )
     s.add_argument(
         "--rescore-json",
         help='rescore window, e.g. \'{"window_size": 50, "query": '

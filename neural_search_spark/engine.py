@@ -1565,8 +1565,19 @@ class Engine:
         spec: QuerySpec | HybridSpec | dict | str,
         k: int = 10,
         rescore: dict | None = None,
+        highlight: dict | None = None,
     ) -> DataFrame:
         """Top-k for any spec → (doc_id, score, rank).
+
+        highlight: optional host-shaped highlight block applied to the
+        final top-k as a FETCH-PHASE transform (the host's highlight
+        phase runs on the fetched hits, never the corpus): {"fields":
+        {"text": {...}}} or flat options — pre_tags/post_tags (first
+        entry used), fragment_size, number_of_fragments. Adds
+        ``highlights`` (spans), ``highlighted`` (tagged text) and, with
+        fragment_size, ``fragments`` columns. Highlight terms are the
+        union of the spec's analyzed query texts (must_not branches are
+        never highlighted, matching the host).
 
         rescore: optional generic rescore window applied AFTER the primary
         pipeline: {"window_size": W, "query": <sub-spec json/QuerySpec>,
@@ -1589,6 +1600,9 @@ class Engine:
         if isinstance(spec, (dict, str)):
             spec = spec_from_json(spec)
         spec = self._resolve_lookups(spec)
+        if highlight is not None:
+            hits = self.search(spec, k=k, rescore=rescore)
+            return self._apply_highlight(hits, spec, highlight)
         rescore_pb: dict | None = None
         if rescore is not None:
             placement = rescore.get("placement", "post_combination")
@@ -2070,6 +2084,71 @@ class Engine:
             )
             self.bm25_index.with_deletes(union)
         return out
+
+    def _highlight_terms(self, spec) -> set[str]:
+        """Union of the spec's analyzed query texts — the terms the
+        highlight phase marks. must_not branches are skipped (the host
+        never highlights negations); un-analyzed term/prefix kinds
+        contribute their verbatim lowercased value."""
+        from .tokenizer import tokenize_py
+
+        out: set[str] = set()
+
+        def walk(s) -> None:
+            if s is None:
+                return
+            if isinstance(s, (list, tuple)):
+                for x in s:
+                    walk(x)
+                return
+            qt = getattr(s, "query_text", None)
+            if qt:
+                out.update(tokenize_py(qt))
+            if getattr(s, "query_type", "") in ("term", "prefix") and getattr(
+                s, "value", None
+            ):
+                out.add(str(s.value).lower())
+            for attr in (
+                "sub_queries", "queries", "must", "should", "positive",
+                "query",
+            ):
+                walk(getattr(s, attr, None))
+
+        walk(spec)
+        return out
+
+    def _apply_highlight(
+        self, hits: DataFrame, spec, opts: dict
+    ) -> DataFrame:
+        """Fetch-phase highlight over an already-collected top-k frame:
+        ONE broadcast join fetches the k hits' text (the _mget point-read
+        shape), then the Arrow highlighter runs on those rows only."""
+        from .extras.highlight import highlight_topk
+
+        field = "text"
+        opts = dict(opts or {})
+        fields_opt = opts.pop("fields", None)
+        if fields_opt:
+            field, fopts = next(iter(fields_opt.items()))
+            opts.update(fopts or {})
+        corpus = self._need_corpus("highlight")
+        text_df = corpus.select(
+            F.col(self.id_col).alias("doc_id"), F.col(field)
+        )
+        joined = text_df.join(F.broadcast(hits), "doc_id")
+        terms = self._highlight_terms(spec)
+        pre = (opts.get("pre_tags") or ["<em>"])[0]
+        post = (opts.get("post_tags") or ["</em>"])[0]
+        out = highlight_topk(
+            joined,
+            " ".join(sorted(terms)),
+            text_col=field,
+            pre_tag=pre,
+            post_tag=post,
+            fragment_size=opts.get("fragment_size"),
+            number_of_fragments=int(opts.get("number_of_fragments", 3)),
+        )
+        return out.drop(field).orderBy("rank")
 
     def field_caps(self) -> dict:
         """The host `_field_caps` API: per-field type + searchable/

@@ -711,3 +711,33 @@ def test_rescore_per_branch_placement(spark, eng):
     assert got.score.tolist() != post.score.tolist()
     with pytest.raises(ValueError, match="placement"):
         eng.search(spec, k=10, rescore={**rescore, "placement": "mid"})
+
+
+def test_search_highlight_block(spark, eng):
+    """The host-shaped highlight block rides search(): fetch-phase tags
+    over the final top-k, fields/options parsed, must_not never
+    highlighted."""
+    res = eng.search(
+        {"match": {"query_text": "tool run"}}, k=5,
+        highlight={"fields": {"text": {
+            "pre_tags": ["<b>"], "post_tags": ["</b>"],
+            "fragment_size": 60, "number_of_fragments": 2,
+        }}},
+    ).collect()
+    assert len(res) == 5
+    assert [r["rank"] for r in res] == [1, 2, 3, 4, 5]
+    for r in res:
+        assert "<b>" in r["highlighted"]
+        assert r["fragments"] and len(r["fragments"]) <= 2
+        assert all("<b>" in f for f in r["fragments"])
+        assert r["highlights"]  # span structs present
+    # bool: must_not text must NOT be tagged
+    res2 = eng.search(
+        {"bool": {"must": [{"match": {"query_text": "tool"}}],
+                  "must_not": [{"match": {"query_text": "run"}}]}},
+        k=3, highlight={},
+    ).collect()
+    assert res2
+    for r in res2:
+        assert "<em>run</em>" not in r["highlighted"]
+        assert "<em>tool</em>" in r["highlighted"]
