@@ -2282,6 +2282,11 @@ class Engine:
             return out
         corpus = self._need_corpus("update_by_query")
         new_corpus = apply_update(corpus, matched, set_exprs, self.id_col)
+        if total == 0:
+            # nothing matched: the corpus transform is a no-op and a
+            # segment build + merge would just copy the index — skip
+            self.corpus = new_corpus
+            return out
         if out_dir is not None:
             if self.bm25_index is None:
                 raise ValueError(

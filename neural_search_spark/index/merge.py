@@ -198,6 +198,11 @@ def merge_indexes(
         }
     ).to_parquet(os.path.join(out_dir, "build_config.parquet"))
 
+    if deletes_sources is not None and deletes is None:
+        raise ValueError(
+            "deletes_sources without deletes has no meaning — pass the "
+            "doc ids to expunge"
+        )
     scoped = deletes is not None and deletes_sources is not None
     del_src_idx: list[int] = []
     if scoped:

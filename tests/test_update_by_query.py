@@ -190,3 +190,28 @@ def test_update_after_delete_does_not_resurrect(
         & F.col("text").contains("zztomb")
     ).count()
     assert n_tomb_updated == 0
+
+
+def test_update_guards(spark, upd_env, tmp_path):
+    from neural_search_spark.engine import Engine
+    from neural_search_spark.index.merge import merge_indexes
+
+    # deletes_sources without deletes raises instead of silently ignoring
+    with pytest.raises(ValueError, match="deletes_sources without deletes"):
+        merge_indexes(
+            spark, [upd_env["main"].path, upd_env["main"].path],
+            str(tmp_path / "x"), deletes_sources=[upd_env["main"].path],
+        )
+    # zero-match update: no reindex job, index handle unchanged
+    eng = Engine(spark, corpus=upd_env["corpus"], bm25_index=upd_env["main"])
+    before = eng.bm25_index
+    rep = eng.update_by_query(
+        {"match": {"query_text": "zzznothingmatches"}},
+        {"text": "concat(text, ' x')"},
+        out_dir=str(tmp_path / "never_built"),
+    )
+    assert rep == {"total": 0, "updated": 0}
+    assert eng.bm25_index is before
+    import os
+
+    assert not os.path.exists(str(tmp_path / "never_built"))
